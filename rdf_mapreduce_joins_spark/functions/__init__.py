@@ -1,0 +1,27 @@
+"""Scalar/vector function helpers (SURVEY.md §2.7/§2.9 U1-U3).
+
+The engine deliberately has almost no custom scalar functions — the
+reference's scalar surface is string equality + integer parse (SURVEY.md
+§2.7), fully covered by pyspark.sql.functions built-ins. What lives here
+is the vector/text expression helpers shared across operators.
+"""
+
+from rdf_mapreduce_joins_spark.operators.similarity import (
+    as_double_array,
+    cosine,
+    dot,
+    l2_norm,
+    lit_vector,
+)
+from rdf_mapreduce_joins_spark.operators.text import rolling_hash, tokens, word_ngrams
+
+__all__ = [
+    "as_double_array",
+    "cosine",
+    "dot",
+    "l2_norm",
+    "lit_vector",
+    "rolling_hash",
+    "tokens",
+    "word_ngrams",
+]

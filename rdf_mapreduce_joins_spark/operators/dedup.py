@@ -1,0 +1,208 @@
+"""Document deduplication operators (SURVEY.md §2.9 X1/X2).
+
+Exact dedup is a hash-groupBy (plans/llm.py — no code needed here).
+This module implements the *near*-dup family as pure DataFrame plans:
+
+* **MinHash + LSH** — shingle → 64 minhash permutations → 16 bands × 4
+  rows → band-bucket self-join → candidate pairs with estimated Jaccard.
+* **SimHash** — token-hash sign-sum → 64-bit signature as 4×16-bit
+  bands → band-collision candidates → exact Hamming distance.
+
+Everything is integer arithmetic over ``xxhash64`` (fixed seed inside
+Spark), so results are deterministic across runs — the driver's
+rows-only check depends on that.
+
+Scale posture: both algorithms are shuffle-bounded — candidate pairs
+only arise from hash-bucket collisions (never an all-pairs join), the
+band join shuffles on (band, bucket-hash), and the signature aggregation
+is one partial+final hash agg over the exploded shingles. That is the
+standard web-scale dedup layout (the band join dominates; skewed buckets
+are handled by AQE skew-join splitting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Universal-hash domain: h0 ∈ [0, P31); permutation i is
+# (A_i * h0 + B_i) mod P31 with A_i < 2^30 so products stay far inside
+# int64 (Spark 4 runs ANSI mode — overflow would throw, not wrap).
+P31 = 2_147_483_647  # 2^31 - 1, prime
+_KNUTH = 2_654_435_761
+
+
+def _perm_constants(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (A_i, B_i) pairs; A_i ∈ [1, 2^30), B_i ∈ [0, 2^30)."""
+    out = []
+    for i in range(num_perm):
+        a = (_KNUTH * (2 * i + 1)) % (1 << 30)
+        b = (_KNUTH * (2 * i + 2) + 12345) % (1 << 30)
+        out.append((a | 1, b))
+    return out
+
+
+def shingles(text_col: str, k: int = 3) -> F.Column:
+    """Word k-gram shingles of a whitespace-tokenized text column.
+
+    Documents shorter than k tokens contribute their full token string
+    as a single shingle (so they still get a signature)."""
+    w = F.split(F.col(text_col), " ")
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(k)]),
+    )
+    return F.when(F.size(w) >= k, ngrams).otherwise(F.array(F.col(text_col)))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint>[num_perm]) minhash signatures.
+
+    One explode + one grouped aggregation with ``num_perm`` min()
+    columns — partial aggregation (map-side combine) applies, so the
+    shuffle carries one row per (doc × partition), not per shingle."""
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("shingle")
+    ).withColumn("h0", F.pmod(F.xxhash64("shingle"), F.lit(P31)))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h0") + F.lit(b), F.lit(P31))).alias(f"m{i}")
+        for i, (a, b) in enumerate(_perm_constants(num_perm))
+    ]
+    per_doc = sh.groupBy(id_col).agg(*aggs)
+    sig = F.array(*[F.col(f"m{i}") for i in range(num_perm)])
+    return per_doc.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+    min_est_jaccard: float = 0.5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs from banded LSH, with the signature-
+    estimated Jaccard. Pair (d1 < d2) appears once regardless of how
+    many bands collide."""
+    num_perm = bands * rows_per_band
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.lit(b), *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = signatures.select(
+        F.col(id_col), F.explode(band_entries).alias("e")
+    ).select(id_col, F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    left = buckets.select(F.col(id_col).alias("d1"), "band", "bh")
+    right = buckets.select(F.col(id_col).alias("d2"), "band", "bh")
+    cand = (
+        left.join(right, on=["band", "bh"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    s1 = signatures.select(F.col(id_col).alias("d1"), F.col("sig").alias("sig1"))
+    s2 = signatures.select(F.col(id_col).alias("d2"), F.col("sig").alias("sig2"))
+    eq = F.zip_with("sig1", "sig2", lambda x, y: F.when(x == y, 1).otherwise(0))
+    est = F.round(
+        F.aggregate(eq, F.lit(0), lambda acc, x: acc + x) / F.lit(float(num_perm)),
+        round_digits,
+    )
+    return (
+        cand.join(s1, on="d1")
+        .join(s2, on="d2")
+        .select("d1", "d2", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+_SIMHASH_BITS = 64
+_BAND_BITS = 16
+_N_BANDS = _SIMHASH_BITS // _BAND_BITS
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, bands: array<int>[4]) — 64-bit SimHash packed as 4×16-bit
+    band values (packing as int avoids 2^63 sign issues under ANSI).
+
+    Token multiplicity acts as the feature weight (each occurrence
+    votes ±1 per bit)."""
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    h = F.xxhash64("tok")
+    aggs = [
+        F.sum(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"s{j}")
+        for j in range(_SIMHASH_BITS)
+    ]
+    sums = toks.groupBy(id_col).agg(*aggs)
+    band_cols = []
+    for b in range(_N_BANDS):
+        val = F.lit(0)
+        for j in range(_BAND_BITS):
+            bit_idx = b * _BAND_BITS + j
+            val = val + F.when(F.col(f"s{bit_idx}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        band_cols.append(val.cast("int"))
+    return sums.select(F.col(id_col), F.array(*band_cols).alias("bands"))
+
+
+def simhash_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by band collision + exact Hamming distance.
+
+    A pair within Hamming distance 3 of a 64-bit signature must agree
+    on at least one 16-bit band (pigeonhole) — the classic SimHash
+    blocking guarantee; ``max_hamming`` then filters candidates
+    exactly."""
+    entries = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), F.element_at("bands", b + 1).alias("bv"))
+            for b in range(_N_BANDS)
+        ]
+    )
+    buckets = signatures.select(F.col(id_col), F.explode(entries).alias("e")).select(
+        id_col, F.col("e.band").alias("band"), F.col("e.bv").alias("bv")
+    )
+    left = buckets.select(F.col(id_col).alias("d1"), "band", "bv")
+    right = buckets.select(F.col(id_col).alias("d2"), "band", "bv")
+    cand = (
+        left.join(right, on=["band", "bv"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    s1 = signatures.select(F.col(id_col).alias("d1"), F.col("bands").alias("b1"))
+    s2 = signatures.select(F.col(id_col).alias("d2"), F.col("bands").alias("b2"))
+    per_band_ham = F.zip_with(
+        "b1", "b2", lambda x, y: F.bit_count(x.bitwiseXOR(y))
+    )
+    hamming = F.aggregate(per_band_ham, F.lit(0), lambda acc, x: acc + x)
+    return (
+        cand.join(s1, on="d1")
+        .join(s2, on="d2")
+        .select("d1", "d2", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

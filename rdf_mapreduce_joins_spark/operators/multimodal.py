@@ -1,0 +1,134 @@
+"""Multimodal column plumbing (SURVEY.md §2.9 X5).
+
+Image/audio/video travel as opaque ``binary`` columns with typed
+metadata structs. The Spark-side plumbing — schemas, Arrow batch
+shapes, ``mapInPandas`` signatures, partition behavior — is real and
+tested; the actual media decoding is STUBBED (this container has no
+image/audio libraries): ``decode_image`` raises ``NotImplementedError``
+unless a deterministic fake decoder is requested, which derives
+"pixels"/metadata purely from the bytes so tests are reproducible.
+
+Scale posture: media bytes never pass through Python row-at-a-time —
+only Arrow batches via mapInPandas; metadata-only queries (the common
+case) touch just the struct column thanks to parquet column pruning,
+never the blob.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "id bigint, content binary, media_type string, "
+    "meta struct<n_bytes: int, content_md5: string>"
+)
+
+FEATURE_DIM = 16
+
+_DECODE_SCHEMA = "id bigint, width int, height int, channels int"
+_FEATURE_SCHEMA = f"id bigint, feature array<float>, dim int"
+
+
+def attach_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Wrap a text column as a fake media blob (utf-8 bytes) with typed
+    metadata — the schema every downstream multimodal op consumes."""
+    content = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col).alias("id"),
+        content.alias("content"),
+        F.lit("application/fake").alias("media_type"),
+        F.struct(
+            F.octet_length(content).cast("int").alias("n_bytes"),
+            F.md5(content).alias("content_md5"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(content: bytes) -> tuple[int, int, int]:
+    """Deterministic fake decoder: dimensions derived from a content
+    digest. Stands in for PIL/ffmpeg (unavailable here)."""
+    d = hashlib.md5(content).digest()
+    return (32 + d[0] % 224, 32 + d[1] % 224, 1 + d[2] % 3)
+
+
+def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Extract (width, height, channels) from media blobs via
+    mapInPandas (Arrow-batched; one Python hop, no per-row pickling).
+
+    ``fake=False`` is the real-decoder path: stubbed with
+    NotImplementedError until an image library is present."""
+    if not fake:
+        try:
+            import PIL  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "real image decode requires PIL; pass fake=True for the "
+                "deterministic fake decoder"
+            ) from e
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [_fake_decode(bytes(c)) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "channels": [d[2] for d in dims],
+                }
+            )
+
+    return media.select("id", "content").mapInPandas(run, schema=_DECODE_SCHEMA)
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Deterministic fake feature extractor: ``dim`` floats in [0,1)
+    derived from a sha256 digest of the content. The plumbing (Arrow
+    batch in/out, array<float> schema, id passthrough) is exactly what
+    a real embedding model UDF uses."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for c in pdf["content"]:
+                d = hashlib.sha256(bytes(c)).digest()
+                need = (dim * 2 + len(d) - 1) // len(d)
+                raw = (hashlib.sha256(bytes(c) + bytes([i])).digest() for i in range(need))
+                buf = d + b"".join(raw)
+                feats.append(
+                    [
+                        int.from_bytes(buf[2 * i : 2 * i + 2], "big") / 65536.0
+                        for i in range(dim)
+                    ]
+                )
+            yield pd.DataFrame({"id": pdf["id"], "feature": feats, "dim": [dim] * len(pdf)})
+
+    return media.select("id", "content").mapInPandas(run, schema=_FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling for "video" blobs: split the byte stream into
+    ``n_frames`` equal chunks (deterministic stand-in for keyframe
+    extraction), exploded to one row per frame — pure built-ins, no
+    Python."""
+    total = F.octet_length("content")
+    step = F.greatest((total / n_frames).cast("int"), F.lit(1))
+    frames = F.transform(
+        F.sequence(F.lit(0), F.lit(n_frames - 1)),
+        lambda i: F.struct(
+            i.cast("int").alias("frame_no"),
+            F.substring(F.col("content"), i * step + 1, step).alias("frame_bytes"),
+        ),
+    )
+    out = media.select("id", F.explode(frames).alias("f"))
+    return out.select(
+        "id",
+        F.col("f.frame_no").alias("frame_no"),
+        F.md5(F.col("f.frame_bytes")).alias("frame_md5"),
+        F.octet_length(F.col("f.frame_bytes")).cast("int").alias("frame_n_bytes"),
+    )

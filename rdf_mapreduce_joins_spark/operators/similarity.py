@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (SURVEY.md §2.9 X3).
+
+Brute-force cosine top-k as the exactness baseline, and a random-
+hyperplane LSH bucketed variant as the scale path. Both are pure
+DataFrame plans: the dot products run as JVM higher-order functions
+(``zip_with`` + ``aggregate``) inside whole-stage codegen — no Python
+worker in the loop.
+
+Scale posture (100 TB / 10^9 vectors): brute force is O(N·d) per query
+— fine for one-off queries over partitions, wrong for query *sets*; the
+LSH path buckets once (one shuffle), then each query probes only its
+buckets. The hyperplanes come from a deterministic LCG so results are
+reproducible across sessions with no stored model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double_array(col: Column | str) -> Column:
+    """array<float> → array<double> (exact: every float32 is a double)."""
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns, JVM-side fold."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0.0 when either side has zero norm."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def lit_vector(values: list[float]) -> Column:
+    """A query vector as a literal array<double> column."""
+    return F.array(*[F.lit(float(v)) for v in values])
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of a literal query vector.
+
+    Ordering is on the *rounded* similarity with the id as tiebreaker,
+    so result order is stable across engines and float low-bit noise.
+    Spark plans the limit as TakeOrderedAndProject (per-partition top-k
+    + merge) — no global sort even at 10^9 rows.
+    """
+    q = lit_vector(query_vec)
+    df = embeddings
+    if exclude_id is not None:
+        df = df.filter(F.col(id_col) != exclude_id)
+    sim = F.round(cosine(as_double_array(vec_col), q), round_digits)
+    return (
+        df.select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# -- deterministic pseudo-random hyperplanes (no stored model) -------------
+
+_LCG_MOD = 2**31
+_LCG_A = 1103515245
+_LCG_C = 12345
+
+
+def _lcg_doubles(seed: int, n: int) -> list[float]:
+    """Deterministic uniform(-1,1) doubles via a textbook LCG — stable
+    across Python versions (unlike random.gauss internals)."""
+    x = seed % _LCG_MOD
+    out = []
+    for _ in range(n):
+        x = (_LCG_A * x + _LCG_C) % _LCG_MOD
+        out.append(2.0 * x / _LCG_MOD - 1.0)
+    return out
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    flat = _lcg_doubles(seed, dim * n_planes)
+    return [flat[i * dim : (i + 1) * dim] for i in range(n_planes)]
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id (int) of a vector under the hyperplane set."""
+    bucket = F.lit(0)
+    for j, h in enumerate(planes):
+        bit = F.when(dot(vec_col, lit_vector(h)) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    seed: int = 42,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates = vectors sharing any of the
+    query's ``n_tables`` LSH buckets, reranked by exact cosine.
+
+    At scale the bucket assignment is computed once per corpus (one
+    narrow column per table) and queries probe by equality — a
+    broadcast-joinable lookup instead of a full scan. Deterministic:
+    hyperplanes derive from (seed, table index) only.
+    """
+    dim = len(query_vec)
+    df = embeddings
+    if exclude_id is not None:
+        df = df.filter(F.col(id_col) != exclude_id)
+    dbl = as_double_array(vec_col)
+    match = F.lit(False)
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed=seed + 1000 * t)
+        qb = 0
+        for j, h in enumerate(planes):
+            if sum(q * hj for q, hj in zip(query_vec, h)) > 0:
+                qb += 1 << j
+        match = match | (lsh_bucket(dbl, planes) == F.lit(qb))
+    q = lit_vector(query_vec)
+    sim = F.round(cosine(dbl, q), round_digits)
+    return (
+        df.filter(match)
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (X2 family): all pairs
+    within a blocking key with cosine ≥ threshold.
+
+    The block column is the IVF-style coarse quantizer: pairs are only
+    formed inside a block, so the self-join shuffles on the block key
+    and never goes cartesian across the corpus. (At 100 TB the block
+    would be a learned cluster id; here the ``label`` column plays that
+    role.)"""
+    left = embeddings.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id1"),
+        as_double_array(vec_col).alias("v1"),
+    )
+    right = embeddings.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id2"),
+        as_double_array(vec_col).alias("v2"),
+    )
+    sim = F.round(cosine(F.col("v1"), F.col("v2")), round_digits)
+    return (
+        left.join(right, on="blk")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("blk", "id1", "id2", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )

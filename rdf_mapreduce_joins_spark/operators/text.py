@@ -1,0 +1,124 @@
+"""Text analysis operators (SURVEY.md §2.9 X4): tokenization, n-gram
+generation, quality scoring, fingerprinting, and a corpus-trained
+naive-Bayes language identifier. All pure DataFrame ops — the hot path
+stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tokens(text_col: str = "text") -> F.Column:
+    """Whitespace tokens (the corpus is space-separated word soup; a
+    BPE-ish regex split would be F.split(col, r'\\s+|(?=[^\\w])') — not
+    needed for this corpus)."""
+    return F.split(F.col(text_col), " ")
+
+
+def word_ngrams(text_col: str, n: int) -> F.Column:
+    """Word n-grams as an array column (JVM-side transform over token
+    indices — no explode until the caller wants rows)."""
+    w = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
+    )
+    return F.when(F.size(w) >= n, grams).otherwise(F.array())
+
+
+def quality_metrics(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document quality scores: token count, mean token length,
+    short-token ratio, non-alpha character ratio, and a combined score.
+    Mirrors the length/punctuation/stopword-ratio heuristics of
+    training-data quality filters; every metric is exact integer/double
+    arithmetic so it is oracle-checkable."""
+    w = tokens(text_col)
+    n_tok = F.size(w)
+    n_chars = F.length(F.col(text_col))
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^a-z]", ""))
+    short_toks = F.size(F.filter(w, lambda t: F.length(t) <= 3))
+    mean_tok_len = (n_chars - (n_tok - 1)) / n_tok  # single-space separated
+    return docs.select(
+        F.col(id_col),
+        n_tok.cast("int").alias("n_tokens"),
+        n_chars.cast("int").alias("n_chars_text"),
+        F.round(mean_tok_len, 4).alias("mean_token_len"),
+        F.round(short_toks / n_tok, 4).alias("short_token_ratio"),
+        F.round(alpha_chars / n_chars, 4).alias("alpha_ratio"),
+        F.round(
+            (alpha_chars / n_chars) * (1 - short_toks / n_tok), 4
+        ).alias("quality_score"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Content fingerprint: md5 over the unit-separator-joined token
+    stream (whitespace-normalized, so it is stable under re-spacing)."""
+    fp = F.md5(F.concat_ws("\x1f", tokens(text_col)))
+    return docs.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def rolling_hash(text_col: str, mod: int = (1 << 61) - 1, base: int = 257) -> F.Column:
+    """Polynomial rolling hash over tokens (deterministic integer fold;
+    stays below 2^62 so ANSI mode never overflows). Used as a cheap
+    shift-resistant document fingerprint."""
+    h0 = lambda t: F.pmod(F.xxhash64(t), F.lit(1 << 31))  # noqa: E731
+    return F.aggregate(
+        tokens(text_col),
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * F.lit(base) + h0(t), F.lit(mod)),
+    )
+
+
+def language_id(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Corpus-trained naive-Bayes language identifier over word
+    unigrams.
+
+    Trains per-language token log-likelihoods from the corpus' own
+    labels, then classifies every document:
+
+        score(d, L) = Σ_tok ln((count(tok, L) + 1) / (count(L) + V))
+
+    Everything is one token explode reused for train and apply: the
+    profile (lang × token) is tiny and broadcast into the scoring join.
+    Output: (id, lang, lang_pred, score). Deterministic: ties break on
+    lang ascending."""
+    toks = docs.select(
+        F.col(id_col), F.col(label_col), F.explode(tokens(text_col)).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab_size = toks.select("tok").distinct().count()
+    lang_totals = toks.groupBy(label_col).agg(F.count(F.lit(1)).alias("lang_n"))
+    profile = (
+        toks.groupBy(label_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tok_n"))
+        .join(lang_totals, on=label_col)
+        .select(
+            F.col(label_col).alias("cand_lang"),
+            "tok",
+            F.log((F.col("tok_n") + 1) / (F.col("lang_n") + vocab_size)).alias("ll"),
+        )
+    )
+    doc_toks = toks.select(id_col, F.col(label_col).alias("true_lang"), "tok")
+    scored = (
+        doc_toks.join(F.broadcast(profile), on="tok")
+        .groupBy(id_col, "true_lang", "cand_lang")
+        .agg(F.round(F.sum("ll"), 6).alias("score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("cand_lang").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("true_lang").alias("lang"),
+            F.col("cand_lang").alias("lang_pred"),
+            F.col("score"),
+        )
+    )

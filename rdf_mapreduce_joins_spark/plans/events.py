@@ -1,0 +1,162 @@
+"""Event-time layer (SURVEY.md §2.8): batch forms of the streaming
+operators, oracle-checkable against DuckDB.
+
+The tumbling/session operators here are the exact transformations the
+Structured Streaming module (rdf_mapreduce_joins_spark.streaming) reuses
+— in streaming they gain a watermark and run incrementally; the grouped
+logic is identical, which is the point of expressing them over event
+time rather than arrival order.
+
+Epoch discipline: the events timestamp arrives as int64 nanoseconds
+(sources/tables.py); both engines bucket via **integer** division on
+epoch seconds, which is exact — no float-floor boundary risk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rdf_mapreduce_joins_spark.plans.registry import query
+from rdf_mapreduce_joins_spark.sources.tables import load_table
+
+SESSION_GAP_S = 1800
+BUCKET_S = 600
+
+
+@query(
+    "events_tumbling_counts",
+    oracle=f"""
+    SELECT (CAST(floor(epoch(ts)) AS BIGINT) // {BUCKET_S}) * {BUCKET_S} AS bucket_s,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY bucket_s, event_type
+    """,
+)
+def events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute window aggregation (T1). Batch form of
+    ``groupBy(F.window('ts','10 minutes'))``; bucket computed with exact
+    integer epoch arithmetic for oracle parity. Streaming form: add
+    ``withWatermark`` — see streaming/events_stream.py."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = (F.col("ts_s") - (F.col("ts_s") % BUCKET_S)).alias("bucket_s")
+    return e.groupBy(bucket, "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "events_sliding_counts",
+    oracle=f"""
+    WITH es AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type, value
+      FROM events
+    ), offsets AS (SELECT * FROM (VALUES (0), (300)) AS t(off))
+    SELECT ((es.ts_s - off) // {BUCKET_S}) * {BUCKET_S} + off AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM es CROSS JOIN offsets
+    WHERE es.ts_s >= ((es.ts_s - off) // {BUCKET_S}) * {BUCKET_S} + off
+    GROUP BY window_start, event_type
+    """,
+)
+def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (T2): 10-minute windows every 5 minutes. Each
+    event lands in exactly 2 overlapping windows; implemented by
+    exploding the two phase-offset assignments (the same expansion
+    ``F.window(ts, '10 minutes', '5 minutes')`` performs internally),
+    keeping the arithmetic integer-exact for the oracle."""
+    e = load_table(spark, sf_dir, "events")
+    slide = BUCKET_S // 2
+    windows = F.array(
+        *[
+            ((F.col("ts_s") - off) - ((F.col("ts_s") - off) % BUCKET_S) + off)
+            for off in (0, slide)
+        ]
+    )
+    return (
+        e.select("event_type", F.explode(windows).alias("window_start"), "ts_s")
+        .filter(F.col("ts_s") >= F.col("window_start"))
+        .groupBy("window_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle=f"""
+    WITH es AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, ts_s,
+             CASE WHEN ts_s - LAG(ts_s) OVER w > {SESSION_GAP_S}
+                  OR LAG(ts_s) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM es WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id, ts_s,
+             CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts_s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MIN(ts_s) AS start_s,
+           MAX(ts_s) AS end_s
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (T3 batch form, W2+W3): sessions split
+    when >30 min elapse between a user's consecutive events. lag →
+    new-session flag → running sum = session id; one shuffle on user_id
+    shared by both window functions and the final aggregation.
+    Streaming form: ``F.session_window`` (streaming/events_stream.py)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts_s")
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts_s").over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.col("ts_s") - prev) > SESSION_GAP_S), 1
+    ).otherwise(0)
+    with_sessions = e.withColumn(
+        "session_id", F.sum(is_new).over(cum).cast("bigint")
+    )
+    return with_sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_s").alias("start_s"),
+        F.max("ts_s").alias("end_s"),
+    )
+
+
+@query(
+    "events_dedup_ids",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM (
+      SELECT event_id, user_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), user_id
+             ) AS rn
+      FROM events
+    ) t WHERE rn = 1
+    """,
+)
+def events_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup (T5 batch form): first event per event_id with a
+    deterministic keep-rule (min ts, then user). Streaming form:
+    ``dropDuplicatesWithinWatermark('event_id')``."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_id").orderBy("ts_s", "user_id")
+    return (
+        e.select("event_id", "user_id", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

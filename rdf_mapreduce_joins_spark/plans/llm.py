@@ -1,0 +1,348 @@
+"""Extension layer (SURVEY.md §2.10 table 3): LLM-data-pipeline
+queries — dedup family, similarity search, text analysis, multimodal —
+wired to the operators package.
+
+Oracle status per query:
+* full SQL oracle — exact hash-match against DuckDB,
+* rows-only (oracle omitted) — MinHash/SimHash/LSH/mapInPandas results
+  are deterministic but not ANSI-SQL-expressible; the driver records
+  the weaker rows-only check (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rdf_mapreduce_joins_spark.operators import dedup, multimodal, similarity, text
+from rdf_mapreduce_joins_spark.plans.registry import query
+from rdf_mapreduce_joins_spark.sources.tables import load_table
+
+NGRAM_JACCARD_THRESHOLD = 0.2
+EMB_COSINE_THRESHOLD = 0.3
+TOPK = 10
+
+
+# --------------------------------------------------------------------------
+# Deduplication family (X1/X2)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS content_hash,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_dups
+    FROM documents
+    GROUP BY content_hash
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (X1): hash-groupBy on normalized text, keep min id.
+    Pure built-ins — one partial+final hash aggregation; at 100 TB the
+    md5 key also becomes the shuffle key, so groups co-locate."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+@query("dedup_near_minhash")  # rows-only: not ANSI-SQL-expressible
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup via MinHash+LSH (X2): shingle → 64-perm signatures →
+    16×4 bands → bucket-join candidates → estimated-Jaccard filter.
+    Deterministic (fixed hash constants) → stable rows-only check."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(d)
+    return dedup.minhash_lsh_pairs(sigs, min_est_jaccard=0.5)
+
+
+@query("dedup_simhash")  # rows-only: not ANSI-SQL-expressible
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup via 64-bit SimHash band collisions + exact Hamming
+    distance ≤ 8 (X2 family)."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = dedup.simhash_signatures(d)
+    return dedup.simhash_pairs(sigs, max_hamming=8)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+    bi AS (
+      SELECT DISTINCT doc_id, lang,
+             w[CAST(i AS INTEGER)] || ' ' || w[CAST(i + 1 AS INTEGER)] AS bigram
+      FROM t, range(1, 1001) r(i)  -- bound ≥ max tokens/doc at oracle sf (99 at sf0.01)
+      WHERE i <= len(w) - 1
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM bi GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS both_n
+      FROM bi a JOIN bi b USING (lang, bigram)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d1, d2,
+           ROUND(both_n * 1.0 / (s1.n + s2.n - both_n), 4) AS jaccard
+    FROM inter
+    JOIN sz s1 ON d1 = s1.doc_id
+    JOIN sz s2 ON d2 = s2.doc_id
+    WHERE ROUND(both_n * 1.0 / (s1.n + s2.n - both_n), 4) >= {NGRAM_JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (X2 family, full-SQL
+    oracle): word-bigram sets, candidates from the shared-bigram join
+    (language-blocked), exact |∩|/|∪| ≥ threshold.
+
+    Scale note: candidate generation is bounded by shared-shingle
+    collisions, not all-pairs; at web scale a document-frequency cap on
+    hub shingles bounds the worst bucket (here the vocabulary is tiny
+    and AQE skew handling suffices)."""
+    d = load_table(spark, sf_dir, "documents")
+    bi = (
+        d.select(
+            "doc_id", "lang", F.explode(text.word_ngrams("text", 2)).alias("bigram")
+        )
+        .distinct()
+    )
+    sz = bi.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    left = bi.select(F.col("doc_id").alias("d1"), "lang", "bigram")
+    right = bi.select(F.col("doc_id").alias("d2"), "lang", "bigram")
+    inter = (
+        left.join(right, on=["lang", "bigram"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("both_n"))
+    )
+    s1 = sz.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sz.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.round(
+        F.col("both_n") / (F.col("n1") + F.col("n2") - F.col("both_n")), 4
+    )
+    return (
+        inter.join(s1, on="d1")
+        .join(s2, on="d2")
+        .select("d1", "d2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    )
+    SELECT a.label AS blk, a.vec_id AS id1, b.vec_id AS id2,
+           ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 4) >= {EMB_COSINE_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (X2 family): label-blocked
+    self-join (the IVF-style coarse quantizer — never cartesian across
+    the corpus), exact cosine ≥ threshold."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(e, threshold=EMB_COSINE_THRESHOLD, block_col="label")
+
+
+# --------------------------------------------------------------------------
+# Similarity search (X3)
+# --------------------------------------------------------------------------
+
+
+def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    """Fetch the query vector (a query *parameter* — a bounded 1-row
+    lookup, not a data collect)."""
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .head()
+    )
+    return [float(x) for x in row[0]]
+
+
+@query(
+    "similarity_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+    )
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 4) AS sim
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY sim DESC NULLS LAST, vec_id NULLS LAST
+    LIMIT {TOPK}
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (X3 baseline): JVM higher-order-function
+    dot product, TakeOrderedAndProject top-k (no global sort)."""
+    qv = _query_vector(spark, sf_dir, 0)
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(e, qv, k=TOPK, exclude_id=0)
+
+
+@query("similarity_topk_lsh")  # rows-only: approximate, not SQL-expressible
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH (X3 scale path): 4 tables ×
+    8 planes, candidates reranked by exact cosine. Deterministic
+    hyperplanes (LCG seed 42)."""
+    qv = _query_vector(spark, sf_dir, 0)
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(e, qv, k=TOPK, exclude_id=0)
+
+
+# --------------------------------------------------------------------------
+# Text analysis (X4)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_token_counts",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (
+      SELECT lang, token, COUNT(*) AS n FROM toks
+      WHERE token <> '' GROUP BY lang, token
+    )
+    SELECT lang, token, n, rnk FROM (
+      SELECT lang, token, n,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY n DESC, token
+             ) AS INTEGER) AS rnk
+      FROM counts
+    ) t WHERE rnk <= 20
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (X4): explode → count → top-20 per language with
+    deterministic (count desc, token asc) ranking."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(text.tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 20)
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_text,
+           ROUND((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+                 / len(string_split(text, ' ')), 4) AS mean_token_len,
+           ROUND(len(list_filter(string_split(text, ' '), t -> length(t) <= 3)) * 1.0
+                 / len(string_split(text, ' ')), 4) AS short_token_ratio,
+           ROUND(length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0
+                 / length(text), 4) AS alpha_ratio,
+           ROUND((length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text))
+                 * (1 - len(list_filter(string_split(text, ' '), t -> length(t) <= 3))
+                     * 1.0 / len(string_split(text, ' '))), 4) AS quality_score
+    FROM documents
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (X4): length/short-token/alpha ratios + combined
+    score, exact arithmetic on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.quality_metrics(d)
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(string_split(text, ' '), chr(31))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (X4): md5 over the normalized token
+    stream (whitespace-shift resistant)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.fingerprint(d)
+
+
+@query("text_lang_id")  # rows-only: trained profile not SQL-expressible succinctly
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification (X4): corpus-trained naive-Bayes over
+    word unigrams, broadcast profile join, deterministic argmax."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.language_id(d)
+
+
+# --------------------------------------------------------------------------
+# Multimodal (X5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id AS id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column model (X5): opaque binary content + typed
+    metadata struct; this query reads only the metadata (column pruning
+    never touches the blob)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_media(d)
+    return media.select(
+        "id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.content_md5").alias("content_md5"),
+    )
+
+
+@query("multimodal_features")  # rows-only: mapInPandas fake featurizer
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction (X5): Arrow-batched mapInPandas
+    over binary content (deterministic fake featurizer standing in for
+    a real model; the batch plumbing is the real thing). Output is a
+    checksum per doc so the row set is hash-stable."""
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_media(d)
+    feats = multimodal.extract_features(media)
+    checksum = F.round(
+        F.aggregate(
+            F.transform("feature", lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        4,
+    )
+    return feats.select("id", "dim", checksum.alias("feature_sum"))
+
+
+@query("multimodal_frame_sample")  # rows-only: binary slicing semantics differ per engine
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plumbing (X5): byte-range "frames" per media blob,
+    one row per frame with digest + size — built-ins only."""
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_media(d)
+    return multimodal.sample_frames(media, n_frames=4)

@@ -1,0 +1,510 @@
+"""RDF layer: triples view + BGP compiler + the 11 declared rdf_* queries.
+
+The reference (SURVEY.md §0-§2, provenance [K]) executes SPARQL-style
+basic graph patterns (BGPs) over an RDF triples relation as hand-written
+MapReduce jobs: triple-pattern selection in mappers, repartition joins
+in reducers, one bespoke program per benchmark query (LUBM Q1-Q14,
+SP2Bench Q1-Q12). This module replaces all of that with:
+
+* a **triples spec** (`PRED_SPECS`): the star-schema→triples unpivot
+  from FIXTURES.md, held as data and rendered two ways — DataFrame plans
+  for the engine and SQL text for oracles — so both sides share one
+  canonical encoding;
+* a **BGP compiler** (:func:`bgp`): patterns go in, a Catalyst logical
+  plan of equi-joins comes out. Join *shapes* J1-J9 (star, chain,
+  cyclic, object-object, optional, anti, semi, theta, broadcast) are
+  expressed declaratively; join *strategies* (JS1-JS3: sort-merge vs
+  broadcast vs multi-way single-shuffle) are left to Catalyst + AQE,
+  which subsumes every manual optimization the reference performs
+  (SURVEY.md §4.1).
+
+Scale posture: each pattern reads only the 2-3 base-table columns it
+needs (vertical partitioning — the S2RDF/SPARQLGX design); predicate
+constants prune at the parquet scan. Same-subject star patterns join on
+one key and collapse into one shuffle; AQE converts small sides to
+broadcast at runtime. At 100 TB the per-predicate projections would be
+materialized as sorted parquet (see README); the query code is unchanged.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rdf_mapreduce_joins_spark.plans.registry import query
+from rdf_mapreduce_joins_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# Triples spec (canonical encoding per FIXTURES.md — single source of truth
+# rendered as both DataFrame plans and oracle SQL)
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PredSpec:
+    """One (table → predicate) row of the star-schema unpivot.
+
+    ``subj_cols`` render as ``<table>/<c1>[/<c2>...]``; ``obj_prefix``
+    is set for foreign-key objects (rendering ``<target>/<value>``) and
+    ``None`` for literal objects (value cast to string).
+    """
+
+    pred: str
+    table: str
+    subj_cols: tuple[str, ...]
+    obj_col: str
+    obj_prefix: str | None = None
+
+
+PRED_SPECS: tuple[PredSpec, ...] = (
+    PredSpec("name", "customer", ("c_custkey",), "c_name"),
+    PredSpec("nation", "customer", ("c_custkey",), "c_nationkey", "nation/"),
+    PredSpec("mktsegment", "customer", ("c_custkey",), "c_mktsegment"),
+    PredSpec("name", "nation", ("n_nationkey",), "n_name"),
+    PredSpec("region", "nation", ("n_nationkey",), "n_regionkey", "region/"),
+    PredSpec("name", "region", ("r_regionkey",), "r_name"),
+    PredSpec("customer", "orders", ("o_orderkey",), "o_custkey", "customer/"),
+    PredSpec("status", "orders", ("o_orderkey",), "o_orderstatus"),
+    PredSpec("nation", "supplier", ("s_suppkey",), "s_nationkey", "nation/"),
+    PredSpec("name", "supplier", ("s_suppkey",), "s_name"),
+    PredSpec("order", "lineitem", ("l_orderkey", "l_linenumber"), "l_orderkey", "orders/"),
+    PredSpec("supplier", "lineitem", ("l_orderkey", "l_linenumber"), "l_suppkey", "supplier/"),
+)
+
+
+def _subject_col(spec: PredSpec) -> F.Column:
+    parts: list[F.Column | str] = [F.lit(spec.table + "/")]
+    for i, c in enumerate(spec.subj_cols):
+        if i:
+            parts.append(F.lit("/"))
+        parts.append(F.col(c).cast("string"))
+    return F.concat(*parts)
+
+
+def _object_col(spec: PredSpec) -> F.Column:
+    obj = F.col(spec.obj_col).cast("string")
+    return F.concat(F.lit(spec.obj_prefix), obj) if spec.obj_prefix else obj
+
+
+def spec_df(spark: SparkSession, sf_dir: str, spec: PredSpec) -> DataFrame:
+    """One unpivot branch as a 2-col (subject, object) DataFrame.
+
+    Only the needed base-table columns are selected, so the parquet scan
+    reads 1-3 columns (ReadSchema pruning — verified via .explain)."""
+    base = load_table(spark, sf_dir, spec.table)
+    return base.select(_subject_col(spec).alias("subject"), _object_col(spec).alias("object"))
+
+
+def pred_df(
+    spark: SparkSession, sf_dir: str, pred: str, table: str | None = None
+) -> DataFrame:
+    """All triples with the given predicate (union of matching spec rows).
+
+    This *is* vertical partitioning: a query touching predicates
+    {nation, name} never scans orders/lineitem at all."""
+    specs = [s for s in PRED_SPECS if s.pred == pred and (table is None or s.table == table)]
+    if not specs:
+        raise KeyError(f"unknown predicate: {pred}")
+    dfs = [spec_df(spark, sf_dir, s) for s in specs]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def triples(spark: SparkSession, sf_dir: str, preds: list[str] | None = None) -> DataFrame:
+    """The full (or predicate-restricted) triples view with 3 columns."""
+    specs = [s for s in PRED_SPECS if preds is None or s.pred in preds]
+    dfs = [
+        spec_df(spark, sf_dir, s).select(
+            "subject", F.lit(s.pred).alias("predicate"), "object"
+        )
+        for s in specs
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def spec_sql(spec: PredSpec) -> str:
+    """Oracle-side rendering of one unpivot branch (DuckDB SQL)."""
+    subj = f"'{spec.table}/' || " + " || '/' || ".join(spec.subj_cols)
+    if spec.obj_prefix:
+        obj = f"'{spec.obj_prefix}' || {spec.obj_col}"
+    else:
+        obj = f"CAST({spec.obj_col} AS VARCHAR)"
+    return (
+        f"SELECT {subj} AS subject, '{spec.pred}' AS predicate, {obj} AS object "
+        f"FROM {spec.table}"
+    )
+
+
+def triples_sql(preds: list[str] | None = None) -> str:
+    """Oracle CTE body for the triples view (UNION ALL of branches)."""
+    specs = [s for s in PRED_SPECS if preds is None or s.pred in preds]
+    return "\nUNION ALL\n".join(spec_sql(s) for s in specs)
+
+
+# --------------------------------------------------------------------------
+# BGP compiler
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Pattern:
+    """A triple pattern: ``?var`` marks variables, anything else is a
+    constant. Predicate must be a constant (all reference queries bind
+    it — SPARQL variable predicates are out of scope, SURVEY.md §2.3)."""
+
+    s: str
+    p: str
+    o: str
+
+
+def _is_var(term: str) -> bool:
+    return term.startswith("?")
+
+
+def _pattern_df(spark: SparkSession, sf_dir: str, pat: Pattern) -> DataFrame:
+    df = pred_df(spark, sf_dir, pat.p)
+    if not _is_var(pat.s):
+        df = df.filter(F.col("subject") == F.lit(pat.s))
+    if not _is_var(pat.o):
+        df = df.filter(F.col("object") == F.lit(pat.o))
+    cols = []
+    if _is_var(pat.s):
+        cols.append(F.col("subject").alias(pat.s[1:]))
+    if _is_var(pat.o):
+        cols.append(F.col("object").alias(pat.o[1:]))
+    if not cols:  # fully-ground pattern: existence as 0-row/1-row marker
+        cols = [F.lit(1).alias("_exists")]
+    return df.select(*cols)
+
+
+def _join_chain(
+    spark: SparkSession, sf_dir: str, patterns: list[Pattern], broadcast_idx: set[int]
+) -> DataFrame:
+    """Inner-join patterns left-to-right on shared variables.
+
+    Catalyst/AQE then reorders and picks physical strategies (JS1-JS3);
+    the left-to-right chain only fixes the *logical* shape."""
+    out: DataFrame | None = None
+    for i, pat in enumerate(patterns):
+        df = _pattern_df(spark, sf_dir, pat)
+        if i in broadcast_idx:
+            df = F.broadcast(df)
+        if out is None:
+            out = df
+        else:
+            shared = [c for c in df.columns if c in out.columns]
+            if not shared:
+                raise ValueError(f"pattern {pat} shares no variable with prior patterns")
+            out = out.join(df, on=shared, how="inner")
+    assert out is not None
+    return out
+
+
+def bgp(
+    spark: SparkSession,
+    sf_dir: str,
+    patterns: list[Pattern],
+    optional: list[list[Pattern]] | None = None,
+    negation: list[list[Pattern]] | None = None,
+    exists: list[list[Pattern]] | None = None,
+    filters: list[str] | None = None,
+    select: list[str] | None = None,
+    distinct: bool = False,
+    broadcast_idx: set[int] | None = None,
+) -> DataFrame:
+    """Compile a basic graph pattern to a DataFrame.
+
+    * ``patterns``  — required (inner-join) patterns,
+    * ``optional``  — SPARQL OPTIONAL groups → left outer join (J5),
+    * ``negation``  — OPTIONAL+!bound / NOT EXISTS groups → anti join (J6),
+    * ``exists``    — ASK/EXISTS groups → semi join (J7),
+    * ``filters``   — SQL boolean expressions over variable columns (P3/J8),
+    * ``select``    — output variables (``?x`` names → columns).
+    """
+    out = _join_chain(spark, sf_dir, patterns, broadcast_idx or set())
+    for group, how in (
+        *[(g, "left") for g in optional or []],
+        *[(g, "left_anti") for g in negation or []],
+        *[(g, "left_semi") for g in exists or []],
+    ):
+        gdf = _join_chain(spark, sf_dir, group, set())
+        shared = [c for c in gdf.columns if c in out.columns]
+        if not shared:
+            raise ValueError("group shares no variable with required patterns")
+        out = out.join(gdf, on=shared, how=how)
+    for f in filters or []:
+        out = out.filter(F.expr(f))
+    if select:
+        out = out.select(*[v[1:] if v.startswith("?") else v for v in select])
+    if distinct:
+        out = out.distinct()
+    return out
+
+
+# --------------------------------------------------------------------------
+# Declared rdf_* queries (SURVEY.md §2.10 table 1). Engine side runs the
+# BGP compiler over the triples view; oracle side is *independently
+# derived* SQL over the base star schema (stronger differential check
+# than re-running the same unpivot).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "rdf_scan_filter",
+    oracle="""
+    SELECT 'customer/' || c_custkey AS c
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def rdf_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LUBM Q14 analog: single triple-pattern class scan (S1,P1,P2)."""
+    return bgp(spark, sf_dir, [Pattern("?c", "mktsegment", "BUILDING")], select=["?c"])
+
+
+@query(
+    "rdf_subject_star",
+    oracle="""
+    SELECT 'customer/' || c_custkey AS c, c_name AS cname,
+           c_mktsegment AS seg, 'nation/' || c_nationkey AS n
+    FROM customer
+    """,
+)
+def rdf_subject_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LUBM Q4 / SP2B Q2 analog: subject-star join, k patterns on one
+    subject (J1). Same-key joins collapse into one shuffle (JS3)."""
+    return bgp(
+        spark,
+        sf_dir,
+        [
+            Pattern("?c", "name", "?cname"),
+            Pattern("?c", "mktsegment", "?seg"),
+            Pattern("?c", "nation", "?n"),
+        ],
+        select=["?c", "?cname", "?seg", "?n"],
+    )
+
+
+@query(
+    "rdf_chain_join",
+    oracle="""
+    SELECT 'customer/' || c_custkey AS c, 'nation/' || n_nationkey AS n,
+           'region/' || r_regionkey AS r, r_name AS rname
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def rdf_chain_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LUBM Q8 analog: subject→object chain join customer→nation→region
+    (J2, JS1)."""
+    return bgp(
+        spark,
+        sf_dir,
+        [
+            Pattern("?c", "mktsegment", "?seg"),
+            Pattern("?c", "nation", "?n"),
+            Pattern("?n", "region", "?r"),
+            Pattern("?r", "name", "?rname"),
+        ],
+        select=["?c", "?n", "?r", "?rname"],
+    )
+
+
+@query(
+    "rdf_cyclic_join",
+    oracle="""
+    SELECT DISTINCT 'customer/' || o_custkey AS c,
+           'supplier/' || l_suppkey AS s,
+           'nation/' || c_nationkey AS n
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN supplier ON l_suppkey  = s_suppkey AND s_nationkey = c_nationkey
+    """,
+)
+def rdf_cyclic_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LUBM Q2/Q9 analog: cyclic (triangle) join — customer and supplier
+    connected by an order AND co-located in the same nation (J3)."""
+    return bgp(
+        spark,
+        sf_dir,
+        [
+            Pattern("?l", "order", "?o"),
+            Pattern("?o", "customer", "?c"),
+            Pattern("?l", "supplier", "?s"),
+            Pattern("?c", "nation", "?n"),
+            Pattern("?s", "nation", "?n"),
+        ],
+        select=["?c", "?s", "?n"],
+        distinct=True,
+    )
+
+
+@query(
+    "rdf_optional_join",
+    oracle="""
+    SELECT 'customer/' || c_custkey AS c, c_mktsegment AS seg,
+           'orders/' || o_orderkey AS o, o_orderstatus AS st
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    """,
+)
+def rdf_optional_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP2B Q2 analog: OPTIONAL group → left outer join (J5); customers
+    with no orders surface with NULL o/st."""
+    return bgp(
+        spark,
+        sf_dir,
+        [Pattern("?c", "mktsegment", "?seg")],
+        optional=[[Pattern("?o", "customer", "?c"), Pattern("?o", "status", "?st")]],
+        select=["?c", "?seg", "?o", "?st"],
+    )
+
+
+@query(
+    "rdf_negation_anti",
+    oracle="""
+    SELECT 'customer/' || c_custkey AS c, c_name AS cname
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+    )
+    """,
+)
+def rdf_negation_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP2B Q6/Q7 analog: FILTER(!bound) negation → anti join (J6,P4):
+    customers with no completed ('F') order."""
+    return bgp(
+        spark,
+        sf_dir,
+        [Pattern("?c", "name", "?cname"), Pattern("?c", "mktsegment", "?seg")],
+        negation=[[Pattern("?o", "customer", "?c"), Pattern("?o", "status", "F")]],
+        select=["?c", "?cname"],
+    )
+
+
+@query(
+    "rdf_exists_semi",
+    oracle="""
+    SELECT 'customer/' || c_custkey AS c, c_name AS cname, c_mktsegment AS seg
+    FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
+    )
+    """,
+)
+def rdf_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP2B Q12 (ASK) analog: existence → semi join (J7): customers with
+    at least one pending ('P') order."""
+    return bgp(
+        spark,
+        sf_dir,
+        [Pattern("?c", "name", "?cname"), Pattern("?c", "mktsegment", "?seg")],
+        exists=[[Pattern("?o", "customer", "?c"), Pattern("?o", "status", "P")]],
+        select=["?c", "?cname", "?seg"],
+    )
+
+
+@query(
+    "rdf_union_distinct",
+    oracle="""
+    SELECT DISTINCT 'nation/' || c_nationkey AS n FROM customer
+    UNION
+    SELECT DISTINCT 'nation/' || s_nationkey AS n FROM supplier
+    """,
+)
+def rdf_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP2B Q8/Q9 analog: UNION of two graph-pattern branches +
+    DISTINCT solution semantics (O4,A2): nations referenced by
+    customers ∪ nations referenced by suppliers."""
+    cust = pred_df(spark, sf_dir, "nation", table="customer").select(
+        F.col("object").alias("n")
+    )
+    supp = pred_df(spark, sf_dir, "nation", table="supplier").select(
+        F.col("object").alias("n")
+    )
+    return cust.unionByName(supp).distinct()
+
+
+@query(
+    "rdf_orderby_limit_offset",
+    oracle="""
+    SELECT 'customer/' || c_custkey AS c, c_name AS cname
+    FROM customer
+    ORDER BY cname NULLS LAST, c NULLS LAST
+    LIMIT 10 OFFSET 50
+    """,
+)
+def rdf_orderby_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP2B Q11 analog: ORDER BY + LIMIT + OFFSET (O1,O2), keyed
+    tiebreak for determinism."""
+    df = bgp(
+        spark,
+        sf_dir,
+        [Pattern("?c", "name", "?cname"), Pattern("?c", "mktsegment", "?seg")],
+        select=["?c", "?cname"],
+    )
+    return (
+        df.orderBy(F.col("cname").asc_nulls_last(), F.col("c").asc_nulls_last())
+        .offset(50)
+        .limit(10)
+    )
+
+
+@query(
+    "rdf_distinct_pairs",
+    oracle="""
+    SELECT DISTINCT 'nation/' || s1.s_nationkey AS n,
+           s1.s_name AS name1, s2.s_name AS name2
+    FROM supplier s1
+    JOIN supplier s2
+      ON s1.s_nationkey = s2.s_nationkey AND s1.s_name < s2.s_name
+    """,
+)
+def rdf_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP2B Q4 analog: distinct pairs via object-object self-join +
+    inequality theta filter (J4,J8,A2). Group-key-bounded (per nation)
+    so candidate pairs never go cartesian (SURVEY.md §7.4)."""
+    return bgp(
+        spark,
+        sf_dir,
+        [
+            Pattern("?s1", "nation", "?n"),
+            Pattern("?s1", "name", "?name1"),
+            Pattern("?s2", "nation", "?n"),
+            Pattern("?s2", "name", "?name2"),
+        ],
+        filters=["name1 < name2", "s1 LIKE 'supplier/%'", "s2 LIKE 'supplier/%'"],
+        select=["?n", "?name1", "?name2"],
+        distinct=True,
+    )
+
+
+@query(
+    "rdf_broadcast_lookup",
+    oracle="""
+    SELECT 'nation/' || n_nationkey AS n, n_name AS nname
+    FROM nation WHERE n_regionkey = 0
+    """,
+)
+def rdf_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LUBM Q1/Q10 analog: constant-bound pattern → broadcast join
+    (J9,JS2). The filtered (?n region region/0) side is broadcast
+    explicitly — the Spark equivalent of the reference's map-side
+    HBase point-probe join."""
+    return bgp(
+        spark,
+        sf_dir,
+        [Pattern("?n", "region", "region/0"), Pattern("?n", "name", "?nname")],
+        select=["?n", "?nname"],
+        broadcast_idx={0},
+    )

@@ -1,0 +1,508 @@
+"""Relational layer: declared queries over the star schema directly
+(SURVEY.md §2.10 table 2).
+
+Same operator families as the RDF layer (the reference's join shapes and
+strategies, SURVEY.md §2.3) exercised on the TPC-H-ish tables, plus the
+aggregation / window / set-op / scalar surface the reference lacks but
+the driver's relational contract requires.
+
+Determinism discipline (SURVEY.md §2.10): every float aggregate is
+ROUND()ed identically on both sides; every LIMIT/OFFSET/top-k carries a
+unique-key tiebreaker; int-typed derivations (year, length, row_number)
+are cast to the same width on both sides (Spark and DuckDB defaults
+differ: DuckDB length()/year() return BIGINT, SUM(int) returns HUGEINT).
+
+Scale notes: all aggregations here are partial+final hash aggregates
+(map-side combine for free); the fact-to-fact joins shuffle on the join
+key while dimension joins broadcast (explicit `F.broadcast` on known
+dims, AQE otherwise). Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rdf_mapreduce_joins_spark.plans.registry import query
+from rdf_mapreduce_joins_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# Scan / filter / aggregate
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scan_project_filter",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 25
+    """,
+)
+def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped scan+filter+project (P1-P3). The three filters and
+    the 4-column projection reach the parquet scan (PushedFilters /
+    ReadSchema — the Catalyst equivalent of the reference's in-mapper
+    selection, SURVEY.md §4.1)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "agg_group_sum",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           ROUND(AVG(l_quantity), 2)                                   AS avg_qty,
+           ROUND(AVG(l_discount), 4)                                   AS avg_disc,
+           COUNT(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-31'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped grouped aggregation (A3): partial+final hash agg,
+    the built-in equivalent of the reference's combiner jobs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-31").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_sortmerge",
+    oracle="""
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM customer
+    JOIN orders   ON o_custkey  = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact chain join (J2, JS1): lineitem ⋈ orders ⋈ customer,
+    revenue per customer. The big sides shuffle on the join keys
+    (Spark's Exchange = the reference's MapReduce repartition join,
+    minus the per-job HDFS materialization, SURVEY.md §3)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension joins (J9, JS2): nation and region are broadcast
+    explicitly — the Spark analog of the reference's map-side
+    distributed-cache join. No shuffle for the joins; only the final
+    aggregation exchanges."""
+    c = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "semi_anti_orders",
+    oracle="""
+    WITH flags AS (
+      SELECT c_mktsegment AS seg,
+             EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_order
+      FROM customer
+    )
+    SELECT seg,
+           COUNT(*) FILTER (WHERE has_order)     AS with_orders,
+           COUNT(*) FILTER (WHERE NOT has_order) AS without_orders
+    FROM flags GROUP BY seg
+    """,
+)
+def semi_anti_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti join (J6, J7): per market segment, customers with vs
+    without orders, via explicit left_semi / left_anti joins."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(F.count(F.lit(1)).alias("with_orders"))
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(F.count(F.lit(1)).alias("without_orders"))
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        semi.join(anti, on="seg", how="full_outer")
+        .select(
+            "seg",
+            F.coalesce("with_orders", zero).alias("with_orders"),
+            F.coalesce("without_orders", zero).alias("without_orders"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation variants
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT c_mktsegment AS seg,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(*) AS n_customers,
+           ROUND(AVG(c_acctbal), 2) AS avg_acctbal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct (A4). At 100 TB the approximate form
+    (approx_count_distinct / HLL++) is one token away; exact is kept
+    here because the oracle must hash-match."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT COALESCE(r_name, '(all)') AS region_name,
+           COALESCE(n_name, '(all)') AS nation_name,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (A5): region → nation → grand total in one
+    pass (Spark expands grouping sets without rescanning the input)."""
+    c = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("region_name"),
+            F.coalesce("n_name", F.lit("(all)")).alias("nation_name"),
+            "n_customers",
+            "total_acctbal",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows / sorts / limits / set ops
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_rank_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS INTEGER) AS rn
+      FROM orders
+    ) t WHERE rn <= 3
+    """,
+)
+def window_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer (W1, O3): rank window + filter. One
+    shuffle on the partition key; no global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("int").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_total
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer (W3): frame aggregate with a fully
+    deterministic accumulation order (orderdate, orderkey) so the float
+    sum is reproducible across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@query(
+    "orderby_limit_global",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS LAST
+    LIMIT 10
+    """,
+)
+def orderby_limit_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 (O1, O2): Spark plans this as TakeOrderedAndProject
+    (per-partition top-k + merge), never a full sort — the scalable
+    top-k physical form."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc_nulls_last(), F.col("o_orderkey").asc_nulls_last())
+        .limit(10)
+    )
+
+
+@query(
+    "setops_segments",
+    oracle="""
+    WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         b AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders)
+    SELECT 'both' AS which, c_custkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b) t
+    UNION ALL
+    SELECT 'only_building' AS which, c_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b) u
+    """,
+)
+def setops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (O5): BUILDING-segment customers that do /
+    don't appear among order placers, tagged and unioned."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = o.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    both = a.intersect(b).select(F.lit("both").alias("which"), "c_custkey")
+    only_a = a.subtract(b).select(F.lit("only_building").alias("which"), "c_custkey")
+    return both.unionByName(only_a)
+
+
+# --------------------------------------------------------------------------
+# Scalar function surface (SURVEY.md §2.7)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name)                                    AS uname,
+           SUBSTRING(p_name, 1, 4)                          AS prefix4,
+           CAST(LENGTH(p_name) AS INTEGER)                  AS name_len,
+           CONCAT_WS('-', p_brand, p_type)                  AS brand_type,
+           REGEXP_EXTRACT(p_brand, '([0-9]+)', 1)           AS brand_num,
+           TRIM(LOWER(p_type))                              AS ltype
+    FROM part
+    WHERE p_name LIKE '%e%'
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family (§2.7): upper/substring/length/concat_ws/
+    regexp_extract/trim/lower + LIKE pushdown. All JVM-side built-ins
+    inside whole-stage codegen — no Python in the loop."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").like("%e%")).select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.substring("p_name", 1, 4).alias("prefix4"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
+        F.trim(F.lower(F.col("p_type"))).alias("ltype"),
+    )
+
+
+@query(
+    "scalar_date_math",
+    oracle="""
+    SELECT CAST(YEAR(o_orderdate) AS INTEGER)  AS yr,
+           CAST(MONTH(o_orderdate) AS INTEGER) AS mo,
+           COUNT(*)                            AS n_orders,
+           ROUND(SUM(o_totalprice), 2)         AS total,
+           ROUND(AVG(o_totalprice / 7.0), 2)   AS avg_weekly,
+           CAST(FLOOR(MAX(o_totalprice)) AS BIGINT) AS max_floor,
+           ROUND(SQRT(AVG(o_totalprice)), 4)   AS sqrt_avg
+    FROM orders
+    GROUP BY yr, mo
+    """,
+)
+def scalar_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date + math function family (§2.7): year/month extraction
+    (UTC session — matches DuckDB's naive timestamps) with arithmetic,
+    floor, sqrt."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.avg(F.col("o_totalprice") / 7.0), 2).alias("avg_weekly"),
+            F.floor(F.max("o_totalprice")).cast("bigint").alias("max_floor"),
+            F.round(F.sqrt(F.avg("o_totalprice")), 4).alias("sqrt_avg"),
+        )
+    )
+
+
+@query(
+    "json_extract_events",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 2) AS avg_k,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column extraction (S4): get_json_object over the events
+    props column, aggregated per event type."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg(k), 2).alias("avg_k"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "array_funcs_embeddings",
+    oracle="""
+    SELECT vec_id,
+           CAST(LENGTH(embedding) AS INTEGER) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+           ROUND(SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x))), 4) AS l2_norm,
+           ROUND(list_sum(CAST(embedding[1:4] AS DOUBLE[])), 4) AS head4_sum
+    FROM embeddings
+    """,
+)
+def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function family (§2.7): size/element_at/slice plus
+    higher-order transform+aggregate (the JVM-side lambda path — no UDF)
+    over the 64-dim embedding column."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq_sum = F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x)
+    head4 = F.aggregate(
+        F.slice(dbl, 1, 4), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+        F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
+        F.round(head4, 4).alias("head4_sum"),
+    )

@@ -1,0 +1,117 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every declared query on Spark AND its oracle SQL on DuckDB at the
+given scale factor, then compares row count, column names, and an
+order-insensitive value hash. Usage:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+import traceback
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from rdf_mapreduce_joins_spark import get_spark  # noqa: E402
+from rdf_mapreduce_joins_spark.sources.tables import TABLES  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def value_hash(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(norm_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("check-oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        spark_s = time.time() - t0
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(srows)} rows, cols={scols} [{spark_s:.1f}s]")
+            n_pass += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception:
+            print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols spark={scols} duck={ocols}")
+        if not problems:
+            sh, oh = value_hash(srows, scols), value_hash(orows, ocols)
+            if sh != oh:
+                problems.append(f"value-hash spark={sh} duck={oh}")
+                sset = {tuple(norm_cell(c) for c in r) for r in srows}
+                oset = {tuple(norm_cell(c) for c in r) for r in orows}
+                so = list(sset - oset)[:3]
+                os_ = list(oset - sset)[:3]
+                if so:
+                    problems.append(f"spark-only sample: {so}")
+                if os_:
+                    problems.append(f"duck-only sample: {os_}")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(srows)} rows [{spark_s:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
