@@ -1,0 +1,69 @@
+"""Multimodal plumbing tests: schemas, Arrow batch shapes, stub gating."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_mapreduce_joins_spark.operators import multimodal
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "spark engine"), (3, "x")],
+        "doc_id long, text string",
+    )
+    return multimodal.attach_media(docs)
+
+
+def test_media_schema(media):
+    assert media.columns == ["id", "content", "media_type", "meta"]
+    assert dict(media.dtypes)["content"] == "binary"
+    r = media.filter(F.col("id") == 1).head()
+    assert r.meta.n_bytes == len("hello world")
+    assert bytes(r.content) == b"hello world"
+
+
+def test_decode_image_stub_raises_without_pil(media):
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present; stub gate not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="PIL"):
+        multimodal.decode_image(media, fake=False)
+
+
+def test_decode_image_fake_deterministic(media):
+    a = {r.id: (r.width, r.height, r.channels) for r in multimodal.decode_image(media, fake=True).collect()}
+    b = {r.id: (r.width, r.height, r.channels) for r in multimodal.decode_image(media, fake=True).collect()}
+    assert a == b
+    assert all(32 <= w < 256 and 32 <= h < 256 and 1 <= c <= 3 for w, h, c in a.values())
+
+
+def test_extract_features_shape(media):
+    rows = multimodal.extract_features(media, dim=16).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.dim == 16
+        assert len(r.feature) == 16
+        assert all(0.0 <= x < 1.0 for x in r.feature)
+
+
+def test_extract_features_content_addressed(spark):
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text")], "doc_id long, text string"
+    )
+    rows = multimodal.extract_features(multimodal.attach_media(docs)).collect()
+    feats = {r.id: list(r.feature) for r in rows}
+    assert feats[1] == feats[2]
+
+
+def test_sample_frames_partition_of_bytes(media):
+    frames = multimodal.sample_frames(media, n_frames=4)
+    out = frames.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("frame_n_bytes").alias("tot")
+    ).collect()
+    assert all(r.n == 4 for r in out)

@@ -1,0 +1,56 @@
+"""N-Triples source/sink tests: parse forms, permissive/fail modes,
+round-trip with the triples view."""
+
+from __future__ import annotations
+
+import pytest
+
+from rdf_mapreduce_joins_spark.plans import rdf
+from rdf_mapreduce_joins_spark.sources import ntriples
+
+
+@pytest.fixture(scope="module")
+def nt_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("nt") / "data.nt"
+    p.write_text(
+        "\n".join(
+            [
+                "<http://ex/s1> <http://ex/p> <http://ex/o1> .",
+                '<http://ex/s1> <http://ex/name> "Alice" .',
+                '<http://ex/s2> <http://ex/name> "Bo\\"b" .',
+                '<http://ex/s2> <http://ex/age> "42"^^<http://www.w3.org/2001/XMLSchema#int> .',
+                "_:b0 <http://ex/p> _:b1 .",
+                "# a comment line",
+                "",
+                "this line is garbage",
+            ]
+        )
+    )
+    return str(p)
+
+
+def test_read_parses_forms(spark, nt_file):
+    rows = {tuple(r) for r in ntriples.read_ntriples(spark, nt_file).collect()}
+    assert ("http://ex/s1", "http://ex/p", "http://ex/o1") in rows
+    assert ("http://ex/s1", "http://ex/name", "Alice") in rows
+    assert ("_:b0", "http://ex/p", "_:b1") in rows
+    # typed literal keeps its datatype suffix verbatim
+    assert any(s == "http://ex/s2" and o.startswith('"42"^^') for s, _, o in rows)
+    # garbage dropped in permissive mode
+    assert len(rows) == 5
+
+
+def test_read_fail_mode_raises(spark, nt_file):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
+        ntriples.read_ntriples(spark, nt_file, mode="fail").collect()
+
+
+def test_roundtrip_with_triples_view(spark, sf_dir, tmp_path):
+    src = rdf.triples(spark, sf_dir, preds=["region"])  # 25 nation→region triples
+    path = str(tmp_path / "roundtrip")
+    ntriples.write_ntriples(src, path, iri_objects=True)
+    back = ntriples.read_ntriples(spark, path)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in src.collect()}

@@ -1,0 +1,178 @@
+"""Unit tests for the LLM-pipeline operators: determinism, known-answer
+checks against numpy/python reference implementations."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_mapreduce_joins_spark.operators import dedup, similarity, text
+from rdf_mapreduce_joins_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    rows = [
+        (0, "spark join filter sort hash scan", "en"),
+        (1, "spark join filter sort hash scan", "en"),  # exact dup of 0
+        (2, "spark join filter sort hash merge", "en"),  # near dup of 0
+        (3, "completely different words entirely here now", "en"),
+        (4, "short doc", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+# -- MinHash ---------------------------------------------------------------
+
+
+def test_minhash_identical_docs_full_match(spark, tiny_docs):
+    sigs = dedup.minhash_signatures(tiny_docs)
+    pairs = dedup.minhash_lsh_pairs(sigs, min_est_jaccard=0.0).collect()
+    by_pair = {(r.d1, r.d2): r.est_jaccard for r in pairs}
+    assert by_pair[(0, 1)] == 1.0  # identical text → identical signature
+    assert (0, 3) not in by_pair  # disjoint shingles shouldn't collide
+
+
+def test_minhash_deterministic_across_runs(spark, tiny_docs):
+    s1 = {(r.doc_id, tuple(r.sig)) for r in dedup.minhash_signatures(tiny_docs).collect()}
+    s2 = {(r.doc_id, tuple(r.sig)) for r in dedup.minhash_signatures(tiny_docs).collect()}
+    assert s1 == s2
+
+
+def test_minhash_signature_width(spark, tiny_docs):
+    row = dedup.minhash_signatures(tiny_docs, num_perm=32).head()
+    assert len(row.sig) == 32
+    assert all(0 <= v < dedup.P31 for v in row.sig)
+
+
+def test_minhash_short_doc_gets_signature(spark, tiny_docs):
+    ids = {r.doc_id for r in dedup.minhash_signatures(tiny_docs).collect()}
+    assert 4 in ids  # 2 tokens < shingle_k=3 → whole-text shingle
+
+
+# -- SimHash ---------------------------------------------------------------
+
+
+def test_simhash_identical_zero_hamming(spark, tiny_docs):
+    sigs = dedup.simhash_signatures(tiny_docs)
+    pairs = {(r.d1, r.d2): r.hamming for r in dedup.simhash_pairs(sigs, max_hamming=64).collect()}
+    assert pairs[(0, 1)] == 0
+
+
+def test_simhash_token_order_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "delta gamma beta alpha")],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: list(r.bands) for r in dedup.simhash_signatures(df).collect()}
+    assert sigs[1] == sigs[2]  # bag-of-tokens semantics
+
+
+def test_simhash_band_packing(spark, tiny_docs):
+    row = dedup.simhash_signatures(tiny_docs).head()
+    assert len(row.bands) == 4
+    assert all(0 <= b < (1 << 16) for b in row.bands)
+
+
+# -- similarity ------------------------------------------------------------
+
+
+def test_cosine_matches_numpy(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").limit(50)
+    rows = e.collect()
+    q = [float(x) for x in rows[0].embedding]
+    got = {
+        r.vec_id: r.sim
+        for r in similarity.brute_force_topk(e, q, k=50, exclude_id=rows[0].vec_id).collect()
+    }
+    qn = np.array(q)
+    for r in rows[1:]:
+        v = np.array([float(x) for x in r.embedding])
+        want = float(v @ qn / (np.linalg.norm(v) * np.linalg.norm(qn)))
+        assert got[r.vec_id] == pytest.approx(round(want, 4), abs=1e-4)
+
+
+def test_lsh_topk_subset_of_corpus_ranked(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    row = e.filter(F.col("vec_id") == 0).head()
+    q = [float(x) for x in row.embedding]
+    approx = similarity.lsh_topk(e, q, k=10, exclude_id=0).collect()
+    assert len(approx) <= 10
+    sims = [r.sim for r in approx]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lcg_hyperplanes_deterministic():
+    a = similarity.hyperplanes(8, 4, seed=42)
+    b = similarity.hyperplanes(8, 4, seed=42)
+    c = similarity.hyperplanes(8, 4, seed=43)
+    assert a == b
+    assert a != c
+    flat = [x for p in a for x in p]
+    assert all(-1.0 <= x <= 1.0 for x in flat)
+
+
+def test_cosine_pairs_blocked(spark):
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [1.0, 0.001]),
+        (2, 1, [1.0, 0.0]),  # same vector, different block → no pair
+        (3, 0, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    pairs = {(r.id1, r.id2): r.sim for r in similarity.cosine_pairs(df, 0.9).collect()}
+    assert (0, 1) in pairs
+    assert all(k[0] != 2 and k[1] != 2 for k in pairs)
+    assert (0, 3) not in pairs  # opposite direction
+
+
+# -- text ------------------------------------------------------------------
+
+
+def test_quality_metrics_known_answer(spark):
+    df = spark.createDataFrame([(1, "ab cd3 efgh")], "doc_id long, text string")
+    r = text.quality_metrics(df).head()
+    assert r.n_tokens == 3
+    assert r.n_chars_text == 11
+    assert r.mean_token_len == 3.0  # (11-2)/3
+    assert r.short_token_ratio == round(2 / 3, 4)
+    assert r.alpha_ratio == round(8 / 11, 4)  # 'ab'+'cd'+'efgh' letters only
+
+
+def test_fingerprint_whitespace_invariance_and_md5(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    fps = [r.fingerprint for r in text.fingerprint(df).collect()]
+    assert fps[0] == fps[1] == hashlib.md5("a\x1fb\x1fc".encode()).hexdigest()
+
+
+def test_rolling_hash_deterministic_and_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a"), (3, "a b c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.h for r in df.select("doc_id", text.rolling_hash("text").alias("h")).collect()}
+    assert out[1] == out[3]
+    assert out[1] != out[2]
+
+
+def test_language_id_recovers_separable_langs(spark):
+    rows = []
+    for i in range(20):
+        rows.append((i, "alpha beta gamma delta epsilon", "aa"))
+        rows.append((100 + i, "uno dos tres cuatro cinco", "bb"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = text.language_id(df).collect()
+    assert all(r.lang_pred == r.lang for r in out)
+
+
+def test_word_ngrams(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    grams = df.select(text.word_ngrams("text", 2).alias("g")).head().g
+    assert grams == ["a b", "b c", "c d"]
+    short = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    assert short.select(text.word_ngrams("text", 2).alias("g")).head().g == []

@@ -1,0 +1,78 @@
+"""Triples view + BGP compiler unit tests (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_mapreduce_joins_spark.plans import rdf
+from rdf_mapreduce_joins_spark.sources.tables import load_table
+
+
+def test_triples_view_row_counts(spark, sf_dir):
+    """Unpivot cardinality: one triple per (spec row × base row)."""
+    counts = {t: load_table(spark, sf_dir, t).count() for t in
+              {"customer", "nation", "region", "orders", "supplier", "lineitem"}}
+    expected = sum(counts[s.table] for s in rdf.PRED_SPECS)
+    assert rdf.triples(spark, sf_dir).count() == expected
+
+
+def test_pred_df_vertical_partitioning(spark, sf_dir):
+    name_triples = rdf.pred_df(spark, sf_dir, "name")
+    # 'name' exists for customer, nation, region, supplier
+    n = sum(
+        load_table(spark, sf_dir, t).count()
+        for t in ("customer", "nation", "region", "supplier")
+    )
+    assert name_triples.count() == n
+    assert name_triples.columns == ["subject", "object"]
+
+
+def test_pred_df_unknown_predicate(spark, sf_dir):
+    with pytest.raises(KeyError):
+        rdf.pred_df(spark, sf_dir, "nonexistent")
+
+
+def test_bgp_constant_object_filter(spark, sf_dir):
+    df = rdf.bgp(spark, sf_dir, [rdf.Pattern("?n", "region", "region/0")], select=["?n"])
+    expected = (
+        load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0).count()
+    )
+    assert df.count() == expected
+
+
+def test_bgp_disconnected_pattern_raises(spark, sf_dir):
+    with pytest.raises(ValueError, match="shares no variable"):
+        rdf.bgp(
+            spark,
+            sf_dir,
+            [rdf.Pattern("?a", "name", "?x"), rdf.Pattern("?b", "status", "?y")],
+        )
+
+
+def test_bgp_semi_plus_anti_partition(spark, sf_dir):
+    """J6/J7 invariant: semi ∪ anti = all, semi ∩ anti = ∅ (same group)."""
+    base = [rdf.Pattern("?c", "mktsegment", "?seg")]
+    group = [rdf.Pattern("?o", "customer", "?c")]
+    all_c = rdf.bgp(spark, sf_dir, base, select=["?c"])
+    semi = rdf.bgp(spark, sf_dir, base, exists=[group], select=["?c"])
+    anti = rdf.bgp(spark, sf_dir, base, negation=[group], select=["?c"])
+    assert semi.count() + anti.count() == all_c.count()
+    assert semi.intersect(anti).count() == 0
+
+
+def test_bgp_optional_equals_inner_plus_anti(spark, sf_dir):
+    """J5 invariant: left-join rows = inner rows + unmatched-left rows."""
+    base = [rdf.Pattern("?c", "mktsegment", "?seg")]
+    group = [rdf.Pattern("?o", "customer", "?c")]
+    opt = rdf.bgp(spark, sf_dir, base, optional=[group])
+    inner = rdf.bgp(spark, sf_dir, base + group)
+    anti = rdf.bgp(spark, sf_dir, base, negation=[group])
+    assert opt.count() == inner.count() + anti.count()
+
+
+def test_triples_sql_matches_spec_count():
+    full = rdf.triples_sql()
+    assert full.count("UNION ALL") == len(rdf.PRED_SPECS) - 1
+    partial = rdf.triples_sql(["name"])
+    assert partial.count("SELECT") == 4
