@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from rdf_mapreduce_joins_spark.sources.tables import spread
+
 # Universal-hash domain: h0 ∈ [0, P31); permutation i is
 # (A_i * h0 + B_i) mod P31 with A_i < 2^30 so products stay far inside
 # int64 (Spark 4 runs ANSI mode — overflow would throw, not wrap).
@@ -67,7 +69,7 @@ def minhash_signatures(
     One explode + one grouped aggregation with ``num_perm`` min()
     columns — partial aggregation (map-side combine) applies, so the
     shuffle carries one row per (doc × partition), not per shingle."""
-    sh = docs.select(
+    sh = spread(docs).select(
         F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("shingle")
     ).withColumn("h0", F.pmod(F.xxhash64("shingle"), F.lit(P31)))
     aggs = [
@@ -145,7 +147,7 @@ def simhash_signatures(
 
     Token multiplicity acts as the feature weight (each occurrence
     votes ±1 per bit)."""
-    toks = docs.select(
+    toks = spread(docs).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).filter(F.col("tok") != "")
     h = F.xxhash64("tok")

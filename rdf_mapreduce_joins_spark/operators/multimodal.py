@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from rdf_mapreduce_joins_spark.sources.tables import spread
+
 MEDIA_SCHEMA = (
     "id bigint, content binary, media_type string, "
     "meta struct<n_bytes: int, content_md5: string>"
@@ -56,12 +58,20 @@ def _fake_decode(content: bytes) -> tuple[int, int, int]:
     return (32 + d[0] % 224, 32 + d[1] % 224, 1 + d[2] % 3)
 
 
-def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
+def decode_image(
+    media: DataFrame, fake: bool = False, parallelize: bool = False
+) -> DataFrame:
     """Extract (width, height, channels) from media blobs via
     mapInPandas (Arrow-batched; one Python hop, no per-row pickling).
 
     ``fake=False`` is the real-decoder path: stubbed with
-    NotImplementedError until an image library is present."""
+    NotImplementedError until an image library is present.
+
+    ``parallelize=True`` repartitions the blobs before the Python
+    stage. A real decoder is CPU-bound (~ms/image) and wants every
+    core regardless of the scan's split layout; the deterministic
+    fake is ~µs/image, so shuffling the binary content costs more
+    than it saves — measured 2x on the bench — hence opt-in."""
     if not fake:
         try:
             import PIL  # noqa: F401
@@ -83,14 +93,23 @@ def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
                 }
             )
 
-    return media.select("id", "content").mapInPandas(run, schema=_DECODE_SCHEMA)
+    src = media.select("id", "content")
+    if parallelize:
+        src = spread(src)
+    return src.mapInPandas(run, schema=_DECODE_SCHEMA)
 
 
-def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+def extract_features(
+    media: DataFrame, dim: int = FEATURE_DIM, parallelize: bool = False
+) -> DataFrame:
     """Deterministic fake feature extractor: ``dim`` floats in [0,1)
     derived from a sha256 digest of the content. The plumbing (Arrow
     batch in/out, array<float> schema, id passthrough) is exactly what
-    a real embedding model UDF uses."""
+    a real embedding model UDF uses.
+
+    ``parallelize`` as in :func:`decode_image` — a real embedding
+    model wants it; the fake's hashing is cheaper than shuffling the
+    blobs."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -108,7 +127,10 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
                 )
             yield pd.DataFrame({"id": pdf["id"], "feature": feats, "dim": [dim] * len(pdf)})
 
-    return media.select("id", "content").mapInPandas(run, schema=_FEATURE_SCHEMA)
+    src = media.select("id", "content")
+    if parallelize:
+        src = spread(src)
+    return src.mapInPandas(run, schema=_FEATURE_SCHEMA)
 
 
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:

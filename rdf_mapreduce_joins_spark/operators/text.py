@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from rdf_mapreduce_joins_spark.sources.tables import spread
+
 
 def tokens(text_col: str = "text") -> F.Column:
     """Whitespace tokens (the corpus is space-separated word soup; a
@@ -90,7 +92,7 @@ def language_id(
     profile (lang × token) is tiny and broadcast into the scoring join.
     Output: (id, lang, lang_pred, score). Deterministic: ties break on
     lang ascending."""
-    toks = docs.select(
+    toks = spread(docs).select(
         F.col(id_col), F.col(label_col), F.explode(tokens(text_col)).alias("tok")
     ).filter(F.col("tok") != "")
     vocab_size = toks.select("tok").distinct().count()

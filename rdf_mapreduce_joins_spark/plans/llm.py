@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from rdf_mapreduce_joins_spark.operators import dedup, multimodal, similarity, text
 from rdf_mapreduce_joins_spark.plans.registry import query
-from rdf_mapreduce_joins_spark.sources.tables import load_table
+from rdf_mapreduce_joins_spark.sources.tables import load_table, spread
 
 NGRAM_JACCARD_THRESHOLD = 0.2
 EMB_COSINE_THRESHOLD = 0.3
@@ -107,7 +107,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     and AQE skew handling suffices)."""
     d = load_table(spark, sf_dir, "documents")
     bi = (
-        d.select(
+        spread(d).select(
             "doc_id", "lang", F.explode(text.word_ngrams("text", 2)).alias("bigram")
         )
         .distinct()
@@ -232,7 +232,7 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (count desc, token asc) ranking."""
     d = load_table(spark, sf_dir, "documents")
     counts = (
-        d.select("lang", F.explode(text.tokens("text")).alias("token"))
+        spread(d).select("lang", F.explode(text.tokens("text")).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("lang", "token")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -158,11 +158,19 @@ def triples_sql(preds: list[str] | None = None) -> str:
 class Pattern:
     """A triple pattern: ``?var`` marks variables, anything else is a
     constant. Predicate must be a constant (all reference queries bind
-    it — SPARQL variable predicates are out of scope, SURVEY.md §2.3)."""
+    it — SPARQL variable predicates are out of scope, SURVEY.md §2.3).
+
+    ``s_table`` optionally restricts the subject to one unpivot branch
+    (the SPARQL ``?x rdf:type <Class>`` analog). This prunes unrelated
+    base-table scans at plan-build time — Catalyst cannot constant-fold
+    a ``LIKE 'table/%'`` over the concat-built subject, so without the
+    constraint every branch of the predicate union is scanned and
+    discarded post-union (observed via .explain; matters at scale)."""
 
     s: str
     p: str
     o: str
+    s_table: str | None = None
 
 
 def _is_var(term: str) -> bool:
@@ -170,7 +178,7 @@ def _is_var(term: str) -> bool:
 
 
 def _pattern_df(spark: SparkSession, sf_dir: str, pat: Pattern) -> DataFrame:
-    df = pred_df(spark, sf_dir, pat.p)
+    df = pred_df(spark, sf_dir, pat.p, table=pat.s_table)
     if not _is_var(pat.s):
         df = df.filter(F.col("subject") == F.lit(pat.s))
     if not _is_var(pat.o):
@@ -473,17 +481,19 @@ def rdf_orderby_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rdf_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SP2B Q4 analog: distinct pairs via object-object self-join +
     inequality theta filter (J4,J8,A2). Group-key-bounded (per nation)
-    so candidate pairs never go cartesian (SURVEY.md §7.4)."""
+    so candidate pairs never go cartesian (SURVEY.md §7.4). The
+    ``s_table`` class constraint prunes the customer branches of the
+    nation/name predicate unions at plan build."""
     return bgp(
         spark,
         sf_dir,
         [
-            Pattern("?s1", "nation", "?n"),
-            Pattern("?s1", "name", "?name1"),
-            Pattern("?s2", "nation", "?n"),
-            Pattern("?s2", "name", "?name2"),
+            Pattern("?s1", "nation", "?n", s_table="supplier"),
+            Pattern("?s1", "name", "?name1", s_table="supplier"),
+            Pattern("?s2", "nation", "?n", s_table="supplier"),
+            Pattern("?s2", "name", "?name2", s_table="supplier"),
         ],
-        filters=["name1 < name2", "s1 LIKE 'supplier/%'", "s2 LIKE 'supplier/%'"],
+        filters=["name1 < name2"],
         select=["?n", "?name1", "?name2"],
         distinct=True,
     )

@@ -59,6 +59,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, *key_cols: str, partitions: int | None = None) -> DataFrame:
+    """Repartition before CPU-heavy per-row work (shingling, hashing,
+    Pandas UDFs).
+
+    The testdata files are single-row-group parquet, so scans are
+    1-task no matter what ``maxPartitionBytes`` says — without this,
+    an explode+aggregate pipeline runs on one core of 32. At 100 TB
+    inputs split naturally, but an operator's parallelism still
+    shouldn't depend on the writer's row-group layout.
+
+    Default is KEYLESS (round-robin) on purpose: partitioning on the
+    downstream grouping key lets Catalyst elide the exchange after the
+    aggregation, and that exchange is exactly what multiple downstream
+    references (LSH band self-joins, signature re-joins) reuse via
+    ReusedExchange. Keyed spread moved the only exchange BEFORE the
+    expensive explode+agg, so the pipeline recomputed once per
+    reference — measured 4-8x wall regression on the dedup suite.
+    Pass key_cols only when a single downstream consumer needs
+    co-partitioning."""
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *key_cols) if key_cols else df.repartition(n)
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
     """Register each table as a temp view (for the spark.sql entry path)."""
     for name in tables or TABLES:
