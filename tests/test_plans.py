@@ -1,0 +1,113 @@
+"""Physical-plan quality gates (SURVEY.md §4.2).
+
+Correctness tests say the answers are right; these say the PLANS are
+right — the properties that decide whether a query survives a 100x
+scale-up: filters reach the parquet scan, projections prune columns,
+dimension joins broadcast, and nothing ever degenerates into a
+cartesian / nested-loop product. Each assertion was first observed by
+hand via ``.explain`` and is pinned here so a refactor can't silently
+regress the plan shape.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+def _plan(df) -> str:
+    """Final physical plan string (post-AQE initial plan; the shapes
+    asserted here are decided at planning, not by runtime re-opt)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# Queries where a cartesian product would be a correctness-of-scale bug
+# but the operator semantics might tempt one (self-joins, theta joins).
+_NO_CARTESIAN = sorted(entrymod.queries())
+
+
+@pytest.mark.parametrize("name", _NO_CARTESIAN)
+def test_no_cartesian_or_nested_loop(spark, sf_dir, name):
+    """No declared query may plan a CartesianProduct or a
+    BroadcastNestedLoopJoin: every join in the engine is equi-keyed
+    (theta conditions ride as residual filters on an equi-join).
+    Either node is O(n*m) and dies at scale."""
+    df = entrymod.queries()[name](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans a nested-loop join"
+
+
+def test_filter_reaches_parquet_scan(spark, sf_dir):
+    """scan_project_filter (TPC-H Q6 shape): the shipdate/discount/
+    quantity predicates must appear as scan-level DataFilters (parquet
+    row-group skipping), not only as a post-scan Filter node."""
+    df = entrymod.queries()["scan_project_filter"](spark, sf_dir)
+    plan = _plan(df)
+    scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scan_lines, "no parquet scan in plan"
+    assert any("l_shipdate" in l and "DataFilters" in l for l in scan_lines)
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """The Q6-shaped scan must read only the 4 referenced lineitem
+    columns — a scan that drags all 16 through a 100 TB table is the
+    single most expensive possible plan bug."""
+    df = entrymod.queries()["scan_project_filter"](spark, sf_dir)
+    plan = _plan(df)
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # FileScan header lists the output columns read from the file.
+    header = scan.split("Batched:")[0]
+    for needed in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"):
+        assert needed in header
+    for pruned in ("l_comment", "l_orderkey", "l_partkey", "l_tax"):
+        assert pruned not in header, f"scan failed to prune {pruned}"
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    """join_broadcast_dims: nation/region are dimension tables at every
+    scale factor — both joins must be BroadcastHashJoin (a shuffle of
+    the fact side to join a 25-row table is wasted IO at any scale)."""
+    df = entrymod.queries()["join_broadcast_dims"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_rdf_union_branch_pruning(spark, sf_dir):
+    """rdf_distinct_pairs constrains patterns to the supplier branch at
+    plan build (Pattern.s_table); the plan must not scan customer —
+    Catalyst cannot fold a LIKE over the concat-built subject, so this
+    pruning has to happen in our plan builder."""
+    df = entrymod.queries()["rdf_distinct_pairs"](spark, sf_dir)
+    plan = _plan(df)
+    assert "customer.parquet" not in plan
+    assert "supplier.parquet" in plan
+
+
+def test_minhash_signature_exchange_reused(spark, sf_dir):
+    """dedup_near_minhash references the signature aggregation four
+    times (band self-join left/right + two signature re-joins). The
+    plan must reuse the aggregation's exchange instead of recomputing
+    the explode+64-min pipeline per reference — losing ReusedExchange
+    here measured 4-8x on the bench.
+
+    Reuse is an AQE runtime decision, so the frame must be executed
+    before the final plan shows it (the pre-execution plan prints the
+    four subtrees un-deduplicated)."""
+    df = entrymod.queries()["dedup_near_minhash"](spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # 4 references to the signature aggregation -> 1 computed + 3 reused
+    assert plan.count("ReusedExchange") >= 3
+
+
+def test_topk_is_limit_not_global_sort(spark, sf_dir):
+    """orderby_limit_global must plan TakeOrderedAndProject (per-
+    partition top-k + merge), not a full global sort followed by a
+    limit — the difference between O(n log k) and a total shuffle."""
+    df = entrymod.queries()["orderby_limit_global"](spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
