@@ -13,9 +13,13 @@ the watermark, not the stream length).
 from __future__ import annotations
 
 import os
+from typing import Any, Iterator
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -40,18 +44,27 @@ EVENTS_FILE_SCHEMA = StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream of events with the same column normalization
-    as the batch loader (ts_ns / ts_s / ts)."""
+    as the batch loader (ts_ns / ts_s / ts).
+
+    ``max_files_per_trigger`` splits a multi-file directory into that
+    many files per micro-batch — with availableNow this replays the
+    directory as a sequence of batches, which is how tests drive
+    watermark advancement (state timeouts only fire on a later batch)."""
     ensure_runtime_confs(spark)
+    reader = spark.readStream.schema(EVENTS_FILE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if os.path.isdir(path):
-        raw = spark.readStream.schema(EVENTS_FILE_SCHEMA).parquet(path)
+        raw = reader.parquet(path)
     elif path.endswith(".parquet"):
         # Spark's file stream source requires a directory: stream the
         # parent dir with a glob filter pinned to this file.
         raw = (
-            spark.readStream.schema(EVENTS_FILE_SCHEMA)
-            .option("pathGlobFilter", os.path.basename(path))
+            reader.option("pathGlobFilter", os.path.basename(path))
             .parquet(os.path.dirname(path))
         )
     else:
@@ -107,6 +120,111 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes", watermark: str
             F.unix_timestamp(F.col("session_window.start")).alias("start_s"),
             F.unix_timestamp(F.col("session_window.end")).alias("end_s"),
             "n_events",
+        )
+    )
+
+
+_SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("start_s", LongType()),
+        StructField("end_s", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_s", LongType()),
+        StructField("end_s", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def sessionize_custom_state(
+    events: DataFrame,
+    gap_s: int = 1800,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """T3 as a CUSTOM stateful operator (``applyInPandasWithState``)
+    instead of the native ``session_window`` — the escape hatch for
+    session semantics the built-in can't express (here: per-session
+    aggregates beyond count, emitted exactly once when the session
+    closes, in append mode).
+
+    Per user, state holds the open session ``(start_s, end_s,
+    n_events, total_value)``. Incoming events merge in event-time
+    order; a gap > ``gap_s`` closes the current session (emitted) and
+    opens a new one. An event-time timeout at ``end + gap`` emits a
+    session once the watermark passes it — so state size is bounded by
+    the number of users active inside one watermark window, never by
+    stream length. Sessions still open when the stream ends remain in
+    state (correct for a stream: they are not over yet)."""
+    gap = gap_s
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_s, end_s, n, tot = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "start_s": [start_s],
+                    "end_s": [end_s],
+                    "n_events": [n],
+                    "total_value": [tot],
+                }
+            )
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values("ts_s")
+        cur: list[Any] | None = list(state.get) if state.exists else None
+        closed: list[list[Any]] = []
+        for ts_s, value in zip(batch["ts_s"], batch["value"]):
+            ts_s, value = int(ts_s), float(value)
+            if cur is None:
+                cur = [ts_s, ts_s, 1, value]
+            elif ts_s - cur[1] > gap:
+                closed.append(cur)
+                cur = [ts_s, ts_s, 1, value]
+            else:
+                cur[1] = max(cur[1], ts_s)
+                cur[2] += 1
+                cur[3] += value
+        assert cur is not None  # non-timeout invocations always carry rows
+        state.update(tuple(cur))
+        # Fire once the watermark passes the session's close point; the
+        # timestamp must sit above the current watermark or Spark
+        # rejects it (can happen when this batch's events are already
+        # older than watermark - gap).
+        timeout_ms = (cur[1] + gap) * 1000
+        state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "start_s": [c[0] for c in closed],
+                    "end_s": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "total_value": [c[3] for c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "ts", "ts_s", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

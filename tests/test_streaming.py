@@ -88,3 +88,60 @@ def test_dedup_stream_drops_duplicate_ids(spark, events_dir):
     ids = [r.event_id for r in result]
     assert len(ids) == len(set(ids))
     assert len(ids) == 10  # 11 rows, one duplicate id
+
+
+@pytest.fixture(scope="module")
+def multi_batch_events_dir(spark, tmp_path_factory):
+    """Three parquet files with strictly advancing time ranges; replayed
+    one file per micro-batch so the watermark advances between batches
+    and event-time timeouts fire."""
+    path = tmp_path_factory.mktemp("events_multibatch")
+    mk = lambda rows: spark.createDataFrame(rows, schema=es.EVENTS_FILE_SCHEMA)
+    # batch 1: user 1 session A (2 events, 10 min apart), user 2 session (1 event)
+    mk(
+        [
+            (1, BASE * 10**9, 1, "click", 1.0, "{}"),
+            (2, (BASE + 600) * 10**9, 1, "click", 2.0, "{}"),
+            (3, (BASE + 60) * 10**9, 2, "view", 5.0, "{}"),
+        ]
+    ).coalesce(1).write.parquet(str(path / "b1"))
+    # batch 2: 3h later — watermark jumps far past session A's close
+    mk([(4, (BASE + 3 * 3600) * 10**9, 1, "click", 7.0, "{}")]).coalesce(1).write.parquet(
+        str(path / "b2")
+    )
+    # batch 3: 6h later — closes batch-2's session too
+    mk([(5, (BASE + 6 * 3600) * 10**9, 3, "view", 9.0, "{}")]).coalesce(1).write.parquet(
+        str(path / "b3")
+    )
+    # file source streams a flat dir: point it at the files via glob.
+    # FileStreamSource orders batches by modification time — pin
+    # strictly ascending mtimes or the replay order (and therefore the
+    # watermark progression) is arbitrary.
+    import glob, os, shutil, time
+    flat = tmp_path_factory.mktemp("events_flat")
+    now = time.time()
+    for i, sub in enumerate(["b1", "b2", "b3"]):
+        src = glob.glob(str(path / sub / "*.parquet"))[0]
+        dst = str(flat / f"part-{i}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+    return str(flat)
+
+
+def test_custom_stateful_sessionize(spark, multi_batch_events_dir):
+    """applyInPandasWithState sessionization: closed sessions are
+    emitted exactly once with their aggregates; still-open sessions
+    stay in state."""
+    stream = es.read_events_stream(spark, multi_batch_events_dir, max_files_per_trigger=1)
+    out = es.run_to_memory(
+        es.sessionize_custom_state(stream), "t_custom_sessions", "append"
+    ).collect()
+    got = {(r.user_id, r.start_s): (r.end_s, r.n_events, r.total_value) for r in out}
+    # user 1 session A: events at BASE and BASE+600, total 3.0 — closed by batch 2's watermark
+    assert got[(1, BASE)] == (BASE + 600, 2, 3.0)
+    # user 2's single-event session — closed as well
+    assert got[(2, BASE + 60)] == (BASE + 60, 1, 5.0)
+    # user 1's batch-2 session closed by batch 3's watermark
+    assert got[(1, BASE + 3 * 3600)] == (BASE + 3 * 3600, 1, 7.0)
+    # user 3's final session is still open -> not emitted
+    assert all(uid != 3 for uid, _ in got)
