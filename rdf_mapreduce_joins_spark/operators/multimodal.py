@@ -133,6 +133,61 @@ def extract_features(
     return src.mapInPandas(run, schema=_FEATURE_SCHEMA)
 
 
+_RESIZE_SCHEMA = (
+    "id bigint, width int, height int, resized_md5 string, resized_bytes int"
+)
+
+
+def resize_image(
+    media: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    fake: bool = False,
+    parallelize: bool = False,
+) -> DataFrame:
+    """Resize media blobs to (width, height) via mapInPandas.
+
+    ``fake=True`` uses a deterministic stand-in (stride-sampled bytes
+    to width*height, digested) so the Spark-side plumbing — binary in,
+    binary-derived out, Arrow batching, schema — is tested without an
+    image library. ``fake=False`` is the real path, stubbed with
+    NotImplementedError until PIL is available. ``parallelize`` as in
+    :func:`decode_image` (a real resampler is CPU-bound and wants it)."""
+    if not fake:
+        try:
+            import PIL  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "real image resize requires PIL; pass fake=True for the "
+                "deterministic fake resizer"
+            ) from e
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            digests, sizes = [], []
+            for c in pdf["content"]:
+                b = bytes(c)
+                stride = max(1, len(b) // target)
+                resized = b[::stride][:target]
+                digests.append(hashlib.md5(resized).hexdigest())
+                sizes.append(len(resized))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "resized_md5": digests,
+                    "resized_bytes": sizes,
+                }
+            )
+
+    src = media.select("id", "content")
+    if parallelize:
+        src = spread(src)
+    return src.mapInPandas(run, schema=_RESIZE_SCHEMA)
+
+
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """Frame sampling for "video" blobs: split the byte stream into
     ``n_frames`` equal chunks (deterministic stand-in for keyframe

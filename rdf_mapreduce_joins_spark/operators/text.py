@@ -12,6 +12,21 @@ from pyspark.sql import functions as F
 from rdf_mapreduce_joins_spark.sources.tables import spread
 
 
+# BPE-ish pre-tokenization split: letter runs, digit runs, single
+# punctuation marks — the coarse segmentation every byte-pair tokenizer
+# applies before merges. Restricted to constructs with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB oracle): no \s, no
+# unicode classes.
+BPE_SPLIT_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_tokens(text_col: str = "text") -> F.Column:
+    """Array of BPE-style pre-tokens (see BPE_SPLIT_RE). A real BPE
+    vocab would merge within these; counting them is the standard
+    cheap token-budget estimate for LLM training data."""
+    return F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_RE), F.lit(0))
+
+
 def tokens(text_col: str = "text") -> F.Column:
     """Whitespace tokens (the corpus is space-separated word soup; a
     BPE-ish regex split would be F.split(col, r'\\s+|(?=[^\\w])') — not

@@ -245,6 +245,41 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_token_counts_bpe",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(regexp_extract_all(text, '{text.BPE_SPLIT_RE}')) AS token
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct,
+           ROUND(COUNT(*) * 1.0 / COUNT(DISTINCT doc_id), 4) AS tokens_per_doc
+    FROM toks
+    GROUP BY lang
+    """,
+)
+def text_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish variant (X4): regex pre-tokenization
+    (letter/digit/punctuation runs) instead of whitespace — the token-
+    budget estimate a training-data pipeline actually wants. The split
+    regex is restricted to constructs with identical Java/RE2
+    semantics so the oracle is exact."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = spread(d).select(
+        "doc_id", "lang", F.explode(text.bpe_tokens("text")).alias("token")
+    )
+    return toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct"),
+        F.round(
+            F.count(F.lit(1)) / F.countDistinct("doc_id"), 4
+        ).alias("tokens_per_doc"),
+    )
+
+
+@query(
     "text_quality_scores",
     oracle="""
     SELECT doc_id,
@@ -337,6 +372,16 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         4,
     )
     return feats.select("id", "dim", checksum.alias("feature_sum"))
+
+
+@query("multimodal_resize")  # rows-only: mapInPandas fake resizer
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (X5): blobs → fixed-size "thumbnails" via
+    mapInPandas (deterministic fake resampler; real path stubbed on
+    PIL). Digest output keeps the row set hash-stable."""
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_media(d)
+    return multimodal.resize_image(media, width=32, height=32, fake=True)
 
 
 @query("multimodal_frame_sample")  # rows-only: binary slicing semantics differ per engine

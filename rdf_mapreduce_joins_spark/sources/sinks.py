@@ -1,0 +1,75 @@
+"""Write-side layout (SURVEY.md §2.1 S2/S3, §4.2).
+
+The reference's storage step is an HBase bulk load keyed by subject so
+point lookups and subject-stars are cheap (provenance [K], SURVEY.md
+§1.1). The Spark-native equivalents are layout decisions made at WRITE
+time, which is where 100 TB performance is won or lost:
+
+* ``write_partitioned`` — hive-style directory partitioning: partition
+  pruning turns a predicate on the partition column into "don't open
+  the files at all".
+* ``write_sorted`` — range-repartition + in-partition sort on the key:
+  parquet min/max row-group statistics become effective, so a key
+  predicate skips row groups inside each file (the subject-index
+  replacement), and downstream sort-merge joins on the key skip their
+  sort.
+* ``write_bucketed`` — hash-bucketed managed table: two tables
+  bucketed on the same key join with NO shuffle exchange on either
+  side (verified by plan test) — the Spark answer to the reference's
+  pre-partitioned HBase regions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: F401  (re-export convenience)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned parquet. Keep partition columns LOW
+    cardinality (date, region, lang): each distinct value is a
+    directory, and a million tiny directories is its own scale bug."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partition by key then sort within partitions before
+    writing: globally range-clustered files whose parquet row-group
+    min/max stats actually discriminate on the key. One shuffle at
+    write time buys row-group skipping on every subsequent read."""
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 16,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (and optionally per-bucket sorted) managed parquet
+    table. Joins/aggregations between tables bucketed on the same key
+    with the same bucket count plan with no Exchange on either side.
+
+    Bucket count is a write-time commitment — pick it for the TARGET
+    scale (buckets ≈ data size / healthy partition size), not the
+    current one."""
+    w = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
+    if sort:
+        w = w.sortBy(*bucket_cols)
+    w.saveAsTable(table)

@@ -26,6 +26,7 @@ def test_oracle_keys_subset_of_queries():
         "text_lang_id",
         "multimodal_features",
         "multimodal_frame_sample",
+        "multimodal_resize",
     }
 
 

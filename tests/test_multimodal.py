@@ -67,3 +67,21 @@ def test_sample_frames_partition_of_bytes(media):
         F.count(F.lit(1)).alias("n"), F.sum("frame_n_bytes").alias("tot")
     ).collect()
     assert all(r.n == 4 for r in out)
+
+
+def test_resize_deterministic_and_sized(media):
+    out1 = multimodal.resize_image(media, width=8, height=8, fake=True).collect()
+    out2 = multimodal.resize_image(media, width=8, height=8, fake=True).collect()
+    assert sorted((r.id, r.resized_md5) for r in out1) == sorted(
+        (r.id, r.resized_md5) for r in out2
+    )
+    for r in out1:
+        assert (r.width, r.height) == (8, 8)
+        assert 0 < r.resized_bytes <= 64
+
+
+def test_resize_real_path_stubbed(media):
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        multimodal.resize_image(media, fake=False)

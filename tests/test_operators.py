@@ -176,3 +176,11 @@ def test_word_ngrams(spark):
     assert grams == ["a b", "b c", "c d"]
     short = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     assert short.select(text.word_ngrams("text", 2).alias("g")).head().g == []
+
+
+def test_bpe_tokens_splits_runs(spark):
+    from rdf_mapreduce_joins_spark.operators import text as text_ops
+
+    df = spark.createDataFrame([(1, "ab12-cd, x9")], "doc_id long, text string")
+    (row,) = df.select(text_ops.bpe_tokens("text").alias("t")).collect()
+    assert row.t == ["ab", "12", "-", "cd", ",", "x", "9"]

@@ -1,0 +1,88 @@
+"""Write-side layout tests: each writer produces the layout it
+promises, and the layout has the plan effect it exists for (pruning /
+no-shuffle joins) — asserted on the plan, not just the files."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_mapreduce_joins_spark.sources import sinks
+from rdf_mapreduce_joins_spark.sources.tables import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "orders_by_status")
+    orders = load_table(spark, sf_dir, "orders")
+    sinks.write_partitioned(orders, path, ["o_orderstatus"])
+    # hive-style dirs exist
+    dirs = {d for d in os.listdir(path) if d.startswith("o_orderstatus=")}
+    assert len(dirs) >= 2
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    plan = _plan(back)
+    # partition filter, not a data filter: pruning happened at file listing
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan.replace("#", "")[:100000]
+    rows = back.select("o_orderkey").count()
+    truth = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert rows == truth
+
+
+def test_sorted_write_is_range_clustered(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "lineitem_sorted")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    sinks.write_sorted(li, path, ["l_orderkey"], num_files=4)
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) >= 2
+    # range clustering: per-file key ranges are disjoint (allowing the
+    # boundary key to repeat across adjacent files)
+    ranges = []
+    for f in files:
+        stats = (
+            spark.read.parquet(os.path.join(path, f))
+            .agg(F.min("l_orderkey"), F.max("l_orderkey"))
+            .collect()[0]
+        )
+        ranges.append((stats[0], stats[1]))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert lo >= hi
+    assert spark.read.parquet(path).count() == li.count()
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """The whole point of bucketing: an equi-join between two tables
+    bucketed on the join key plans with zero Exchange nodes.
+
+    Uses the default warehouse dir (repo-local, gitignored) —
+    warehouse.dir is a static conf that can't move on a live session."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    sinks.write_bucketed(orders, "t_orders_b", ["o_orderkey"], num_buckets=4)
+    sinks.write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "t_lineitem_b",
+        ["o_orderkey"],
+        num_buckets=4,
+    )
+    # disable broadcast so the join must pick a shuffle-or-bucket path
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("t_orders_b").join(
+            spark.table("t_lineitem_b"), on="o_orderkey"
+        )
+        plan = _plan(joined)
+        assert "Exchange hashpartitioning" not in plan, "bucketed join still shuffles"
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
