@@ -208,3 +208,72 @@ def simhash_pairs(
         .select("d1", "d2", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --------------------------------------------------------------------------
+# Connected components (cluster assembly over a near-dup pair graph)
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "d1",
+    b_col: str = "d2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) labels over the undirected pair graph, where
+    ``component`` is the minimum node id reachable — the canonical
+    cluster representative for "keep one doc per near-dup cluster".
+
+    Iterative min-label propagation (hash-to-min): each round a node
+    takes the min of its own label and its neighbors' labels; converges
+    in O(graph diameter) rounds, and near-dup graphs are near-cliques
+    (diameter ~2), so the loop terminates in a handful of rounds. Each
+    round is one join + one partial/final min-aggregation on the node
+    key; ``localCheckpoint`` materializes the iteration and cuts the
+    lineage so the plan doesn't grow exponentially. The driver-side
+    loop carries only the converged/changed COUNT, never row data.
+
+    Only nodes that appear in ``pairs`` are labeled (singletons are
+    their own trivial cluster and never entered the graph)."""
+    edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    edges = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nb_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("component").alias("nb_comp")
+                ),
+                on="b",
+            )
+            .groupBy("a")
+            .agg(F.min("nb_comp").alias("min_nb"))
+            .withColumnRenamed("a", "node")
+        )
+        new_labels = labels.join(nb_min, on="node", how="left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce("min_nb", F.col("component"))
+            ).alias("component"),
+        ).localCheckpoint()
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("component", "old"), on="node"
+            )
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

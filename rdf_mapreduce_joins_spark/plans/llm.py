@@ -22,6 +22,35 @@ NGRAM_JACCARD_THRESHOLD = 0.2
 EMB_COSINE_THRESHOLD = 0.3
 TOPK = 10
 
+# Shared oracle CTE chain producing the n-gram Jaccard near-dup pairs
+# (d1 < d2, jaccard >= threshold) — used by dedup_ngram_jaccard and as
+# the edge set of dedup_cluster_components' recursive oracle.
+_JACCARD_PAIRS_CTES = """
+    t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+    bi AS (
+      SELECT DISTINCT doc_id, lang,
+             w[CAST(i AS INTEGER)] || ' ' || w[CAST(i + 1 AS INTEGER)] AS bigram
+      FROM t, range(1, 1001) r(i)  -- bound ≥ max tokens/doc at oracle sf (99 at sf0.01)
+      WHERE i <= len(w) - 1
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM bi GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS both_n
+      FROM bi a JOIN bi b USING (lang, bigram)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT d1, d2,
+             ROUND(both_n * 1.0 / (s1.n + s2.n - both_n), 4) AS jaccard
+      FROM inter
+      JOIN sz s1 ON d1 = s1.doc_id
+      JOIN sz s2 ON d2 = s2.doc_id
+      WHERE ROUND(both_n * 1.0 / (s1.n + s2.n - both_n), 4)
+            >= {NGRAM_JACCARD_THRESHOLD}
+    )
+""".replace("{NGRAM_JACCARD_THRESHOLD}", str(NGRAM_JACCARD_THRESHOLD))
+
 
 # --------------------------------------------------------------------------
 # Deduplication family (X1/X2)
@@ -74,26 +103,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
-    bi AS (
-      SELECT DISTINCT doc_id, lang,
-             w[CAST(i AS INTEGER)] || ' ' || w[CAST(i + 1 AS INTEGER)] AS bigram
-      FROM t, range(1, 1001) r(i)  -- bound ≥ max tokens/doc at oracle sf (99 at sf0.01)
-      WHERE i <= len(w) - 1
-    ),
-    sz AS (SELECT doc_id, COUNT(*) AS n FROM bi GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS both_n
-      FROM bi a JOIN bi b USING (lang, bigram)
-      WHERE a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT d1, d2,
-           ROUND(both_n * 1.0 / (s1.n + s2.n - both_n), 4) AS jaccard
-    FROM inter
-    JOIN sz s1 ON d1 = s1.doc_id
-    JOIN sz s2 ON d2 = s2.doc_id
-    WHERE ROUND(both_n * 1.0 / (s1.n + s2.n - both_n), 4) >= {NGRAM_JACCARD_THRESHOLD}
+    WITH {_JACCARD_PAIRS_CTES}
+    SELECT d1, d2, jaccard FROM pairs
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,6 +143,38 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
     )
+
+
+@query(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION
+      SELECT d2, d1 FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT re.node, e.b FROM reach re JOIN edges e ON re.r = e.a
+    )
+    SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assembly over the near-dup pair graph (X2 final step):
+    connected components by iterative min-label propagation, labeling
+    each near-duplicate doc with its cluster's minimum doc_id — the
+    "keep one per cluster" primitive. The oracle computes the same
+    components with a recursive transitive-closure CTE, making this an
+    oracle-checked ITERATIVE algorithm (closure is fine at oracle
+    scale; the Spark side propagates labels in O(diameter) rounds and
+    never materializes the closure)."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    labels = dedup.connected_components(pairs, "d1", "d2")
+    return labels.select(F.col("node").alias("doc_id"), "component")
 
 
 @query(

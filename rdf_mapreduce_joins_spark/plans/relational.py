@@ -507,3 +507,162 @@ def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
         F.round(head4, 4).alias("head4_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# A4 approx / A5 cube / W2 lag-lead / U2 UDAF / U3 UDTF surface
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '(all)') AS status,
+           COALESCE(o_orderpriority, '(all)') AS priority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube (A5): all 2^k grouping-set combinations in one pass —
+    Spark expands the sets with a single Expand node over one scan, so
+    the input is read once regardless of k."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(o_totalprice, 2) AS price,
+           ROUND(o_totalprice - LAG(o_totalprice) OVER w, 2) AS delta_prev,
+           ROUND(LEAD(o_totalprice) OVER w - o_totalprice, 2) AS delta_next
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions (W2): per-customer order-to-order
+    price deltas. lag and lead share one window spec, so both evaluate
+    in a single sort within one shuffle on the partition key."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias(
+            "delta_prev"
+        ),
+        F.round(F.lead("o_totalprice").over(w) - F.col("o_totalprice"), 2).alias(
+            "delta_next"
+        ),
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL estimates are engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate count-distinct (A4, HLL++): the 100 TB form of
+    agg_count_distinct — fixed-size sketch per group, mergeable across
+    partitions, no exact-distinct shuffle explosion. Rows-only check:
+    DuckDB's approx sketch produces different estimates by design, so
+    the exact-match oracle cannot apply; the exact twin query is the
+    semantic anchor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "udaf_grouped_stats",
+    oracle="""
+    SELECT c_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(c_acctbal), 4) AS mean_bal,
+           ROUND(STDDEV_SAMP(c_acctbal), 4) AS std_bal,
+           ROUND(MEDIAN(c_acctbal), 4) AS median_bal
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def udaf_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF surface (U2) via grouped-map applyInPandas: per-
+    nation account-balance stats computed in pandas (ddof=1 std and
+    interpolated median match DuckDB's STDDEV_SAMP/MEDIAN exactly).
+    The point is the mechanism — one Arrow batch per group, group key
+    carried through — for aggregates Spark lacks built-ins for;
+    mean/std/median are used here so the DuckDB oracle can verify the
+    path end-to-end. Scale note: grouped-map materializes each group
+    in one worker's memory, so the grouping key must be bounded
+    (25 nations), never a high-cardinality key."""
+    import pandas as pd
+
+    c = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        bal = pdf["c_acctbal"]
+        return pd.DataFrame(
+            {
+                "nationkey": [int(pdf["c_nationkey"].iloc[0])],
+                "n": [len(bal)],
+                "mean_bal": [round(bal.mean(), 4)],
+                "std_bal": [round(bal.std(ddof=1), 4)],
+                "median_bal": [round(bal.median(), 4)],
+            }
+        )
+
+    return c.groupBy("c_nationkey").applyInPandas(
+        stats, schema="nationkey int, n bigint, mean_bal double, std_bal double, median_bal double"
+    )
+
+
+@query(
+    "udtf_json_props",
+    oracle="""
+    SELECT event_id, u.k AS prop_key,
+           json_extract_string(props, '$.' || u.k) AS prop_value
+    FROM events, unnest(json_keys(props)) AS u(k)
+    WHERE event_id < 1000
+    """,
+)
+def udtf_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined table function surface (U3, PySpark 4 ``udtf``):
+    flatten each event's JSON props object into (key, value) rows
+    without a fixed schema — ``from_json`` needs the schema up front,
+    a UDTF discovers it per row. Python UDTFs are row-at-a-time (the
+    slow path, SURVEY.md §2.9); bounded here by the event_id filter,
+    which Catalyst pushes below the UDTF into the scan."""
+    import json as _json
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="prop_key: string, prop_value: string")
+    class ExplodeProps:
+        def eval(self, props: str):
+            if props:
+                for k, v in _json.loads(props).items():
+                    yield k, str(v) if not isinstance(v, str) else v
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    return e.lateralJoin(
+        ExplodeProps(F.col("props").outer())
+    ).select("event_id", "prop_key", "prop_value")

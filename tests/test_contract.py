@@ -27,6 +27,7 @@ def test_oracle_keys_subset_of_queries():
         "multimodal_features",
         "multimodal_frame_sample",
         "multimodal_resize",
+        "agg_approx_distinct",
     }
 
 

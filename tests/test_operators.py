@@ -184,3 +184,22 @@ def test_bpe_tokens_splits_runs(spark):
     df = spark.createDataFrame([(1, "ab12-cd, x9")], "doc_id long, text string")
     (row,) = df.select(text_ops.bpe_tokens("text").alias("t")).collect()
     assert row.t == ["ab", "12", "-", "cd", ",", "x", "9"]
+
+
+def test_connected_components_known_graph(spark):
+    from rdf_mapreduce_joins_spark.operators import dedup as dedup_ops
+
+    # chain 1-2-3, pair 10-11, triangle 20-21-22 (+ redundant edge)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "d1 long, d2 long",
+    )
+    got = {
+        (r.node, r.component)
+        for r in dedup_ops.connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
