@@ -666,3 +666,48 @@ def udtf_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.lateralJoin(
         ExplodeProps(F.col("props").outer())
     ).select("event_id", "prop_key", "prop_value")
+
+
+@query(
+    "asof_join_events",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             MAX(event_id) AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT c.user_id, c.event_id, c.ts_s,
+           p.purchase_id, p.ts_s AS purchase_ts_s
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND c.ts_s >= p.ts_s
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (extension operator, operators/asof.py): each click
+    enriched with the same user's most recent purchase at-or-before
+    it. One shuffle on user_id, zero row amplification — the oracle is
+    DuckDB's native ASOF LEFT JOIN, making this an exact differential
+    test of the operator's semantics including the no-prior-match NULL
+    case and inclusive equal-timestamp matching. The purchase side is
+    deduped per (user, second) with MAX(event_id) because as-of ties
+    at identical timestamps are otherwise nondeterministic in any
+    implementation."""
+    from rdf_mapreduce_joins_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts_s"
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_s")
+        .agg(F.max("event_id").alias("purchase_id"))
+        .withColumn("purchase_ts_s", F.col("ts_s"))
+    )
+    return asof_join(
+        clicks, purchases, on=["user_id"], left_ts="ts_s", right_ts="ts_s"
+    )

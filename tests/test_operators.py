@@ -203,3 +203,24 @@ def test_connected_components_known_graph(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+
+
+def test_asof_join_semantics(spark):
+    from rdf_mapreduce_joins_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 10), (1, 101, 20), (1, 102, 5), (2, 200, 50)],
+        "k long, lid long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 7.0), (1, 15, 8.0), (2, 60, 9.0)],
+        "k long, ts long, px double",
+    )
+    got = {
+        r.lid: r.px
+        for r in asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts").collect()
+    }
+    assert got[100] == 7.0  # equal timestamp matches inclusively
+    assert got[101] == 8.0  # latest at-or-before wins
+    assert got[102] is None  # no prior right row -> NULL payload
+    assert got[200] is None  # right row strictly later -> NULL
