@@ -180,3 +180,108 @@ def cosine_pairs(
         .select("blk", "id1", "id2", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+
+
+# -- IVF (inverted-file) coarse quantization -------------------------------
+
+
+def _assign_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """Cluster id of the nearest centroid (squared L2; ties -> lowest
+    id). One JVM expression: array of (dist, cid) structs -> array_min
+    uses struct ordering, so the tiebreak is built in."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(vec, lit_vector(c), lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, c in enumerate(centroids)
+        ]
+    )
+    return F.array_min(entries)["cid"]
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic k-means-lite coarse quantizer: init = the
+    ``n_centroids`` lowest-id corpus vectors, then ``n_iter`` Lloyd
+    rounds. Each round is one distributed assign + elementwise-mean
+    aggregation (posexplode -> avg per (cluster, dim)); only the k x d
+    centroid matrix ever reaches the driver. Empty clusters keep their
+    previous centroid, so the centroid count is stable."""
+    dbl = as_double_array(vec_col)
+    seed_rows = (
+        embeddings.select(F.col(id_col), dbl.alias("v"))
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [list(r.v) for r in seed_rows]
+    for _ in range(n_iter):
+        assigned = embeddings.select(
+            _assign_expr(dbl, centroids).alias("cid"), dbl.alias("v")
+        )
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = {cid: list(c) for cid, c in enumerate(centroids)}
+        acc: dict[int, dict[int, float]] = {}
+        for r in means:
+            acc.setdefault(r.cid, {})[r.pos] = r.m
+        for cid, dims in acc.items():
+            new[cid] = [dims[i] for i in range(len(centroids[0]))]
+        centroids = [new[cid] for cid in range(n_centroids)]
+    return centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Approximate top-k via IVF: search only the ``nprobe`` clusters
+    whose centroids are nearest the query, exact cosine rerank inside.
+
+    The scan-reduction story at 10^9 vectors: the cluster-id column is
+    computed once at ingest (or persisted by ``ivf_train`` + assign)
+    and the probe is a partition-prunable equality filter — the search
+    touches nprobe/n_centroids of the corpus instead of all of it.
+    Deterministic end to end (seeded init, fixed rounds, id tiebreaks)."""
+    centroids = ivf_train(embeddings, n_centroids, n_iter, id_col, vec_col)
+
+    def sq_l2(a: list[float], b: list[float]) -> float:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    probe = sorted(
+        range(len(centroids)), key=lambda cid: (sq_l2(query_vec, centroids[cid]), cid)
+    )[:nprobe]
+    dbl = as_double_array(vec_col)
+    df = embeddings
+    if exclude_id is not None:
+        df = df.filter(F.col(id_col) != exclude_id)
+    cand = df.filter(_assign_expr(dbl, centroids).isin(*[int(p) for p in probe]))
+    sim = F.round(cosine(dbl, lit_vector(query_vec)), round_digits)
+    return (
+        cand.select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

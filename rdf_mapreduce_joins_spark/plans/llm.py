@@ -246,6 +246,18 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(e, qv, k=TOPK, exclude_id=0)
 
 
+@query("similarity_topk_ivf")  # rows-only: approximate (coarse quantizer)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF coarse quantization (X3 scale path #2): k-means-lite
+    centroids (deterministic seeded init + 2 Lloyd rounds, trained
+    distributed), then search only the nprobe nearest clusters with
+    exact cosine rerank. Complements the LSH variant: IVF adapts to the
+    data distribution where hyperplane LSH is oblivious."""
+    qv = _query_vector(spark, sf_dir, 0)
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(e, qv, k=TOPK, nprobe=2, exclude_id=0)
+
+
 # --------------------------------------------------------------------------
 # Text analysis (X4)
 # --------------------------------------------------------------------------

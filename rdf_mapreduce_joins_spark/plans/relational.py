@@ -711,3 +711,40 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         clicks, purchases, on=["user_id"], left_ts="ts_s", right_ts="ts_s"
     )
+
+
+@query(
+    "map_funcs_events",
+    oracle="""
+    WITH m AS (
+      SELECT event_id, u.k AS mkey,
+             json_extract_string(props, '$.' || u.k) AS mval
+      FROM events, unnest(json_keys(props)) AS u(k)
+      WHERE event_id < 2000
+    )
+    SELECT event_id,
+           CAST(COUNT(*) AS INTEGER) AS n_keys,
+           MIN(mkey) AS first_key,
+           MAX(TRY_CAST(mval AS BIGINT)) AS max_numeric_val
+    FROM m GROUP BY event_id
+    """,
+)
+def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface (§2.7 map family): props parsed into a
+    real MapType via from_json('map<string,string>') — schemaless at
+    parse time, unlike get_json_object's fixed paths — then
+    map_keys/map_entries drive per-event aggregates. All JVM built-ins
+    inside codegen."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    m = e.select(
+        "event_id",
+        F.from_json(F.col("props"), "map<string,string>").alias("pm"),
+    )
+    return m.select(
+        "event_id",
+        F.size(F.map_keys("pm")).alias("n_keys"),
+        F.array_min(F.map_keys("pm")).alias("first_key"),
+        F.array_max(
+            F.transform(F.map_values("pm"), lambda v: v.cast("bigint"))
+        ).alias("max_numeric_val"),
+    )

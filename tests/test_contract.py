@@ -28,6 +28,7 @@ def test_oracle_keys_subset_of_queries():
         "multimodal_frame_sample",
         "multimodal_resize",
         "agg_approx_distinct",
+        "similarity_topk_ivf",
     }
 
 

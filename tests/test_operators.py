@@ -224,3 +224,40 @@ def test_asof_join_semantics(spark):
     assert got[101] == 8.0  # latest at-or-before wins
     assert got[102] is None  # no prior right row -> NULL payload
     assert got[200] is None  # right row strictly later -> NULL
+
+
+def test_salted_join_matches_plain_join(spark):
+    from rdf_mapreduce_joins_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(k, i) for i in range(200) for k in ([1] * 5 + [2])],  # key 1 hot
+        "k long, rowid long",
+    )
+    small = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    got = salted_join(big, small, on=["k"], salt_buckets=4)
+    want = big.join(small, on="k")
+    assert got.count() == want.count()
+    assert (
+        got.groupBy("k").count().orderBy("k").collect()
+        == want.groupBy("k").count().orderBy("k").collect()
+    )
+    # salt column does not leak
+    assert got.columns == ["k", "rowid", "v"]
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    from rdf_mapreduce_joins_spark.operators import similarity as sim_ops
+    from rdf_mapreduce_joins_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    (qrow,) = e.filter(F.col("vec_id") == 0).collect()
+    qv = [float(x) for x in qrow.embedding]
+    exact = [r.vec_id for r in sim_ops.brute_force_topk(e, qv, k=10, exclude_id=0).collect()]
+    approx = [r.vec_id for r in sim_ops.ivf_topk(e, qv, k=10, nprobe=2, exclude_id=0).collect()]
+    assert len(approx) == 10
+    # deterministic across runs
+    approx2 = [r.vec_id for r in sim_ops.ivf_topk(e, qv, k=10, nprobe=2, exclude_id=0).collect()]
+    assert approx == approx2
+    # probing 2/8 clusters must still find a meaningful share of the
+    # true neighbors (the query's own cluster is always probed)
+    assert len(set(exact) & set(approx)) >= 3
