@@ -71,8 +71,9 @@ def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
            ROUND(AVG(l_quantity), 2)                                   AS avg_qty,
            ROUND(AVG(l_discount), 4)                                   AS avg_disc,
            COUNT(*)                                                    AS count_order
@@ -83,17 +84,20 @@ def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped grouped aggregation (A3): partial+final hash agg,
-    the built-in equivalent of the reference's combiner jobs."""
+    the built-in equivalent of the reference's combiner jobs. Money
+    sums accumulate in DECIMAL (exact, order-independent — see
+    join_sortmerge); quantity is integer-valued so its double sum is
+    already exact, and the averages divide exact sums."""
     li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-31").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
-            ),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -110,7 +114,8 @@ def agg_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_sortmerge",
     oracle="""
     SELECT c_custkey, c_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM customer
     JOIN orders   ON o_custkey  = c_custkey
@@ -122,20 +127,27 @@ def join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-to-fact chain join (J2, JS1): lineitem ⋈ orders ⋈ customer,
     revenue per customer. The big sides shuffle on the join keys
     (Spark's Exchange = the reference's MapReduce repartition join,
-    minus the per-job HDFS materialization, SURVEY.md §3)."""
+    minus the per-job HDFS materialization, SURVEY.md §3).
+
+    Revenue accumulates in DECIMAL, not DOUBLE: money sums over
+    thousands of items per group hit float-association noise at the
+    cent boundary (observed at sf0.1 — one group off by $0.01 vs the
+    oracle under a different summation order). Decimal aggregation is
+    exact and order-independent; TPC-H defines these columns as
+    decimal for the same reason."""
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            F.sum(price * (1 - disc)).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
