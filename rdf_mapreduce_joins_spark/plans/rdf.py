@@ -149,6 +149,32 @@ def triples_sql(preds: list[str] | None = None) -> str:
     return "\nUNION ALL\n".join(spec_sql(s) for s in specs)
 
 
+def property_table(
+    spark: SparkSession, sf_dir: str, preds: list[str], table: str
+) -> DataFrame:
+    """The reference's primary physical layout (SURVEY.md §1.1 [K]) —
+    one row per subject, one column per predicate — materialized as a
+    pivot over the triples view.
+
+    The reference keys an HBase table by subject so a subject-star
+    query is a single row fetch; the Spark equivalent turns a k-pattern
+    star BGP into a single scan of the pivoted frame with ordinary
+    column predicates (no joins at all). Pivot values are passed
+    explicitly, so Spark skips the values-discovery pass and plans one
+    shuffle; ``min`` aggregation makes multi-valued predicates
+    deterministic."""
+    branches = [
+        pred_df(spark, sf_dir, p, table=table).select(
+            "subject", F.lit(p).alias("predicate"), "object"
+        )
+        for p in preds
+    ]
+    u = branches[0]
+    for b in branches[1:]:
+        u = u.unionByName(b)
+    return u.groupBy("subject").pivot("predicate", preds).agg(F.min("object"))
+
+
 # --------------------------------------------------------------------------
 # BGP compiler
 # --------------------------------------------------------------------------
@@ -298,6 +324,29 @@ def rdf_subject_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         select=["?c", "?cname", "?seg", "?n"],
     )
+
+
+@query(
+    "rdf_property_table",
+    oracle="""
+    SELECT 'customer/' || c_custkey AS subject,
+           c_name AS name, c_mktsegment AS mktsegment,
+           'nation/' || c_nationkey AS nation
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def rdf_property_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's property-table layout (row per subject, column
+    per predicate — its HBase design [K], SURVEY.md §1.1) as a Spark
+    pivot: the same star selection as rdf_subject_star becomes a
+    single-frame column filter with zero joins. The engine carries
+    BOTH layouts: vertical partitioning (pred_df) for selective BGPs,
+    property table for wide subject-stars."""
+    pt = property_table(
+        spark, sf_dir, ["name", "mktsegment", "nation"], table="customer"
+    )
+    return pt.filter(F.col("mktsegment") == "BUILDING")
 
 
 @query(
