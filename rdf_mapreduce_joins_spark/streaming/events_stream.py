@@ -236,6 +236,56 @@ def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     )
 
 
+def interval_join_stream(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    window_s: int = 1800,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """T7: stream-stream interval join — each ``left_type`` event
+    matched to the same user's ``right_type`` events within the
+    preceding ``window_s`` seconds (attribution join: purchases to the
+    clicks that led to them).
+
+    Both sides are watermarked, and the join condition bounds the
+    event-time distance, so Spark can evict buffered state for rows
+    older than watermark + interval on both sides — the state-bounded
+    form of a stream-stream join (an unbounded-condition join would
+    buffer both streams forever). Batch twin: asof/interval logic in
+    plans/relational.py::asof_join_events."""
+    left = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("left_id"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        events.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("right_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    return left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {window_s} SECONDS")),
+    ).select(
+        F.col("l_user").alias("user_id"),
+        "left_id",
+        "right_id",
+        F.unix_timestamp("l_ts").alias("left_ts_s"),
+        F.unix_timestamp("r_ts").alias("right_ts_s"),
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame,
     query_name: str,
