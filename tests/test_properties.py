@@ -63,3 +63,87 @@ def test_hyperplanes_shape_and_range(seed, dim, n):
     planes = similarity.hyperplanes(dim, n, seed=seed)
     assert len(planes) == n and all(len(p) == dim for p in planes)
     assert all(-1.0 <= x <= 1.0 for p in planes for x in p)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    lrows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=0, max_size=12
+    ),
+    rrows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(0, 9)),
+        min_size=0,
+        max_size=12,
+    ),
+)
+def test_asof_join_matches_reference(spark, lrows, rrows):
+    """asof_join == per-row 'latest right at-or-before' computed in
+    Python; result cardinality always equals the left side's."""
+    from rdf_mapreduce_joins_spark.operators.asof import asof_join
+
+    lrows = [(k, ts, i) for i, (k, ts) in enumerate(lrows)]
+    # right must be unique per (key, ts): dedupe keeping max payload
+    rbest: dict[tuple[int, int], int] = {}
+    for k, ts, v in rrows:
+        rbest[(k, ts)] = max(rbest.get((k, ts), -1), v)
+    rrows_u = [(k, ts, v) for (k, ts), v in rbest.items()]
+    ldf = spark.createDataFrame(lrows or [(None, None, None)], "k int, ts int, lid int").filter(
+        "k is not null"
+    )
+    rdf_ = spark.createDataFrame(rrows_u or [(None, None, None)], "k int, ts int, v int").filter(
+        "k is not null"
+    )
+    got = {
+        r.lid: r.v
+        for r in asof_join(ldf, rdf_, on=["k"], left_ts="ts", right_ts="ts").collect()
+    }
+    assert len(got) == len(lrows)
+    for k, ts, lid in lrows:
+        cand = [(rts, v) for (rk, rts), v in rbest.items() if rk == k and rts <= ts]
+        want = max(cand)[1] if cand else None
+        assert got[lid] == want, (k, ts, lid, cand)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=1, max_size=15
+    )
+)
+def test_connected_components_properties(spark, edges):
+    """Every edge's endpoints share a component; each component's label
+    is its minimum member (so labels are canonical representatives)."""
+    from rdf_mapreduce_joins_spark.operators.dedup import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+    labels = {r.node: r.component for r in connected_components(pairs).collect()}
+    for a, b in edges:
+        assert labels[a] == labels[b]
+    comps: dict[int, list[int]] = {}
+    for node, comp in labels.items():
+        comps.setdefault(comp, []).append(node)
+    for comp, members in comps.items():
+        assert comp == min(members)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 2), st.integers(1, 5)),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_rollup_cube_rowcount_identities(spark, rows):
+    """|rollup(a,b)| = |g(a,b)| + |g(a)| + 1; |cube(a,b)| adds |g(b)|."""
+    df = spark.createDataFrame(rows, "a int, b int, x int")
+    g_ab = df.groupBy("a", "b").count().count()
+    g_a = df.groupBy("a").count().count()
+    g_b = df.groupBy("b").count().count()
+    n_rollup = df.rollup("a", "b").count().count()
+    n_cube = df.cube("a", "b").count().count()
+    assert n_rollup == g_ab + g_a + 1
+    assert n_cube == g_ab + g_a + g_b + 1
