@@ -86,3 +86,43 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_zorder_skips_files_on_second_dimension(spark, sf_dir, tmp_path):
+    """The z-order win, measured as the thing it buys: a narrow
+    predicate on the SECOND clustered column must touch only a
+    fraction of z-ordered files (their partkey min/max ranges are
+    tight), while under a plain l_orderkey sort essentially every file
+    spans the full partkey domain and none can be skipped."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    z_path = str(tmp_path / "z")
+    s_path = str(tmp_path / "s")
+    sinks.write_zordered(li, z_path, ["l_orderkey", "l_partkey"], num_files=16)
+    sinks.write_sorted(li, s_path, ["l_orderkey"], num_files=16)
+
+    lo, hi = li.agg(F.min("l_partkey"), F.max("l_partkey")).collect()[0]
+    width = (hi - lo) // 16 or 1
+    q_lo, q_hi = lo + 5 * width, lo + 6 * width  # narrow mid-domain range
+
+    def files_touched(path):
+        touched, total = 0, 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            total += 1
+            st = (
+                spark.read.parquet(os.path.join(path, f))
+                .agg(F.min("l_partkey"), F.max("l_partkey"))
+                .collect()[0]
+            )
+            if st[0] <= q_hi and st[1] >= q_lo:
+                touched += 1
+        return touched, total
+
+    z_touched, z_total = files_touched(z_path)
+    s_touched, s_total = files_touched(s_path)
+    assert s_touched == s_total  # plain sort cannot skip on partkey
+    assert z_touched <= z_total // 2, (z_touched, z_total, s_touched, s_total)
+    assert spark.read.parquet(z_path).count() == li.count()
