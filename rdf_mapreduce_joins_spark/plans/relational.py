@@ -760,3 +760,83 @@ def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.map_values("pm"), lambda v: v.cast("bigint"))
         ).alias("max_numeric_val"),
     )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT c_mktsegment AS seg,
+           ROUND(MEDIAN(c_acctbal), 4) AS median_bal,
+           ROUND(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
+           COUNT(*) AS n
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (A-family): Spark's median /
+    percentile aggregate == DuckDB's MEDIAN / quantile_cont on doubles
+    (both linear-interpolation). The approximate twin at scale is
+    approx_percentile (t-digest, mergeable) — same call shape."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.round(F.median("c_acctbal"), 4).alias("median_bal"),
+        F.round(F.percentile("c_acctbal", F.lit(0.9)), 4).alias("p90_bal"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_string_collect",
+    oracle="""
+    SELECT c_nationkey AS nationkey,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+           COUNT(DISTINCT c_mktsegment) AS n_segments
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def agg_string_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_set -> sort_array ->
+    array_join gives a DETERMINISTIC csv per group (collect order is
+    partition-dependent; the sort is what makes the result stable and
+    oracle-matchable)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias(
+            "segments"
+        ),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT c_nationkey AS nationkey, c_mktsegment AS seg, COUNT(*) AS n,
+           CAST(GROUPING(c_nationkey) + 2 * GROUPING(c_mktsegment) AS BIGINT) AS gid
+    FROM customer
+    GROUP BY GROUPING SETS ((c_nationkey), (c_mktsegment), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets (A5 beyond rollup/cube): two independent
+    one-column groupings plus the grand total in ONE scan (a single
+    Expand node), with grouping_id disambiguating the set each output
+    row came from."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupingSets(
+            [["c_nationkey"], ["c_mktsegment"], []], "c_nationkey", "c_mktsegment"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.grouping("c_nationkey") + F.lit(2) * F.grouping("c_mktsegment")
+            ).cast("bigint").alias("gid"),
+        )
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("seg"),
+            "n",
+            "gid",
+        )
+    )
