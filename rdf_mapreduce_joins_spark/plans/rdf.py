@@ -24,6 +24,14 @@ constants prune at the parquet scan. Same-subject star patterns join on
 one key and collapse into one shuffle; AQE converts small sides to
 broadcast at runtime. At 100 TB the per-predicate projections would be
 materialized as sorted parquet (see README); the query code is unchanged.
+
+Further scale lever (documented, not needed at test SF): IRIs here are
+concat-built strings, so joins hash/compare strings. Production RDF
+stores dictionary-encode IRIs to int64 ids at load (a broadcast-joined
+dictionary table, ids join ~3-5x cheaper than strings, strings restored
+only in the final projection). The BGP compiler is layout-agnostic —
+swapping ``pred_df`` for an id-encoded variant + a final dictionary
+re-join changes no query code.
 """
 
 from __future__ import annotations

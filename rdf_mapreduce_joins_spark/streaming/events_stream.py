@@ -236,6 +236,85 @@ def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     )
 
 
+_ANOMALY_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("zscore", DoubleType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+# Welford running-moment state: (n, mean, M2)
+_ANOMALY_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("mean", DoubleType()),
+        StructField("m2", DoubleType()),
+    ]
+)
+
+
+def anomaly_stream(
+    events: DataFrame,
+    z_threshold: float = 3.0,
+    min_history: int = 10,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Second custom stateful operator (T6 family): per-user streaming
+    anomaly detection over ``value`` using Welford's online
+    mean/variance — O(1) state per user (three numbers), merged
+    incrementally batch by batch, emitting events whose z-score
+    against the history-so-far exceeds the threshold.
+
+    This shape — constant-size numeric state updated per key forever —
+    is what ``applyInPandasWithState`` is FOR: a windowed aggregation
+    can't express "compare each event to all history", and a batch
+    recompute touches the full stream every time. No timeout is set:
+    the state is O(1) per user by construction, so eviction is a
+    retention-policy choice, not a correctness need."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        out_rows: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts_s")
+            for eid, val in zip(pdf["event_id"], pdf["value"]):
+                val = float(val)
+                if n >= min_history:
+                    var = m2 / (n - 1) if n > 1 else 0.0
+                    if var > 0:
+                        z = (val - mean) / (var**0.5)
+                        if abs(z) >= z_threshold:
+                            out_rows.append((user_id, int(eid), val, round(z, 4), n))
+                # Welford update AFTER scoring (score against history only)
+                n += 1
+                delta = val - mean
+                mean += delta / n
+                m2 += delta * (val - mean)
+        state.update((n, float(mean), float(m2)))
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows, columns=["user_id", "event_id", "value", "zscore", "n_seen"]
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "event_id", "ts", "ts_s", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_ANOMALY_OUT_SCHEMA,
+            stateStructType=_ANOMALY_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def interval_join_stream(
     events: DataFrame,
     left_type: str = "purchase",

@@ -111,3 +111,17 @@ def test_topk_is_limit_not_global_sort(spark, sf_dir):
     df = entrymod.queries()["orderby_limit_global"](spark, sf_dir)
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_hot_paths_are_whole_stage_codegen(spark, sf_dir):
+    """The scan→filter→project→partial-agg pipeline of the Q6 shape
+    must run inside WholeStageCodegen (one fused JVM loop), and the
+    dimension-join query's probe side likewise — opaque breaks here
+    (e.g. a stray Python UDF) would cut throughput by an order of
+    magnitude at scale."""
+    for name in ("scan_project_filter", "join_broadcast_dims", "agg_group_sum"):
+        df = entrymod.queries()[name](spark, sf_dir)
+        df.collect()  # codegen markers (*(n)) only print on the final plan
+        plan = _plan(df)
+        assert "*(1)" in plan, f"{name} lost whole-stage codegen"
+        assert "BatchEvalPython" not in plan, f"{name} has a row-Python stage"

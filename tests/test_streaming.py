@@ -180,3 +180,33 @@ def test_stream_stream_interval_join(spark, events_dir):
     }
     assert got == want
     assert len(got) > 0  # the join must actually match (guards a vacuous pass)
+
+
+def test_anomaly_stream_welford(spark, tmp_path_factory):
+    """Per-user streaming z-score: a spike after stable history is
+    flagged with the z-score computed against history only; stable
+    values are not flagged; state carries across micro-batches."""
+    import numpy as np
+
+    rows = []
+    # user 1: 20 stable values then one spike; user 2: all stable
+    for i in range(20):
+        rows.append((100 + i, (BASE + i * 60) * 10**9, 1, "click", 10.0 + (i % 3), "{}"))
+    rows.append((999, (BASE + 20 * 60) * 10**9, 1, "click", 100.0, "{}"))
+    for i in range(15):
+        rows.append((200 + i, (BASE + i * 60) * 10**9, 2, "click", 5.0, "{}"))
+    df = spark.createDataFrame(rows, schema=es.EVENTS_FILE_SCHEMA)
+    path = str(tmp_path_factory.mktemp("anomaly") / "events")
+    df.coalesce(1).write.parquet(path)
+    stream = es.read_events_stream(spark, path)
+    out = es.run_to_memory(es.anomaly_stream(stream, z_threshold=3.0), "t_anom", "append").collect()
+    flagged = {r.event_id: r for r in out}
+    assert 999 in flagged
+    r = flagged[999]
+    # z computed against the 20-value history (mean=11, std of 10/11/12 cycle)
+    hist = np.array([10.0 + (i % 3) for i in range(20)])
+    want_z = (100.0 - hist.mean()) / hist.std(ddof=1)
+    assert abs(r.zscore - want_z) < 1e-3
+    assert r.n_seen == 20
+    # nothing else flagged
+    assert set(flagged) == {999}
