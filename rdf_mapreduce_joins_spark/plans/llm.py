@@ -446,3 +446,38 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_media(d)
     return multimodal.sample_frames(media, n_frames=4)
+
+
+@query(
+    "text_normalize_udf",
+    oracle="""
+    SELECT doc_id,
+           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_text,
+           CAST(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS INTEGER)
+             AS norm_len
+    FROM documents
+    """,
+)
+def text_normalize_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Pandas UDF surface (U1): Arrow-vectorized text
+    normalization (whitespace collapse + trim + lowercase) running as
+    pandas string ops on whole columns — the one-Python-hop-per-batch
+    shape every custom tokenizer/cleaner uses, verified exactly
+    against the SQL equivalent. (A production engine would do THIS
+    normalization with built-ins and save the Python hop; the query
+    exists to differential-test the U1 mechanism itself.)"""
+    from pyspark.sql.functions import pandas_udf
+
+    # No pd.Series type hints: this module uses postponed annotation
+    # evaluation (PEP 563), which turns hints into strings pandas_udf
+    # cannot resolve against a function-local pandas import.
+    @pandas_udf("string")
+    def normalize(s):
+        return s.str.replace(r"\s+", " ", regex=True).str.strip().str.lower()
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        normalize("text").alias("norm_text"),
+        F.length(normalize("text")).cast("int").alias("norm_len"),
+    )
