@@ -83,6 +83,101 @@ PRED_SPECS: tuple[PredSpec, ...] = (
 )
 
 
+# --------------------------------------------------------------------------
+# Dictionary encoding (the production-RDF-store IRI optimization):
+# subjects and FK objects join as int64 ids — tag<<56 | key — instead of
+# concat-built strings, and decode back to IRI text only in the final
+# projection. Long equi-joins hash/compare ~3-5x cheaper than strings;
+# the construction here is *algebraic* (keys are already integers in the
+# base tables), so unlike a learned dictionary there is no id table to
+# join. Literal objects (names, segments...) stay strings — they only
+# ever join other literals.
+# --------------------------------------------------------------------------
+
+_TABLES = sorted({s.table for s in PRED_SPECS})
+_TAG = {t: i for i, t in enumerate(_TABLES)}
+_KEY_BITS = 56  # key < 2^56; composite second component gets 8 bits
+_SUBKEY_BITS = 8
+
+
+def _table_subj_cols(table: str) -> tuple[str, ...]:
+    return next(s for s in PRED_SPECS if s.table == table).subj_cols
+
+
+def _subject_id(spec: PredSpec) -> F.Column:
+    key = F.col(spec.subj_cols[0]).cast("long")
+    for c in spec.subj_cols[1:]:
+        # composite key (lineitem): orderkey<<8 | linenumber (1..7)
+        key = F.shiftleft(key, _SUBKEY_BITS) + F.col(c).cast("long")
+    return F.lit(_TAG[spec.table] << _KEY_BITS) + key
+
+
+def _object_id(spec: PredSpec) -> F.Column:
+    """FK objects encode with the TARGET table's tag so they join that
+    table's subject ids directly."""
+    assert spec.obj_prefix is not None
+    target = spec.obj_prefix.rstrip("/")
+    return F.lit(_TAG[target] << _KEY_BITS) + F.col(spec.obj_col).cast("long")
+
+
+def _const_to_id(term: str) -> int:
+    """Parse a constant IRI like ``region/0`` (or ``lineitem/5/2``) to
+    its encoded id."""
+    parts = term.split("/")
+    table, keys = parts[0], [int(p) for p in parts[1:]]
+    key = keys[0]
+    for k in keys[1:]:
+        key = (key << _SUBKEY_BITS) | k
+    return (_TAG[table] << _KEY_BITS) | key
+
+
+def _decode_table(t: str, key: F.Column) -> F.Column:
+    if len(_table_subj_cols(t)) == 1:
+        return F.concat(F.lit(t + "/"), key.cast("string"))
+    return F.concat(
+        F.lit(t + "/"),
+        F.shiftright(key, _SUBKEY_BITS).cast("string"),
+        F.lit("/"),
+        key.bitwiseAND(F.lit((1 << _SUBKEY_BITS) - 1)).cast("string"),
+    )
+
+
+def _decode_id(col: F.Column, tables: frozenset[str] | None = None) -> F.Column:
+    """id → IRI string, NULL-preserving. When the variable's possible
+    tables are statically known (they almost always are — the
+    predicate constrains them) and unique, decode is a direct concat;
+    the tag-dispatch CASE chain only appears for genuinely
+    multi-table variables. The CASE-per-row cost was measurable: it
+    erased the encoded-join win on output-heavy queries."""
+    key = col.bitwiseAND(F.lit((1 << _KEY_BITS) - 1))
+    cand = sorted(tables) if tables else _TABLES
+    if len(cand) == 1:
+        # NULL key (outer-join miss) propagates to NULL output via concat
+        return _decode_table(cand[0], key)
+    tag = F.shiftright(col, _KEY_BITS)
+    expr = None
+    for t in cand:
+        cond = tag == F.lit(_TAG[t])
+        expr = (
+            F.when(cond, _decode_table(t, key))
+            if expr is None
+            else expr.when(cond, _decode_table(t, key))
+        )
+    assert expr is not None
+    return expr
+
+
+def _obj_is_fk(pred: str, table: str | None) -> bool:
+    specs = [
+        s for s in PRED_SPECS if s.pred == pred and (table is None or s.table == table)
+    ]
+    if not specs:
+        raise KeyError(f"unknown predicate: {pred}")
+    kinds = {s.obj_prefix is not None for s in specs}
+    assert len(kinds) == 1, f"mixed literal/FK object forms for predicate {pred}"
+    return kinds.pop()
+
+
 def _subject_col(spec: PredSpec) -> F.Column:
     parts: list[F.Column | str] = [F.lit(spec.table + "/")]
     for i, c in enumerate(spec.subj_cols):
@@ -97,17 +192,28 @@ def _object_col(spec: PredSpec) -> F.Column:
     return F.concat(F.lit(spec.obj_prefix), obj) if spec.obj_prefix else obj
 
 
-def spec_df(spark: SparkSession, sf_dir: str, spec: PredSpec) -> DataFrame:
+def spec_df(
+    spark: SparkSession, sf_dir: str, spec: PredSpec, encoded: bool = False
+) -> DataFrame:
     """One unpivot branch as a 2-col (subject, object) DataFrame.
 
     Only the needed base-table columns are selected, so the parquet scan
-    reads 1-3 columns (ReadSchema pruning — verified via .explain)."""
+    reads 1-3 columns (ReadSchema pruning — verified via .explain).
+    ``encoded``: subject (and FK object) as int64 dictionary ids instead
+    of IRI strings — the join-key form the BGP compiler uses."""
     base = load_table(spark, sf_dir, spec.table)
+    if encoded:
+        obj = _object_id(spec) if spec.obj_prefix else _object_col(spec)
+        return base.select(_subject_id(spec).alias("subject"), obj.alias("object"))
     return base.select(_subject_col(spec).alias("subject"), _object_col(spec).alias("object"))
 
 
 def pred_df(
-    spark: SparkSession, sf_dir: str, pred: str, table: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    pred: str,
+    table: str | None = None,
+    encoded: bool = False,
 ) -> DataFrame:
     """All triples with the given predicate (union of matching spec rows).
 
@@ -116,7 +222,7 @@ def pred_df(
     specs = [s for s in PRED_SPECS if s.pred == pred and (table is None or s.table == table)]
     if not specs:
         raise KeyError(f"unknown predicate: {pred}")
-    dfs = [spec_df(spark, sf_dir, s) for s in specs]
+    dfs = [spec_df(spark, sf_dir, s, encoded=encoded) for s in specs]
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)
@@ -211,12 +317,19 @@ def _is_var(term: str) -> bool:
     return term.startswith("?")
 
 
-def _pattern_df(spark: SparkSession, sf_dir: str, pat: Pattern) -> DataFrame:
-    df = pred_df(spark, sf_dir, pat.p, table=pat.s_table)
+def _pattern_df(
+    spark: SparkSession, sf_dir: str, pat: Pattern, encoded: bool = False
+) -> DataFrame:
+    df = pred_df(spark, sf_dir, pat.p, table=pat.s_table, encoded=encoded)
+    obj_fk = _obj_is_fk(pat.p, pat.s_table)
     if not _is_var(pat.s):
-        df = df.filter(F.col("subject") == F.lit(pat.s))
+        s_const = F.lit(_const_to_id(pat.s)) if encoded else F.lit(pat.s)
+        df = df.filter(F.col("subject") == s_const)
     if not _is_var(pat.o):
-        df = df.filter(F.col("object") == F.lit(pat.o))
+        o_const = (
+            F.lit(_const_to_id(pat.o)) if (encoded and obj_fk) else F.lit(pat.o)
+        )
+        df = df.filter(F.col("object") == o_const)
     cols = []
     if _is_var(pat.s):
         cols.append(F.col("subject").alias(pat.s[1:]))
@@ -227,8 +340,49 @@ def _pattern_df(spark: SparkSession, sf_dir: str, pat: Pattern) -> DataFrame:
     return df.select(*cols)
 
 
+def _var_kinds(
+    groups: list[list[Pattern]],
+) -> dict[str, tuple[str, frozenset[str]]]:
+    """Per variable: ('id'|'str', possible tables). Subjects are always
+    ids, objects per the predicate's spec; a variable must be one kind
+    everywhere it appears. Each occurrence constrains the variable's
+    possible tables — the intersection is what lets decode skip the
+    tag-dispatch CASE (single-table fast path)."""
+    kinds: dict[str, tuple[str, frozenset[str]]] = {}
+
+    def put(var: str, kind: str, tables: frozenset[str]) -> None:
+        name = var[1:]
+        if name in kinds:
+            k0, t0 = kinds[name]
+            assert k0 == kind, f"variable ?{name} is both id and literal"
+            tables = t0 & tables if kind == "id" else t0
+            assert kind == "str" or tables, f"variable ?{name} has no possible table"
+        kinds[name] = (kind, tables)
+
+    for group in groups:
+        for pat in group:
+            specs = [
+                s
+                for s in PRED_SPECS
+                if s.pred == pat.p and (pat.s_table is None or s.table == pat.s_table)
+            ]
+            if _is_var(pat.s):
+                put(pat.s, "id", frozenset(s.table for s in specs))
+            if _is_var(pat.o):
+                if _obj_is_fk(pat.p, pat.s_table):
+                    targets = frozenset(s.obj_prefix.rstrip("/") for s in specs)
+                    put(pat.o, "id", targets)
+                else:
+                    put(pat.o, "str", frozenset())
+    return kinds
+
+
 def _join_chain(
-    spark: SparkSession, sf_dir: str, patterns: list[Pattern], broadcast_idx: set[int]
+    spark: SparkSession,
+    sf_dir: str,
+    patterns: list[Pattern],
+    broadcast_idx: set[int],
+    encoded: bool = False,
 ) -> DataFrame:
     """Inner-join patterns left-to-right on shared variables.
 
@@ -236,7 +390,7 @@ def _join_chain(
     the left-to-right chain only fixes the *logical* shape."""
     out: DataFrame | None = None
     for i, pat in enumerate(patterns):
-        df = _pattern_df(spark, sf_dir, pat)
+        df = _pattern_df(spark, sf_dir, pat, encoded=encoded)
         if i in broadcast_idx:
             df = F.broadcast(df)
         if out is None:
@@ -261,6 +415,7 @@ def bgp(
     select: list[str] | None = None,
     distinct: bool = False,
     broadcast_idx: set[int] | None = None,
+    encoded: bool = True,
 ) -> DataFrame:
     """Compile a basic graph pattern to a DataFrame.
 
@@ -269,15 +424,21 @@ def bgp(
     * ``negation``  — OPTIONAL+!bound / NOT EXISTS groups → anti join (J6),
     * ``exists``    — ASK/EXISTS groups → semi join (J7),
     * ``filters``   — SQL boolean expressions over variable columns (P3/J8),
-    * ``select``    — output variables (``?x`` names → columns).
+    * ``select``    — output variables (``?x`` names → columns),
+    * ``encoded``   — dictionary-encode IRIs: all joins/filters/distinct
+      run on int64 ids; the final projection decodes back to IRI
+      strings, so outputs are bit-identical to the string path.
+      Filters referencing id variables are not supported encoded (all
+      declared queries filter literal variables only).
     """
-    out = _join_chain(spark, sf_dir, patterns, broadcast_idx or set())
+    out = _join_chain(spark, sf_dir, patterns, broadcast_idx or set(), encoded=encoded)
+    all_groups = [patterns, *(optional or []), *(negation or []), *(exists or [])]
     for group, how in (
         *[(g, "left") for g in optional or []],
         *[(g, "left_anti") for g in negation or []],
         *[(g, "left_semi") for g in exists or []],
     ):
-        gdf = _join_chain(spark, sf_dir, group, set())
+        gdf = _join_chain(spark, sf_dir, group, set(), encoded=encoded)
         shared = [c for c in gdf.columns if c in out.columns]
         if not shared:
             raise ValueError("group shares no variable with required patterns")
@@ -285,8 +446,22 @@ def bgp(
     for f in filters or []:
         out = out.filter(F.expr(f))
     if select:
-        out = out.select(*[v[1:] if v.startswith("?") else v for v in select])
-    if distinct:
+        names = [v[1:] if v.startswith("?") else v for v in select]
+        out = out.select(*names)
+        if distinct:
+            # distinct over ids (8-byte comparisons), decode after
+            out = out.distinct()
+        if encoded:
+            kinds = _var_kinds(all_groups)
+            out = out.select(
+                *[
+                    _decode_id(F.col(n), kinds[n][1]).alias(n)
+                    if kinds.get(n, ("str",))[0] == "id"
+                    else F.col(n)
+                    for n in names
+                ]
+            )
+    elif distinct:
         out = out.distinct()
     return out
 
