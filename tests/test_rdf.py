@@ -76,3 +76,33 @@ def test_triples_sql_matches_spec_count():
     assert full.count("UNION ALL") == len(rdf.PRED_SPECS) - 1
     partial = rdf.triples_sql(["name"])
     assert partial.count("SELECT") == 4
+
+
+def test_id_encoding_roundtrip():
+    from rdf_mapreduce_joins_spark.plans import rdf as R
+
+    for iri in ["customer/0", "customer/1499", "nation/24", "region/0",
+                "orders/14999", "supplier/9", "lineitem/42/3"]:
+        enc = R._const_to_id(iri)
+        table = iri.split("/")[0]
+        assert enc >> R._KEY_BITS == R._TAG[table]
+
+
+def test_bgp_encoded_matches_string_path(spark, sf_dir):
+    """The dictionary-encoded BGP path must be bit-identical to the
+    string path on every join shape — run the shapes that exercise
+    chain, cycle, optional-null decode, and distinct."""
+    from rdf_mapreduce_joins_spark.plans import rdf as R
+
+    for name in ["rdf_chain_join", "rdf_cyclic_join", "rdf_optional_join",
+                 "rdf_distinct_pairs", "rdf_broadcast_lookup"]:
+        fn = getattr(R, name)
+        enc = {tuple(r) for r in fn(spark, sf_dir).collect()}
+        import functools
+        orig = R.bgp
+        R.bgp = functools.partial(orig, encoded=False)
+        try:
+            plain = {tuple(r) for r in fn(spark, sf_dir).collect()}
+        finally:
+            R.bgp = orig
+        assert enc == plain, f"{name}: encoded path diverges from string path"
