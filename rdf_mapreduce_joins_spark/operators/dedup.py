@@ -18,6 +18,15 @@ band join shuffles on (band, bucket-hash), and the signature aggregation
 is one partial+final hash agg over the exploded shingles. That is the
 standard web-scale dedup layout (the band join dominates; skewed buckets
 are handled by AQE skew-join splitting).
+
+Both pair generators additionally take a ``max_bucket_size`` guard: a
+band bucket holding B documents emits B·(B−1)/2 candidate pairs, so one
+degenerate bucket (e.g. millions of boilerplate near-identical pages at
+web scale) can dominate the whole job quadratically — beyond what AQE
+skew splitting can amortize, because the blow-up is in the join OUTPUT.
+Oversized buckets are dropped before the self-join; the documents in
+them are, by construction, members of a huge near-dup cluster that is
+better handled by the exact-dedup pass (X1) than by pairwise emission.
 """
 
 from __future__ import annotations
@@ -81,6 +90,26 @@ def minhash_signatures(
     return per_doc.select(F.col(id_col), sig.alias("sig"))
 
 
+def _cap_buckets(
+    buckets: DataFrame, keys: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Drop hash buckets holding more than ``max_bucket_size`` members.
+
+    Implemented as an unordered count-window over the bucket key — the
+    window's shuffle is on the same key the candidate self-join uses,
+    so the exchange is reused rather than added."""
+    if max_bucket_size is None:
+        return buckets
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    return (
+        buckets.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
+
+
 def minhash_lsh_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -88,10 +117,12 @@ def minhash_lsh_pairs(
     rows_per_band: int = 4,
     min_est_jaccard: float = 0.5,
     round_digits: int = 4,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Candidate near-dup pairs from banded LSH, with the signature-
     estimated Jaccard. Pair (d1 < d2) appears once regardless of how
-    many bands collide."""
+    many bands collide. Buckets larger than ``max_bucket_size`` are
+    dropped before the self-join (see module docstring)."""
     num_perm = bands * rows_per_band
     band_entries = F.array(
         *[
@@ -107,6 +138,7 @@ def minhash_lsh_pairs(
     buckets = signatures.select(
         F.col(id_col), F.explode(band_entries).alias("e")
     ).select(id_col, F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    buckets = _cap_buckets(buckets, ["band", "bh"], max_bucket_size)
     left = buckets.select(F.col(id_col).alias("d1"), "band", "bh")
     right = buckets.select(F.col(id_col).alias("d2"), "band", "bh")
     cand = (
@@ -172,6 +204,7 @@ def simhash_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     max_hamming: int = 8,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs by band collision + exact Hamming distance.
 
@@ -188,6 +221,7 @@ def simhash_pairs(
     buckets = signatures.select(F.col(id_col), F.explode(entries).alias("e")).select(
         id_col, F.col("e.band").alias("band"), F.col("e.bv").alias("bv")
     )
+    buckets = _cap_buckets(buckets, ["band", "bv"], max_bucket_size)
     left = buckets.select(F.col(id_col).alias("d1"), "band", "bv")
     right = buckets.select(F.col(id_col).alias("d2"), "band", "bv")
     cand = (

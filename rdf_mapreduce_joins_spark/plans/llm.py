@@ -145,6 +145,114 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NGRAM_DF_CAP_FRAC = 0.04  # a "hub" shingle appears in > 4% of documents
+
+
+@query(
+    "dedup_ngram_jaccard_capped",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+    bi AS (
+      SELECT DISTINCT doc_id, lang,
+             w[CAST(i AS INTEGER)] || ' ' || w[CAST(i + 1 AS INTEGER)] AS bigram
+      FROM t, range(1, 1001) r(i)
+      WHERE i <= len(w) - 1
+    ),
+    hub AS (
+      SELECT lang, bigram
+      FROM (SELECT lang, bigram, COUNT(*) AS df FROM bi GROUP BY lang, bigram) d
+      WHERE df > CAST(ceil({NGRAM_DF_CAP_FRAC} * (SELECT COUNT(*) FROM documents))
+                      AS BIGINT)
+    ),
+    bic AS (SELECT * FROM bi ANTI JOIN hub USING (lang, bigram)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bic a JOIN bic b USING (lang, bigram)
+      WHERE a.doc_id < b.doc_id
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM bi GROUP BY doc_id),
+    inter AS (
+      SELECT c.d1, c.d2, COUNT(*) AS both_n
+      FROM cand c
+      JOIN bi a ON a.doc_id = c.d1
+      JOIN bi b ON b.doc_id = c.d2 AND a.lang = b.lang AND a.bigram = b.bigram
+      GROUP BY c.d1, c.d2
+    )
+    SELECT d1, d2,
+           ROUND(both_n * 1.0 / (s1.n + s2.n - both_n), 4) AS jaccard
+    FROM inter
+    JOIN sz s1 ON d1 = s1.doc_id
+    JOIN sz s2 ON d2 = s2.doc_id
+    WHERE ROUND(both_n * 1.0 / (s1.n + s2.n - both_n), 4)
+          >= {NGRAM_JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub-capped n-gram Jaccard (X2, the web-scale variant of
+    dedup_ngram_jaccard): bigrams whose document frequency exceeds
+    NGRAM_DF_CAP are excluded from CANDIDATE GENERATION only — exact
+    Jaccard is still computed over the full bigram sets for every
+    surviving candidate pair.
+
+    Why this shape at 100 TB: the shared-shingle self-join costs
+    Σ_b df(b)², so a handful of boilerplate "hub" shingles (df in the
+    millions) dominate the entire job while contributing no
+    discriminative signal. Capping df (corpus-relative: a hub appears
+    in > NGRAM_DF_CAP_FRAC of documents) bounds the worst bucket at
+    cap²·n_hubs; recall loses only pairs whose EVERY shared bigram is
+    a hub — pairs above a real similarity threshold share rare
+    shingles too. The hub list is tiny by construction (few shingles
+    exceed the cap), so its exclusion is a broadcast anti-join, and
+    the exact-intersection join is bounded by the candidate count.
+    Semantics are fully mirrored in the DuckDB oracle (hash-matched),
+    so the cap itself is differential-tested, not just asserted.
+    (The corpus count below is a parquet-footer metadata read — a plan
+    parameter like similarity's query vector, not a data collect.)"""
+    d = load_table(spark, sf_dir, "documents")
+    df_cap = int(-(-NGRAM_DF_CAP_FRAC * d.count() // 1))  # ceil
+    bi = (
+        spread(d).select(
+            "doc_id", "lang", F.explode(text.word_ngrams("text", 2)).alias("bigram")
+        )
+        .distinct()
+    )
+    hub = (
+        bi.groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("lang", "bigram")
+    )
+    bic = bi.join(F.broadcast(hub), on=["lang", "bigram"], how="left_anti")
+    cand = (
+        bic.select(F.col("doc_id").alias("d1"), "lang", "bigram")
+        .join(bic.select(F.col("doc_id").alias("d2"), "lang", "bigram"),
+              on=["lang", "bigram"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    sz = bi.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = bi.select(F.col("doc_id").alias("d1"), "lang", "bigram")
+    b = bi.select(F.col("doc_id").alias("d2"), "lang", "bigram")
+    inter = (
+        cand.join(a, on="d1")
+        .join(b, on=["d2", "lang", "bigram"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("both_n"))
+    )
+    s1 = sz.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sz.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.round(
+        F.col("both_n") / (F.col("n1") + F.col("n2") - F.col("both_n")), 4
+    )
+    return (
+        inter.join(s1, on="d1")
+        .join(s2, on="d2")
+        .select("d1", "d2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
+    )
+
+
 @query(
     "dedup_cluster_components",
     oracle=f"""

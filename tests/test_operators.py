@@ -261,3 +261,48 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     # probing 2/8 clusters must still find a meaningful share of the
     # true neighbors (the query's own cluster is always probed)
     assert len(set(exact) & set(approx)) >= 3
+
+
+# -- Scale guards: bucket caps and hub-shingle cap -------------------------
+
+
+def test_minhash_bucket_cap_drops_degenerate_bucket(spark):
+    """A bucket larger than max_bucket_size must emit NO pairs from
+    that bucket (quadratic blow-up guard), while smaller buckets are
+    unaffected."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta", "en") for i in range(6)]
+    rows += [(10, "one two three four five six", "en"),
+             (11, "one two three four five six", "en")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    sigs = dedup.minhash_signatures(docs)
+    capped = dedup.minhash_lsh_pairs(sigs, min_est_jaccard=0.0, max_bucket_size=3)
+    got = {(r.d1, r.d2) for r in capped.collect()}
+    # the 6-doc identical cluster exceeds the cap in every band → gone;
+    # the 2-doc cluster survives
+    assert got == {(10, 11)}
+    uncapped = dedup.minhash_lsh_pairs(sigs, min_est_jaccard=0.0, max_bucket_size=None)
+    assert {(r.d1, r.d2) for r in uncapped.collect()} > got
+
+
+def test_simhash_bucket_cap(spark):
+    rows = [(i, "alpha beta gamma delta epsilon zeta", "en") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    sigs = dedup.simhash_signatures(docs)
+    assert dedup.simhash_pairs(sigs, max_bucket_size=4).count() == 0
+    assert dedup.simhash_pairs(sigs, max_bucket_size=None).count() == 10
+
+
+def test_ngram_jaccard_capped_subset_with_exact_jaccard(spark, sf_dir):
+    """The hub-capped variant must return a SUBSET of the uncapped
+    pairs, and every surviving pair must carry the identical exact
+    Jaccard value (the cap prunes candidates, never distorts the
+    measure)."""
+    from rdf_mapreduce_joins_spark.plans import llm
+
+    base = {(r.d1, r.d2): r.jaccard
+            for r in llm.dedup_ngram_jaccard(spark, sf_dir).collect()}
+    capped = {(r.d1, r.d2): r.jaccard
+              for r in llm.dedup_ngram_jaccard_capped(spark, sf_dir).collect()}
+    assert set(capped) <= set(base)
+    for pair, j in capped.items():
+        assert j == base[pair]
