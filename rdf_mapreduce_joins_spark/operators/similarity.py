@@ -147,6 +147,142 @@ def lsh_topk(
     )
 
 
+def ivf_build_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: train the coarse quantizer ONCE, write the
+    assigned vectors hive-partitioned by cluster id, and the k×d
+    centroid matrix as a tiny sibling table.
+
+    This is the train-once/probe-many layout for 10^9-vector corpora:
+    per-query work drops from a full corpus scan to (a) a driver-side
+    nearest-centroid pick over the broadcast-sized centroid table and
+    (b) a scan of nprobe partition DIRECTORIES — partition pruning
+    happens at file listing, before any IO. Re-training only happens
+    when the index is rebuilt, not per query (the weakness of the
+    inline ``ivf_topk``)."""
+    spark = embeddings.sparkSession
+    centroids = ivf_train(embeddings, n_centroids, n_iter, id_col, vec_col)
+    dbl = as_double_array(vec_col)
+    assigned = embeddings.select(
+        F.col(id_col), dbl.alias("v"), _assign_expr(dbl, centroids).alias("cid")
+    )
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/vectors")
+    cent_df = spark.createDataFrame(
+        [(cid, c) for cid, c in enumerate(centroids)], "cid int, centroid array<double>"
+    )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    exclude_id: int | None = None,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Probe a persisted IVF index: pick the ``nprobe`` nearest
+    centroids driver-side (the centroid table is k×d — broadcast
+    scale), then scan ONLY those cluster partitions and rerank by
+    exact cosine. The ``cid`` filter is a partition-column predicate,
+    so untouched clusters are pruned at file listing."""
+    cents = {
+        r.cid: list(r.centroid)
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+
+    def sq_l2(a: list[float], b: list[float]) -> float:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    probe = sorted(cents, key=lambda cid: (sq_l2(query_vec, cents[cid]), cid))[:nprobe]
+    df = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("cid").isin(*[int(p) for p in probe])
+    )
+    if exclude_id is not None:
+        df = df.filter(F.col("vec_id") != exclude_id)
+    sim = F.round(cosine(F.col("v"), lit_vector(query_vec)), round_digits)
+    return (
+        df.select(F.col("vec_id"), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def lsh_build_index(
+    embeddings: DataFrame,
+    path: str,
+    dim: int,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist a random-hyperplane LSH index: one row per (table,
+    bucket, vector), hive-partitioned by (t, bucket). Hyperplanes are
+    derived from (seed, table) only, so the probe side recomputes them
+    — no model object to ship. Storage is ×n_tables the corpus (the
+    standard multi-table LSH trade: recall for space)."""
+    dbl = as_double_array(vec_col)
+    per_table = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed=seed + 1000 * t)
+        per_table.append(
+            embeddings.select(
+                F.lit(t).alias("t"),
+                lsh_bucket(dbl, planes).alias("bucket"),
+                F.col(id_col),
+                dbl.alias("v"),
+            )
+        )
+    rows = per_table[0]
+    for other in per_table[1:]:
+        rows = rows.unionByName(other)
+    rows.write.mode("overwrite").partitionBy("t", "bucket").parquet(f"{path}/buckets")
+
+
+def lsh_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    seed: int = 42,
+    exclude_id: int | None = None,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Probe a persisted LSH index: compute the query's bucket per
+    table driver-side, scan only those (t, bucket) partitions, dedup
+    candidates across tables, exact-cosine rerank."""
+    dim = len(query_vec)
+    probe = F.lit(False)
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed=seed + 1000 * t)
+        qb = 0
+        for j, h in enumerate(planes):
+            if sum(q * hj for q, hj in zip(query_vec, h)) > 0:
+                qb += 1 << j
+        probe = probe | ((F.col("t") == t) & (F.col("bucket") == qb))
+    df = spark.read.parquet(f"{path}/buckets").filter(probe)
+    if exclude_id is not None:
+        df = df.filter(F.col("vec_id") != exclude_id)
+    cand = df.select("vec_id", "v").dropDuplicates(["vec_id"])
+    sim = F.round(cosine(F.col("v"), lit_vector(query_vec)), round_digits)
+    return (
+        cand.select(F.col("vec_id"), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def cosine_pairs(
     embeddings: DataFrame,
     threshold: float,

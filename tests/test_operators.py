@@ -306,3 +306,30 @@ def test_ngram_jaccard_capped_subset_with_exact_jaccard(spark, sf_dir):
     assert set(capped) <= set(base)
     for pair, j in capped.items():
         assert j == base[pair]
+
+
+# -- Persisted IVF / LSH index tables --------------------------------------
+
+
+def test_ivf_index_matches_inline_and_prunes_partitions(spark, sf_dir, tmp_path):
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).head().embedding]
+    idx = str(tmp_path / "ivf")
+    similarity.ivf_build_index(e, idx, n_centroids=8, n_iter=2)
+    indexed = similarity.ivf_topk_indexed(spark, idx, qv, k=10, nprobe=2, exclude_id=0)
+    inline = similarity.ivf_topk(e, qv, k=10, nprobe=2, exclude_id=0)
+    assert [tuple(r) for r in indexed.collect()] == [tuple(r) for r in inline.collect()]
+    # the probe must prune at file listing: cid is a partition column
+    scan = spark.read.parquet(f"{idx}/vectors").filter(F.col("cid").isin(0, 1))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters", 1)[1][:120]
+
+
+def test_lsh_index_matches_inline(spark, sf_dir, tmp_path):
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).head().embedding]
+    idx = str(tmp_path / "lsh")
+    similarity.lsh_build_index(e, idx, dim=len(qv))
+    indexed = similarity.lsh_topk_indexed(spark, idx, qv, k=10, exclude_id=0)
+    inline = similarity.lsh_topk(e, qv, k=10, exclude_id=0)
+    assert [tuple(r) for r in indexed.collect()] == [tuple(r) for r in inline.collect()]
