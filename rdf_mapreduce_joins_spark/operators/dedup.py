@@ -77,8 +77,15 @@ def minhash_signatures(
 
     One explode + one grouped aggregation with ``num_perm`` min()
     columns — partial aggregation (map-side combine) applies, so the
-    shuffle carries one row per (doc × partition), not per shingle."""
-    sh = spread(docs).select(
+    shuffle carries one row per (doc × partition), not per shingle.
+
+    The explicit id-not-null filter is load-bearing for plan quality:
+    downstream join null-filters cannot push below the bucket-cap
+    Window, so without it the band-bucket path and the signature
+    re-join paths scan canonically DIFFERENT subtrees and the
+    signature aggregation's exchange is recomputed instead of reused
+    (plan-gated in test_minhash_signature_exchange_reused)."""
+    sh = spread(docs.filter(F.col(id_col).isNotNull())).select(
         F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("shingle")
     ).withColumn("h0", F.pmod(F.xxhash64("shingle"), F.lit(P31)))
     aggs = [
@@ -178,8 +185,9 @@ def simhash_signatures(
     band values (packing as int avoids 2^63 sign issues under ANSI).
 
     Token multiplicity acts as the feature weight (each occurrence
-    votes ±1 per bit)."""
-    toks = spread(docs).select(
+    votes ±1 per bit). The id-not-null filter keeps all consumers on
+    one canonical scan subtree (see minhash_signatures)."""
+    toks = spread(docs.filter(F.col(id_col).isNotNull())).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).filter(F.col("tok") != "")
     h = F.xxhash64("tok")

@@ -490,6 +490,54 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.language_id(d)
 
 
+SAMPLE_FRAC = 0.2
+
+
+@query(
+    "sample_stratified_docs",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             md5('split:' || CAST(doc_id AS VARCHAR)) AS skey
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY skey, doc_id
+             ) AS INTEGER) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM h
+    )
+    SELECT doc_id, lang, rn FROM r
+    WHERE rn <= CAST(ceil({SAMPLE_FRAC} * n) AS BIGINT)
+    """,
+)
+def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (training-pipeline staple):
+    take SAMPLE_FRAC of documents per language, selected by ranking on
+    md5 of a salted key — a content-independent pseudo-random order
+    that is IDENTICAL across engines, runs, and cluster layouts (unlike
+    TABLESAMPLE / rand(seed), whose draw depends on partitioning).
+    The same construction gives reproducible train/val/test splits:
+    bucket by hash prefix instead of ranking.
+
+    Scale: one shuffle on the stratum key; the per-stratum count and
+    rank share the same window partition, and at 100 TB the md5 ranking
+    is embarrassingly parallel within strata."""
+    d = load_table(spark, sf_dir, "documents")
+    skey = F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(F.col("skey"), F.col("doc_id"))
+    wn = Window.partitionBy("lang")
+    return (
+        d.select("doc_id", "lang", skey.alias("skey"))
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") <= F.ceil(F.lit(SAMPLE_FRAC) * F.col("n")))
+        .select("doc_id", "lang", "rn")
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal (X5)
 # --------------------------------------------------------------------------

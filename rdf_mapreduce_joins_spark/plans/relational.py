@@ -224,6 +224,44 @@ def semi_anti_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "subquery_correlated_acctbal",
+    oracle="""
+    WITH s AS (
+      SELECT c_nationkey,
+             SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS tot,
+             COUNT(*) AS n
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer JOIN s USING (c_nationkey)
+    WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n > tot
+    """,
+)
+def subquery_correlated_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries (Catalyst decorrelation surface):
+    customers whose balance is above their nation's average, written as
+    TWO correlated scalar subqueries in the SQL entry path. Catalyst
+    decorrelates both into aggregate-plus-join — no per-row re-execution
+    (the plan is gated in tests: no nested-loop, subqueries collapsed).
+    The oracle uses the already-decorrelated join formulation, so the
+    rewrite itself is differential-tested.
+
+    Determinism: the avg comparison is division-free (balance·n > sum)
+    in exact DECIMAL on both engines — no float summation-order or
+    ulp-at-the-boundary risk."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("sq_customer")
+    return spark.sql("""
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM sq_customer c1
+        WHERE CAST(c_acctbal AS DECIMAL(12,2))
+              * (SELECT COUNT(*) FROM sq_customer c2
+                 WHERE c2.c_nationkey = c1.c_nationkey)
+              > (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) FROM sq_customer c3
+                 WHERE c3.c_nationkey = c1.c_nationkey)
+    """)
+
+
 # --------------------------------------------------------------------------
 # Aggregation variants
 # --------------------------------------------------------------------------

@@ -125,3 +125,15 @@ def test_hot_paths_are_whole_stage_codegen(spark, sf_dir):
         plan = _plan(df)
         assert "*(1)" in plan, f"{name} lost whole-stage codegen"
         assert "BatchEvalPython" not in plan, f"{name} has a row-Python stage"
+
+
+def test_correlated_subquery_decorrelates(spark, sf_dir):
+    """subquery_correlated_acctbal: both correlated scalar subqueries
+    must decorrelate into aggregate-plus-join (per-nation aggregates
+    broadcast against the customer scan) — never a per-row
+    ScalarSubquery re-execution, which is O(rows x subquery) at scale."""
+    df = entrymod.queries()["subquery_correlated_acctbal"](spark, sf_dir)
+    plan = _plan(df)
+    assert "HashJoin" in plan
+    assert "HashAggregate" in plan
+    assert "ScalarSubquery" not in plan
