@@ -202,8 +202,17 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap²·n_hubs; recall loses only pairs whose EVERY shared bigram is
     a hub — pairs above a real similarity threshold share rare
     shingles too. The hub list is tiny by construction (few shingles
-    exceed the cap), so its exclusion is a broadcast anti-join, and
-    the exact-intersection join is bounded by the candidate count.
+    exceed the cap), so its exclusion is a broadcast anti-join.
+
+    The EXACT intersection over full bigram sets is recovered without
+    ever re-joining candidates against the full bigram table (which
+    would re-explode every pair by its bigram list — the cost the cap
+    exists to avoid): |∩| = |∩ non-hub| + |∩ hub|. The non-hub part IS
+    the candidate self-join's group count (free). The hub part uses a
+    per-doc array of hub bigrams (each array bounded by the tiny hub
+    vocabulary; the table itself is O(docs), so it is joined, not
+    force-broadcast — AQE may still broadcast it when small) compared
+    with array_intersect per pair.
     Semantics are fully mirrored in the DuckDB oracle (hash-matched),
     so the cap itself is differential-tested, not just asserted.
     (The corpus count below is a parquet-footer metadata read — a plan
@@ -223,23 +232,40 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "bigram")
     )
     bic = bi.join(F.broadcast(hub), on=["lang", "bigram"], how="left_anti")
-    cand = (
+    inter_nonhub = (
         bic.select(F.col("doc_id").alias("d1"), "lang", "bigram")
         .join(bic.select(F.col("doc_id").alias("d2"), "lang", "bigram"),
               on=["lang", "bigram"])
         .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2")
-        .distinct()
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("nonhub_n"))
+    )
+    hubm = (
+        bi.join(F.broadcast(hub), on=["lang", "bigram"], how="left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("bigram").alias("hub_set"))
+    )
+    h1 = hubm.select(F.col("doc_id").alias("d1"), F.col("hub_set").alias("h1"))
+    h2 = hubm.select(F.col("doc_id").alias("d2"), F.col("hub_set").alias("h2"))
+    empty = F.array().cast("array<string>")
+    inter = (
+        inter_nonhub.join(h1, on="d1", how="left")
+        .join(h2, on="d2", how="left")
+        .select(
+            "d1",
+            "d2",
+            (
+                F.col("nonhub_n")
+                + F.size(
+                    F.array_intersect(
+                        F.coalesce(F.col("h1"), empty),
+                        F.coalesce(F.col("h2"), empty),
+                    )
+                )
+            ).alias("both_n"),
+        )
     )
     sz = bi.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = bi.select(F.col("doc_id").alias("d1"), "lang", "bigram")
-    b = bi.select(F.col("doc_id").alias("d2"), "lang", "bigram")
-    inter = (
-        cand.join(a, on="d1")
-        .join(b, on=["d2", "lang", "bigram"])
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("both_n"))
-    )
     s1 = sz.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
     s2 = sz.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     jac = F.round(
