@@ -318,6 +318,114 @@ def cosine_pairs(
     )
 
 
+# -- k-NN join (every query vector -> its top-k neighbors) -----------------
+
+
+def knn_join_brute(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "qid",
+    q_vec_col: str = "qvec",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact k-NN *join*: for every row of ``queries``, the ``k``
+    highest-cosine rows of ``base`` (excluding self-matches by id).
+    Output: (qid, vec_id, sim, rnk).
+
+    Shape: the query set is broadcast (it is the bounded side — a probe
+    batch, never the corpus) and the corpus is scanned ONCE, each
+    partition scoring all queries against its rows JVM-side. The
+    row_number-filter compiles to a PARTIAL WindowGroupLimit below the
+    exchange (plan-gated), so each task pre-reduces to its local top-k
+    per query and the shuffle carries at most |Q|*k rows per task —
+    the map-side-combine of top-k. Still a full-corpus scan per batch
+    (that is what "exact" costs); :func:`knn_join_ivf` bounds the
+    scored candidates too. Ranking happens on the ROUNDED similarity
+    with an id tiebreak so it is reproducible across engines."""
+    from pyspark.sql import Window
+
+    b = base.select(F.col(id_col), as_double_array(vec_col).alias("_bv"))
+    q = queries.select(F.col(q_id_col), as_double_array(q_vec_col).alias("_qv"))
+    sim = F.round(cosine(F.col("_bv"), F.col("_qv")), round_digits)
+    w = Window.partitionBy(q_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        b.join(F.broadcast(q), F.col(id_col) != F.col(q_id_col))
+        .select(q_id_col, id_col, sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def _probe_expr(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
+    """array<int> of the ``nprobe`` nearest centroid ids (squared L2,
+    lowest-id tiebreak via struct ordering)."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(vec, lit_vector(c), lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, c in enumerate(centroids)
+        ]
+    )
+    return F.transform(
+        F.slice(F.sort_array(entries), 1, nprobe), lambda e: e["cid"]
+    )
+
+
+def knn_join_ivf(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "qid",
+    q_vec_col: str = "qvec",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Approximate k-NN join via a shared IVF coarse quantizer — the
+    corpus-scale path: base rows are assigned to their nearest
+    centroid, each query expands to its ``nprobe`` nearest centroids,
+    and candidates come from an EQUI-join on the cluster id. Per-query
+    work is bounded by nprobe cluster sizes before any shuffle, so the
+    top-k window's input is |Q| x (nprobe/n_centroids) x |base| instead
+    of |Q| x |base|. With the index persisted hive-partitioned by
+    cluster id (see ivf_build_index), the probe also prunes partitions
+    at file listing. Deterministic: seeded quantizer, id tiebreaks."""
+    from pyspark.sql import Window
+
+    centroids = ivf_train(base, n_centroids, n_iter, id_col, vec_col)
+    bdbl = as_double_array(vec_col)
+    assigned = base.select(
+        F.col(id_col), bdbl.alias("_bv"), _assign_expr(bdbl, centroids).alias("_cid")
+    )
+    qdbl = as_double_array(q_vec_col)
+    probes = queries.select(
+        F.col(q_id_col),
+        qdbl.alias("_qv"),
+        F.explode(_probe_expr(qdbl, centroids, nprobe)).alias("_cid"),
+    )
+    sim = F.round(cosine(F.col("_bv"), F.col("_qv")), round_digits)
+    w = Window.partitionBy(q_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        assigned.join(F.broadcast(probes), on="_cid")
+        .filter(F.col(id_col) != F.col(q_id_col))
+        .select(q_id_col, id_col, sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 # -- IVF (inverted-file) coarse quantization -------------------------------
 
 

@@ -312,6 +312,73 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_retain_set",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION
+      SELECT d2, d1 FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT re.node, e.b FROM reach re JOIN edges e ON re.r = e.a
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    ranked AS (
+      SELECT c.node, c.component,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.component ORDER BY d.n_chars DESC, c.node
+             ) AS rn
+      FROM comp c JOIN documents d ON d.doc_id = c.node
+    )
+    SELECT d.doc_id, CAST(d.doc_id AS BIGINT) AS component
+    FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+    WHERE comp.node IS NULL
+    UNION ALL
+    SELECT node AS doc_id, CAST(component AS BIGINT) AS component
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_retain_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's actual DELIVERABLE (X2 end-to-end): the set
+    of documents to keep — every singleton, plus one representative per
+    near-dup cluster, chosen as the LONGEST member (n_chars desc,
+    doc_id tiebreak), i.e. "keep best", not "keep arbitrary". Output
+    (doc_id, component) where a singleton's component is itself.
+
+    Composes pairs -> connected components -> per-cluster ranking ->
+    anti-join; each step is an already-tested operator, and the whole
+    pipeline is still oracle-checked end-to-end via the recursive
+    closure. Scale: the per-cluster window partitions on component
+    (near-dup clusters are small by construction after the hub cap /
+    bucket guards), the singleton anti-join is key-partitioned."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    comp = dedup.connected_components(pairs, "d1", "d2")
+    ranked = (
+        comp.join(
+            d.select(F.col("doc_id").alias("node"), "n_chars"), on="node"
+        ).withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("component").orderBy(
+                    F.col("n_chars").desc(), F.col("node")
+                )
+            ),
+        )
+    )
+    reps = ranked.filter(F.col("rn") == 1).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    singles = d.join(
+        comp.select(F.col("node").alias("doc_id")), on="doc_id", how="left_anti"
+    ).select("doc_id", F.col("doc_id").alias("component"))
+    return singles.unionByName(reps)
+
+
+@query(
     "dedup_embedding_cosine",
     oracle=f"""
     WITH e AS (
@@ -390,6 +457,59 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _query_vector(spark, sf_dir, 0)
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(e, qv, k=TOPK, nprobe=2, exclude_id=0)
+
+
+KNN_K = 5
+KNN_QUERY_STRIDE = 50  # every 50th vector acts as a query
+
+
+@query(
+    "similarity_knn_join",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id % {KNN_QUERY_STRIDE} = 0
+    ),
+    s AS (
+      SELECT qid, vec_id,
+             ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 4) AS sim
+      FROM embeddings, q
+      WHERE vec_id <> qid
+    )
+    SELECT qid, vec_id, sim, rnk FROM (
+      SELECT qid, vec_id, sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY sim DESC, vec_id
+             ) AS INTEGER) AS rnk
+      FROM s
+    ) t WHERE rnk <= {KNN_K}
+    """,
+)
+def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN JOIN (X3): top-k cosine neighbors for EVERY vector
+    in a query batch (every KNN_QUERY_STRIDE-th corpus vector), not
+    just one probe — the batch-retrieval shape of embedding pipelines. The query
+    side is broadcast; the corpus is scanned once. Brute-force is the
+    exactness baseline per SURVEY §2.9; similarity_knn_join_ivf is the
+    corpus-scale path."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % KNN_QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.knn_join_brute(e, q, k=KNN_K)
+
+
+@query("similarity_knn_join_ivf")  # rows-only: approximate (coarse quantizer)
+def similarity_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN join through a shared IVF quantizer (X3 scale
+    path): candidates per query bounded by nprobe cluster sizes BEFORE
+    any shuffle — the equi-join on cluster id replaces the |Q|x|corpus|
+    nested loop. Deterministic (seeded quantizer, id tiebreaks)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % KNN_QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.knn_join_ivf(e, q, k=KNN_K, nprobe=2)
 
 
 # --------------------------------------------------------------------------

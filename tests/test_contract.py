@@ -29,6 +29,7 @@ def test_oracle_keys_subset_of_queries():
         "multimodal_resize",
         "agg_approx_distinct",
         "similarity_topk_ivf",
+        "similarity_knn_join_ivf",
     }
 
 

@@ -333,3 +333,81 @@ def test_lsh_index_matches_inline(spark, sf_dir, tmp_path):
     indexed = similarity.lsh_topk_indexed(spark, idx, qv, k=10, exclude_id=0)
     inline = similarity.lsh_topk(e, qv, k=10, exclude_id=0)
     assert [tuple(r) for r in indexed.collect()] == [tuple(r) for r in inline.collect()]
+
+
+# -- k-NN join -------------------------------------------------------------
+
+
+def test_knn_join_brute_matches_numpy(spark, sf_dir):
+    """Per-query neighbor sets from the Spark knn join must equal a
+    numpy brute-force reference (rounded-sim ranking, id tiebreak)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = similarity.knn_join_brute(e, q, k=5).collect()
+    by_q: dict[int, list[int]] = {}
+    for r in sorted(got, key=lambda r: (r.qid, r.rnk)):
+        by_q.setdefault(r.qid, []).append(r.vec_id)
+    for qid, neigh in by_q.items():
+        qi = int(np.where(ids == qid)[0][0])
+        sims = np.round(Mn @ Mn[qi], 4)
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != qid),
+            key=lambda i: (-sims[i], ids[i]),
+        )[:5]
+        assert neigh == [int(ids[i]) for i in order], f"qid={qid}"
+
+
+def test_knn_join_ivf_bounded_and_overlaps_exact(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = similarity.knn_join_brute(e, q, k=5).collect()
+    approx = similarity.knn_join_ivf(e, q, k=5, nprobe=2).collect()
+    ex: dict[int, set[int]] = {}
+    ap: dict[int, set[int]] = {}
+    for r in exact:
+        ex.setdefault(r.qid, set()).add(r.vec_id)
+    for r in approx:
+        ap.setdefault(r.qid, set()).add(r.vec_id)
+    assert set(ap) == set(ex)  # every query answered
+    for qid, s in ap.items():
+        assert len(s) <= 5
+        assert not any(v == qid for v in s)  # self excluded
+    # aggregate recall across queries: own-cluster probing must find a
+    # meaningful share of true neighbors
+    hits = sum(len(ap[q_] & ex[q_]) for q_ in ex)
+    total = sum(len(ex[q_]) for q_ in ex)
+    assert hits >= total * 0.4, f"recall {hits}/{total}"
+
+
+def test_retain_set_invariants(spark, sf_dir):
+    """Every doc appears exactly once across (singletons ∪ reps); the
+    representative is its cluster's longest member."""
+    import __spark_entry__ as entrymod
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = entrymod.queries()["dedup_retain_set"](spark, sf_dir)
+    comp = entrymod.queries()["dedup_cluster_components"](spark, sf_dir)
+    kept_rows = kept.collect()
+    assert len({r.doc_id for r in kept_rows}) == len(kept_rows)  # no dup keeps
+    n_docs = d.count()
+    comp_rows = comp.collect()
+    n_clustered = len(comp_rows)
+    n_clusters = len({r.component for r in comp_rows})
+    assert len(kept_rows) == n_docs - n_clustered + n_clusters
+    # representative = max n_chars (tiebreak min doc_id) within cluster
+    chars = {r.doc_id: r.n_chars for r in d.select("doc_id", "n_chars").collect()}
+    members: dict[int, list[int]] = {}
+    for r in comp_rows:
+        members.setdefault(r.component, []).append(r.doc_id)
+    reps = {r.doc_id for r in kept_rows if r.component != r.doc_id or r.doc_id in members.get(r.component, [])}
+    for c, ms in members.items():
+        best = sorted(ms, key=lambda m: (-chars[m], m))[0]
+        assert best in reps, f"cluster {c}: best member {best} not retained"

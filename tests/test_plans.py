@@ -26,17 +26,27 @@ def _plan(df) -> str:
 # but the operator semantics might tempt one (self-joins, theta joins).
 _NO_CARTESIAN = sorted(entrymod.queries())
 
+# The one sanctioned nested-loop shape: scoring the corpus against a
+# BROADCAST probe batch whose size is bounded by construction (a query
+# workload, never a second corpus). The corpus side streams once; the
+# per-row work is |Q|, not |corpus|. Anything else hitting BNLJ is
+# still a bug.
+_BOUNDED_BUILD_SIDE_OK = {"similarity_knn_join"}
+
 
 @pytest.mark.parametrize("name", _NO_CARTESIAN)
 def test_no_cartesian_or_nested_loop(spark, sf_dir, name):
-    """No declared query may plan a CartesianProduct or a
-    BroadcastNestedLoopJoin: every join in the engine is equi-keyed
-    (theta conditions ride as residual filters on an equi-join).
-    Either node is O(n*m) and dies at scale."""
+    """No declared query may plan a CartesianProduct, and none but the
+    sanctioned bounded-build-side scorers may plan a
+    BroadcastNestedLoopJoin: every other join in the engine is
+    equi-keyed (theta conditions ride as residual filters on an
+    equi-join). An unkeyed join over two corpus-scale sides is O(n*m)
+    and dies at scale."""
     df = entrymod.queries()[name](spark, sf_dir)
     plan = _plan(df)
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
-    assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans a nested-loop join"
+    if name not in _BOUNDED_BUILD_SIDE_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans a nested-loop join"
 
 
 def test_filter_reaches_parquet_scan(spark, sf_dir):
@@ -137,3 +147,24 @@ def test_correlated_subquery_decorrelates(spark, sf_dir):
     assert "HashJoin" in plan
     assert "HashAggregate" in plan
     assert "ScalarSubquery" not in plan
+
+
+def test_knn_join_partial_window_group_limit(spark, sf_dir):
+    """similarity_knn_join: the corpus side must be scanned once with
+    the QUERY side broadcast, and the top-k must pre-reduce map-side
+    (WindowGroupLimit Partial below the exchange) so the shuffle
+    carries |Q|*k rows per task, never |Q|*|corpus|."""
+    df = entrymod.queries()["similarity_knn_join"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_knn_join_ivf_is_equi_join(spark, sf_dir):
+    """similarity_knn_join_ivf: candidates must come from an equi-join
+    on the cluster id (hash-joinable), never a nested loop over the
+    corpus."""
+    df = entrymod.queries()["similarity_knn_join_ivf"](spark, sf_dir)
+    plan = _plan(df)
+    assert "HashJoin" in plan
+    assert "NestedLoop" not in plan
