@@ -1,0 +1,546 @@
+"""SPARQL front-end: parse the benchmark-query subset of SPARQL and
+compile it onto the BGP compiler (:mod:`plans.rdf`).
+
+The reference (SURVEY.md §0/§3, provenance [K]) has NO parser — each
+LUBM/SP2Bench SPARQL query was hand-translated into a bespoke MapReduce
+program. Its users' actual workload language, though, IS SPARQL: the 26
+benchmark queries are published as SPARQL text. This module closes that
+gap so a user can run the query text itself:
+
+    sparql(spark, sf_dir, '''
+        SELECT ?c ?cname WHERE {
+          ?c a <customer> .
+          ?c <name> ?cname ;
+             <nation> ?n .
+          FILTER NOT EXISTS { ?o <customer> ?c }
+        } ORDER BY ?cname LIMIT 10
+    ''')
+
+Supported surface (everything the LUBM Q1-Q14 / SP2Bench Q1-Q12 shapes
+need, SURVEY.md §2.3 J1-J9):
+
+* basic graph patterns with ``;`` / ``,`` predicate-object sugar,
+* ``?x a <table>`` type constraints (compiled to unpivot-branch pruning
+  — the vertical-partitioning analog of a class scan, never a scan of
+  an actual type predicate),
+* ``FILTER (expr)`` with comparisons, ``&&``/``||``/``!``, ``BOUND``,
+* ``OPTIONAL { }`` (left join), ``MINUS { }`` and
+  ``FILTER NOT EXISTS { }`` (anti join), ``FILTER EXISTS { }``
+  (semi join),
+* the SP2Bench Q6/Q7 idiom ``OPTIONAL { P } FILTER(!BOUND(?v))`` is
+  recognized structurally and compiled to an ANTI join (not a
+  left-join-then-filter) so the plan never carries the optional
+  columns,
+* ``{ } UNION { }`` at the top level of WHERE,
+* ``SELECT [DISTINCT]``, ``ORDER BY [ASC()/DESC()]``, ``LIMIT``,
+  ``OFFSET``.
+
+Out of scope, rejected with errors (as in the reference, SURVEY §2.3):
+variable predicates, property paths, subqueries, aggregates (the
+relational layer covers aggregation), named graphs.
+
+Execution inherits the BGP compiler's posture: dictionary-encoded int64
+joins with decode-on-projection (automatically falling back to the
+string path only when a FILTER compares an id-typed variable),
+per-predicate vertical partitioning, Catalyst/AQE join strategy
+selection. The parser adds zero per-row work — it only builds the same
+logical plan a hand-written ``bgp()`` call would.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rdf_mapreduce_joins_spark.plans.rdf import (
+    PRED_SPECS,
+    Pattern,
+    _var_kinds,
+    bgp,
+)
+
+_KEYWORDS = {
+    "SELECT",
+    "DISTINCT",
+    "WHERE",
+    "OPTIONAL",
+    "FILTER",
+    "NOT",
+    "EXISTS",
+    "MINUS",
+    "UNION",
+    "ORDER",
+    "BY",
+    "ASC",
+    "DESC",
+    "LIMIT",
+    "OFFSET",
+    "BOUND",
+}
+
+_TOKEN_RE = re.compile(
+    r"""(?P<ws>\s+|\#[^\n]*)
+      | (?P<var>\?[A-Za-z_]\w*)
+      | (?P<iri><[^<>\s]*>)
+      | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+      | (?P<num>\d+\.\d+|\d+)
+      | (?P<op2>&&|\|\||<=|>=|!=)
+      | (?P<ch>[{}().,;=<>!*])
+      | (?P<word>[A-Za-z_]\w*)
+    """,
+    re.X,
+)
+
+
+def _tokenize(text: str) -> list[str]:
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise SparqlSyntaxError(f"unrecognized input at: {text[pos:pos+20]!r}")
+        pos = m.end()
+        if m.lastgroup == "ws":
+            continue
+        tok = m.group()
+        if m.lastgroup == "word" and tok.upper() in _KEYWORDS:
+            tok = tok.upper()
+        out.append(tok)
+    return out
+
+
+class SparqlSyntaxError(ValueError):
+    pass
+
+
+class SparqlUnsupportedError(ValueError):
+    """Syntactically valid SPARQL outside the supported subset."""
+
+
+@dataclass
+class _Group:
+    triples: list[tuple[str, str, str]] = field(default_factory=list)
+    optionals: list["_Group"] = field(default_factory=list)
+    negations: list["_Group"] = field(default_factory=list)
+    exists: list["_Group"] = field(default_factory=list)
+    # ('sql', text, referenced-vars) | ('notbound', var)
+    filters: list[tuple] = field(default_factory=list)
+    unions: list["_Group"] = field(default_factory=list)
+
+    def all_vars_bound_here(self) -> set[str]:
+        vs = set()
+        for s, _p, o in self.triples:
+            if s.startswith("?"):
+                vs.add(s)
+            if o.startswith("?"):
+                vs.add(o)
+        return vs
+
+
+@dataclass
+class ParsedQuery:
+    distinct: bool
+    select: list[str]
+    where: _Group
+    types: dict[str, str]  # ?var -> table constraint
+    order_by: list[tuple[str, bool]]  # (var, ascending)
+    limit: int | None
+    offset: int | None
+
+
+_KNOWN_PREDS = {s.pred for s in PRED_SPECS}
+_KNOWN_TABLES = {s.table for s in PRED_SPECS}
+
+
+class _Parser:
+    def __init__(self, toks: list[str]):
+        self.toks = toks
+        self.i = 0
+        self.types: dict[str, str] = {}
+
+    # -- token helpers -----------------------------------------------------
+
+    def peek(self, ahead: int = 0) -> str | None:
+        j = self.i + ahead
+        return self.toks[j] if j < len(self.toks) else None
+
+    def next(self) -> str:
+        if self.i >= len(self.toks):
+            raise SparqlSyntaxError("unexpected end of query")
+        tok = self.toks[self.i]
+        self.i += 1
+        return tok
+
+    def expect(self, tok: str) -> None:
+        got = self.next()
+        if got != tok:
+            raise SparqlSyntaxError(f"expected {tok!r}, got {got!r}")
+
+    def accept(self, tok: str) -> bool:
+        if self.peek() == tok:
+            self.i += 1
+            return True
+        return False
+
+    # -- grammar -----------------------------------------------------------
+
+    def parse_query(self) -> ParsedQuery:
+        self.expect("SELECT")
+        distinct = self.accept("DISTINCT")
+        select: list[str] = []
+        if self.peek() == "*":
+            raise SparqlUnsupportedError("SELECT * unsupported; list variables")
+        while self.peek() and self.peek().startswith("?"):
+            select.append(self.next())
+        if not select:
+            raise SparqlSyntaxError("SELECT needs at least one ?variable")
+        self.expect("WHERE")
+        where = self.parse_group()
+        order_by: list[tuple[str, bool]] = []
+        limit = offset = None
+        while self.peek() is not None:
+            tok = self.next()
+            if tok == "ORDER":
+                self.expect("BY")
+                while True:
+                    p = self.peek()
+                    if p in ("ASC", "DESC"):
+                        asc = self.next() == "ASC"
+                        self.expect("(")
+                        order_by.append((self._var(), asc))
+                        self.expect(")")
+                    elif p is not None and p.startswith("?"):
+                        order_by.append((self.next(), True))
+                    else:
+                        break
+                if not order_by:
+                    raise SparqlSyntaxError("empty ORDER BY")
+            elif tok == "LIMIT":
+                limit = int(self.next())
+            elif tok == "OFFSET":
+                offset = int(self.next())
+            else:
+                raise SparqlSyntaxError(f"unexpected trailing token {tok!r}")
+        return ParsedQuery(
+            distinct, select, where, self.types, order_by, limit, offset
+        )
+
+    def _var(self) -> str:
+        tok = self.next()
+        if not tok.startswith("?"):
+            raise SparqlSyntaxError(f"expected ?variable, got {tok!r}")
+        return tok
+
+    def parse_group(self) -> _Group:
+        self.expect("{")
+        g = _Group()
+        if self.peek() == "{":  # { g } UNION { g } [UNION { g }]...
+            g.unions.append(self.parse_group())
+            while self.accept("UNION"):
+                g.unions.append(self.parse_group())
+            self.expect("}")
+            if len(g.unions) < 2:
+                raise SparqlSyntaxError("braced group without UNION")
+            return g
+        while self.peek() != "}":
+            tok = self.peek()
+            if tok is None:
+                raise SparqlSyntaxError("unterminated group: missing }")
+            if tok == "OPTIONAL":
+                self.next()
+                g.optionals.append(self.parse_group())
+            elif tok == "MINUS":
+                self.next()
+                g.negations.append(self.parse_group())
+            elif tok == "FILTER":
+                self.next()
+                if self.peek() == "NOT" and self.peek(1) == "EXISTS":
+                    self.next(), self.next()
+                    g.negations.append(self.parse_group())
+                elif self.peek() == "EXISTS":
+                    self.next()
+                    g.exists.append(self.parse_group())
+                else:
+                    g.filters.append(self.parse_filter())
+            else:
+                self.parse_triples_block(g)
+            self.accept(".")
+        self.expect("}")
+        return g
+
+    def parse_triples_block(self, g: _Group) -> None:
+        """subject (pred obj (, obj)*) (; pred obj (, obj)*)*"""
+        s = self.parse_term(position="subject")
+        while True:
+            p = self.parse_predicate()
+            while True:
+                o = self.parse_term(position="object")
+                if p == "a":
+                    self._record_type(s, o)
+                else:
+                    g.triples.append((s, p, o))
+                if not self.accept(","):
+                    break
+            if not self.accept(";"):
+                break
+            if self.peek() in (".", "}"):  # trailing ; is legal SPARQL
+                break
+
+    def _record_type(self, s: str, o: str) -> None:
+        if not s.startswith("?"):
+            raise SparqlUnsupportedError("type constraint needs a ?variable subject")
+        if o not in _KNOWN_TABLES:
+            raise SparqlUnsupportedError(
+                f"unknown class <{o}>; known: {sorted(_KNOWN_TABLES)}"
+            )
+        prev = self.types.setdefault(s, o)
+        if prev != o:
+            raise SparqlUnsupportedError(f"{s} typed as both <{prev}> and <{o}>")
+
+    def parse_predicate(self) -> str:
+        tok = self.next()
+        if tok == "a" or tok.lower() == "a":
+            return "a"
+        if tok.startswith("?"):
+            raise SparqlUnsupportedError(
+                "variable predicates are out of scope (SURVEY.md §2.3)"
+            )
+        if tok.startswith("<") and tok.endswith(">"):
+            pred = tok[1:-1]
+            if pred not in _KNOWN_PREDS:
+                raise SparqlUnsupportedError(
+                    f"unknown predicate <{pred}>; known: {sorted(_KNOWN_PREDS)}"
+                )
+            return pred
+        raise SparqlSyntaxError(f"expected predicate <iri> or 'a', got {tok!r}")
+
+    def parse_term(self, position: str) -> str:
+        tok = self.next()
+        if tok.startswith("?"):
+            return tok
+        if tok.startswith("<") and tok.endswith(">"):
+            return tok[1:-1]
+        if tok[:1] in "\"'":
+            return tok[1:-1].replace("\\" + tok[0], tok[0])
+        if re.fullmatch(r"\d+(\.\d+)?", tok):
+            return tok
+        raise SparqlSyntaxError(f"bad {position} term {tok!r}")
+
+    def parse_filter(self) -> tuple:
+        """FILTER ( expr ) — returns ('notbound', ?v) for the pure
+        !BOUND idiom, else ('sql', spark-sql-text, vars)."""
+        self.expect("(")
+        depth = 1
+        toks: list[str] = []
+        while depth:
+            tok = self.next()
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth -= 1
+                if not depth:
+                    break
+            toks.append(tok)
+        # pure !BOUND(?v), possibly inside redundant parens
+        core = toks[:]
+        while len(core) >= 2 and core[0] == "(" and core[-1] == ")":
+            core = core[1:-1]
+        if len(core) == 5 and core[0] == "!" and core[1] == "BOUND":
+            return ("notbound", core[3])
+        return self._filter_sql(toks)
+
+    def _filter_sql(self, toks: list[str]) -> tuple:
+        out: list[str] = []
+        vars_used: set[str] = set()
+        i = 0
+        while i < len(toks):
+            tok = toks[i]
+            if tok.startswith("?"):
+                vars_used.add(tok)
+                out.append(tok[1:])
+            elif tok == "BOUND":
+                if toks[i + 1 : i + 2] != ["("] or toks[i + 3 : i + 4] != [")"]:
+                    raise SparqlSyntaxError("BOUND takes one ?variable")
+                v = toks[i + 2]
+                vars_used.add(v)
+                out.append(f"({v[1:]} IS NOT NULL)")
+                i += 4
+                continue
+            elif tok == "&&":
+                out.append("AND")
+            elif tok == "||":
+                out.append("OR")
+            elif tok == "!":
+                out.append("NOT")
+            elif tok == "!=":
+                out.append("<>")
+            elif tok[:1] in "\"'":
+                lit = tok[1:-1].replace("\\" + tok[0], tok[0]).replace("'", "''")
+                out.append(f"'{lit}'")
+            else:
+                out.append(tok)
+            i += 1
+        return ("sql", " ".join(out), vars_used)
+
+
+def parse_sparql(text: str) -> ParsedQuery:
+    """Parse SPARQL text (supported subset) to a :class:`ParsedQuery`."""
+    return _Parser(_tokenize(text)).parse_query()
+
+
+# --------------------------------------------------------------------------
+# Compilation onto bgp()
+# --------------------------------------------------------------------------
+
+
+def _patterns(g: _Group, types: dict[str, str]) -> list[Pattern]:
+    return [
+        Pattern(s, p, o, s_table=types.get(s)) for s, p, o in g.triples
+    ]
+
+
+def _rewrite_notbound(q: ParsedQuery) -> None:
+    """``OPTIONAL { P } FILTER(!BOUND(?v))`` → anti-join group (J6/P4).
+
+    A pure-!BOUND filter whose variable is bound by exactly one OPTIONAL
+    group moves that group to negations; a !BOUND over a never-bound
+    variable is trivially true and dropped; anything else is rejected
+    (a !BOUND over a required variable is trivially false — surely a
+    query bug)."""
+    g = q.where
+    keep: list[tuple] = []
+    for f in g.filters:
+        if f[0] != "notbound":
+            keep.append(f)
+            continue
+        var = f[1]
+        binders = [og for og in g.optionals if var in og.all_vars_bound_here()]
+        required = {v for t in g.triples for v in (t[0], t[2]) if v.startswith("?")}
+        if binders:
+            if len(binders) > 1:
+                raise SparqlUnsupportedError(
+                    f"!BOUND({var}) is ambiguous over multiple OPTIONALs"
+                )
+            g.optionals.remove(binders[0])
+            g.negations.append(binders[0])
+        elif var in required:
+            raise SparqlUnsupportedError(
+                f"FILTER(!BOUND({var})) over a required variable is always false"
+            )
+        # never-bound: trivially true, drop
+    g.filters = keep
+
+
+def _compile_group(
+    spark: SparkSession, sf_dir: str, q: ParsedQuery, g: _Group
+) -> DataFrame:
+    pats = _patterns(g, q.types)
+    if not pats:
+        raise SparqlUnsupportedError("group needs at least one triple pattern")
+    opt = [_patterns(og, q.types) for og in g.optionals]
+    neg = [_patterns(ng, q.types) for ng in g.negations]
+    exi = [_patterns(eg, q.types) for eg in g.exists]
+    for sub, name in ((opt, "OPTIONAL"), (neg, "MINUS/NOT EXISTS"), (exi, "EXISTS")):
+        if any(not p for p in sub):
+            raise SparqlUnsupportedError(f"{name} group needs triple patterns")
+    sql_filters = [f for f in g.filters if f[0] == "sql"]
+    # id-typed variables hold dictionary ids pre-projection; a filter
+    # comparing one must run on the decoded string path. BOUND-only
+    # (IS [NOT] NULL) use is id-safe but folded into the general rule
+    # for simplicity — the declared queries only filter literals.
+    kinds = _var_kinds([pats, *opt, *neg, *exi])
+    encoded = not any(
+        kinds.get(v[1:], ("str",))[0] == "id"
+        for _, _sql, vs in sql_filters
+        for v in vs
+    )
+    return bgp(
+        spark,
+        sf_dir,
+        pats,
+        optional=opt or None,
+        negation=neg or None,
+        exists=exi or None,
+        filters=[f[1] for f in sql_filters] or None,
+        select=q.select,
+        distinct=q.distinct,
+        encoded=encoded,
+    )
+
+
+def sparql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+    """Parse and execute SPARQL text over the triples view.
+
+    One logical plan comes out (no driver-side iteration); Catalyst and
+    AQE choose the physical join strategies exactly as for hand-built
+    ``bgp()`` calls — the reference's per-query manual planning
+    (SURVEY.md §3.1) has no analog here because it is not needed."""
+    q = parse_sparql(text)
+    _rewrite_notbound(q)
+    if q.where.unions:
+        for branch in q.where.unions:
+            if branch.unions:
+                raise SparqlUnsupportedError("nested UNION unsupported")
+        parts = [_compile_group(spark, sf_dir, q, b) for b in q.where.unions]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if q.distinct:
+            out = out.distinct()
+    else:
+        out = _compile_group(spark, sf_dir, q, q.where)
+    if q.order_by:
+        cols = [
+            F.col(v[1:]).asc_nulls_last() if asc else F.col(v[1:]).desc_nulls_last()
+            for v, asc in q.order_by
+        ]
+        out = out.orderBy(*cols)
+    if q.offset is not None:
+        out = out.offset(q.offset)
+    if q.limit is not None:
+        out = out.limit(q.limit)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Declared query: the SPARQL front-end end-to-end (SURVEY.md §2.10)
+# --------------------------------------------------------------------------
+
+from rdf_mapreduce_joins_spark.plans.registry import query  # noqa: E402
+
+RDF_SPARQL_TEXT = """
+    SELECT ?c ?cname ?nname WHERE {
+      ?c a <customer> ;
+         <name> ?cname ;
+         <nation> ?n .
+      ?n <name> ?nname .
+      OPTIONAL { ?o <customer> ?c ; <status> "P" }
+      FILTER(!BOUND(?o))
+    }
+    ORDER BY ?cname ?c
+    LIMIT 20
+"""
+
+
+@query(
+    "rdf_sparql_frontend",
+    oracle="""
+    SELECT 'customer/' || c_custkey AS c, c_name AS cname, n_name AS nname
+    FROM customer JOIN nation ON n_nationkey = c_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    ORDER BY cname NULLS LAST, c NULLS LAST
+    LIMIT 20
+    """,
+)
+def rdf_sparql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SPARQL text path end-to-end: type-constrained star +
+    chain join + the OPTIONAL/!BOUND→anti-join rewrite + ORDER/LIMIT,
+    all from query TEXT (RDF_SPARQL_TEXT above) — the entry point a
+    user of the reference actually has in hand (its 26 benchmark
+    queries are published SPARQL). The oracle is independently derived
+    SQL over the base star schema, so parser + compiler + encoding are
+    differential-tested as one unit."""
+    return sparql(spark, sf_dir, RDF_SPARQL_TEXT)

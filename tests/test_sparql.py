@@ -1,0 +1,226 @@
+"""SPARQL front-end tests: text-vs-DataFrame equivalence against the
+declared rdf_* queries (the parser must produce the same results as the
+hand-built BGP calls), parser unit behavior, and rejection of
+out-of-subset constructs."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from rdf_mapreduce_joins_spark.plans import sparql as S
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+EQUIV = {
+    "rdf_chain_join": """
+      SELECT ?c ?n ?r ?rname WHERE {
+        ?c <mktsegment> ?seg ; <nation> ?n .
+        ?n <region> ?r . ?r <name> ?rname .
+      }""",
+    "rdf_cyclic_join": """
+      SELECT DISTINCT ?c ?s ?n WHERE {
+        ?l <order> ?o . ?o <customer> ?c .
+        ?l <supplier> ?s . ?c <nation> ?n . ?s <nation> ?n .
+      }""",
+    "rdf_negation_anti": """
+      SELECT ?c ?cname WHERE {
+        ?c <name> ?cname ; <mktsegment> ?seg .
+        OPTIONAL { ?o <customer> ?c . ?o <status> "F" . ?o <status> ?st }
+        FILTER(!BOUND(?st))
+      }""",
+    "rdf_exists_semi": """
+      SELECT ?c ?cname ?seg WHERE {
+        ?c <name> ?cname ; <mktsegment> ?seg .
+        FILTER EXISTS { ?o <customer> ?c . ?o <status> "P" }
+      }""",
+    "rdf_distinct_pairs": """
+      SELECT DISTINCT ?n ?name1 ?name2 WHERE {
+        ?s1 a <supplier> ; <nation> ?n ; <name> ?name1 .
+        ?s2 a <supplier> ; <nation> ?n ; <name> ?name2 .
+        FILTER(?name1 < ?name2)
+      }""",
+    "rdf_orderby_limit_offset": """
+      SELECT ?c ?cname WHERE { ?c <name> ?cname ; <mktsegment> ?seg . }
+      ORDER BY ?cname ?c LIMIT 10 OFFSET 50""",
+    "rdf_union_distinct": """
+      SELECT DISTINCT ?n WHERE {
+        { ?c a <customer> . ?c <nation> ?n }
+        UNION
+        { ?s a <supplier> . ?s <nation> ?n }
+      }""",
+    "rdf_broadcast_lookup": """
+      SELECT ?n ?nname WHERE { ?n <region> <region/0> ; <name> ?nname . }""",
+    "rdf_optional_join": """
+      SELECT ?c ?seg ?o ?st WHERE {
+        ?c <mktsegment> ?seg .
+        OPTIONAL { ?o <customer> ?c ; <status> ?st }
+      }""",
+}
+
+
+@pytest.mark.parametrize("name", sorted(EQUIV))
+def test_sparql_text_matches_declared_query(spark, sf_dir, name):
+    got = rows(S.sparql(spark, sf_dir, EQUIV[name]))
+    want = rows(entrymod.queries()[name](spark, sf_dir))
+    assert got == want
+
+
+def test_minus_equals_not_exists(spark, sf_dir):
+    base = """
+      SELECT ?c ?cname WHERE {{
+        ?c <name> ?cname ; <mktsegment> ?seg .
+        {clause}
+      }}"""
+    minus = rows(
+        S.sparql(spark, sf_dir, base.format(clause="MINUS { ?o <customer> ?c }"))
+    )
+    ne = rows(
+        S.sparql(
+            spark, sf_dir, base.format(clause="FILTER NOT EXISTS { ?o <customer> ?c }")
+        )
+    )
+    assert minus == ne
+
+
+def test_filter_on_id_var_falls_back_to_string_path(spark, sf_dir):
+    """Comparing an id-typed variable forces the decoded/string path;
+    results must still be correct (region/0 vs the same by constant)."""
+    via_filter = rows(
+        S.sparql(
+            spark,
+            sf_dir,
+            """SELECT ?n ?nname WHERE {
+                 ?n <region> ?r ; <name> ?nname . FILTER(?r = "region/0")
+               }""",
+        )
+    )
+    via_const = rows(
+        S.sparql(
+            spark,
+            sf_dir,
+            'SELECT ?n ?nname WHERE { ?n <region> <region/0> ; <name> ?nname . }',
+        )
+    )
+    assert via_filter == via_const
+
+
+def test_bound_inside_expression(spark, sf_dir):
+    """Non-pure BOUND use compiles to IS NOT NULL over the left join."""
+    got = rows(
+        S.sparql(
+            spark,
+            sf_dir,
+            """SELECT ?c ?seg WHERE {
+                 ?c <mktsegment> ?seg .
+                 OPTIONAL { ?o <customer> ?c ; <status> ?st }
+                 FILTER(BOUND(?st) && ?st = "F")
+               }""",
+        )
+    )
+    want = rows(
+        S.sparql(
+            spark,
+            sf_dir,
+            """SELECT ?c ?seg WHERE {
+                 ?c <mktsegment> ?seg .
+                 ?o <customer> ?c ; <status> "F" .
+               }""",
+        )
+    )
+    assert got == want
+
+
+def test_string_inequality_filter_partitions_corpus(spark, sf_dir):
+    """!= filters must be complementary: kept + excluded-by-filter
+    segments partition all customers exactly."""
+    all_rows = S.sparql(
+        spark, sf_dir, "SELECT ?c ?seg WHERE { ?c <mktsegment> ?seg . }"
+    ).collect()
+    kept = S.sparql(
+        spark,
+        sf_dir,
+        """SELECT ?c ?seg WHERE {
+             ?c <mktsegment> ?seg .
+             FILTER(?seg != "BUILDING" && ?seg != "MACHINERY")
+           }""",
+    ).count()
+    excluded = sum(1 for r in all_rows if r.seg in ("BUILDING", "MACHINERY"))
+    assert kept + excluded == len(all_rows)
+    assert 0 < kept < len(all_rows)
+
+
+def test_anti_join_plan_from_notbound(spark, sf_dir):
+    """The OPTIONAL/!BOUND idiom must plan an anti join, not a left
+    join plus filter."""
+    df = S.sparql(
+        spark,
+        sf_dir,
+        """SELECT ?c ?cname WHERE {
+             ?c <name> ?cname ; <mktsegment> ?seg .
+             OPTIONAL { ?o <customer> ?c . ?o <status> ?st }
+             FILTER(!BOUND(?st))
+           }""",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "LeftOuter" not in plan
+
+
+def test_type_constraint_prunes_union_branches(spark, sf_dir):
+    """?x a <supplier> must prune the customer branch of the nation
+    predicate union: exactly one base-table scan of supplier, none of
+    customer."""
+    df = S.sparql(
+        spark, sf_dir, "SELECT ?s ?n WHERE { ?s a <supplier> ; <nation> ?n . }"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "supplier.parquet" in plan
+    assert "customer.parquet" not in plan
+
+
+PARSE_ERRORS = [
+    ("SELECT ?x WHERE { ?x ?p ?y . }", "variable predicates"),
+    ("SELECT ?x WHERE { ?x <nosuchpred> ?y . }", "unknown predicate"),
+    ("SELECT ?x WHERE { ?x a <nosuchtable> . }", "unknown class"),
+    ("SELECT * WHERE { ?x <name> ?y . }", "SELECT [*] unsupported"),
+    ("SELECT ?x WHERE { ?x <name> ?y . ", "missing }"),
+    ("SELECT ?x WHERE { ?x <name> ?y . } LIMIT", "end of query"),
+    ("ASK { ?x <name> ?y . }", "expected 'SELECT'"),
+]
+
+
+@pytest.mark.parametrize("text,why", PARSE_ERRORS)
+def test_parse_errors(text, why):
+    with pytest.raises(ValueError):
+        S.parse_sparql(text)
+
+
+def test_notbound_on_required_var_rejected(spark, sf_dir):
+    with pytest.raises(S.SparqlUnsupportedError):
+        S.sparql(
+            spark,
+            sf_dir,
+            """SELECT ?c WHERE {
+                 ?c <name> ?cname . FILTER(!BOUND(?cname))
+               }""",
+        )
+
+
+def test_comment_and_whitespace_tolerance(spark, sf_dir):
+    got = rows(
+        S.sparql(
+            spark,
+            sf_dir,
+            """# leading comment
+               SELECT ?n ?nname   WHERE {
+                 ?n <region> <region/0> .   # inline comment
+                 ?n <name> ?nname
+               }""",
+        )
+    )
+    want = rows(entrymod.queries()["rdf_broadcast_lookup"](spark, sf_dir))
+    assert got == want
