@@ -65,6 +65,13 @@ class PredSpec:
     subj_cols: tuple[str, ...]
     obj_col: str
     obj_prefix: str | None = None
+    # Derived-edge extensions: ``obj_expr`` is a SQL expression (written
+    # in the Spark∩DuckDB-portable subset) that replaces ``obj_col`` as
+    # the object value; ``where`` restricts the source rows. Both render
+    # identically on the engine side (F.expr) and the oracle side
+    # (spec_sql), so derived predicates stay differential-testable.
+    obj_expr: str | None = None
+    where: str | None = None
 
 
 PRED_SPECS: tuple[PredSpec, ...] = (
@@ -80,6 +87,21 @@ PRED_SPECS: tuple[PredSpec, ...] = (
     PredSpec("name", "supplier", ("s_suppkey",), "s_name"),
     PredSpec("order", "lineitem", ("l_orderkey", "l_linenumber"), "l_orderkey", "orders/"),
     PredSpec("supplier", "lineitem", ("l_orderkey", "l_linenumber"), "l_suppkey", "supplier/"),
+    # Derived recursive edge: supplier s reports to supplier ⌊s/2⌋ — a
+    # deterministic binary-tree org hierarchy over the supplier keys
+    # (root = supplier/0). This is the engine's one self-referential
+    # predicate, existing to exercise SPARQL property paths (<manager>+
+    # transitive closure) with a WITH RECURSIVE DuckDB oracle; the
+    # closure operator itself is generic (operators/graph.py).
+    PredSpec(
+        "manager",
+        "supplier",
+        ("s_suppkey",),
+        "s_suppkey",
+        "supplier/",
+        obj_expr="CAST(FLOOR(s_suppkey / 2) AS BIGINT)",
+        where="s_suppkey >= 1",
+    ),
 )
 
 
@@ -112,12 +134,16 @@ def _subject_id(spec: PredSpec) -> F.Column:
     return F.lit(_TAG[spec.table] << _KEY_BITS) + key
 
 
+def _obj_value(spec: PredSpec) -> F.Column:
+    return F.expr(spec.obj_expr) if spec.obj_expr else F.col(spec.obj_col)
+
+
 def _object_id(spec: PredSpec) -> F.Column:
     """FK objects encode with the TARGET table's tag so they join that
     table's subject ids directly."""
     assert spec.obj_prefix is not None
     target = spec.obj_prefix.rstrip("/")
-    return F.lit(_TAG[target] << _KEY_BITS) + F.col(spec.obj_col).cast("long")
+    return F.lit(_TAG[target] << _KEY_BITS) + _obj_value(spec).cast("long")
 
 
 def _const_to_id(term: str) -> int:
@@ -188,7 +214,7 @@ def _subject_col(spec: PredSpec) -> F.Column:
 
 
 def _object_col(spec: PredSpec) -> F.Column:
-    obj = F.col(spec.obj_col).cast("string")
+    obj = _obj_value(spec).cast("string")
     return F.concat(F.lit(spec.obj_prefix), obj) if spec.obj_prefix else obj
 
 
@@ -202,6 +228,8 @@ def spec_df(
     ``encoded``: subject (and FK object) as int64 dictionary ids instead
     of IRI strings — the join-key form the BGP compiler uses."""
     base = load_table(spark, sf_dir, spec.table)
+    if spec.where:
+        base = base.filter(F.expr(spec.where))
     if encoded:
         obj = _object_id(spec) if spec.obj_prefix else _object_col(spec)
         return base.select(_subject_id(spec).alias("subject"), obj.alias("object"))
@@ -247,13 +275,15 @@ def triples(spark: SparkSession, sf_dir: str, preds: list[str] | None = None) ->
 def spec_sql(spec: PredSpec) -> str:
     """Oracle-side rendering of one unpivot branch (DuckDB SQL)."""
     subj = f"'{spec.table}/' || " + " || '/' || ".join(spec.subj_cols)
+    obj_src = f"({spec.obj_expr})" if spec.obj_expr else spec.obj_col
     if spec.obj_prefix:
-        obj = f"'{spec.obj_prefix}' || {spec.obj_col}"
+        obj = f"'{spec.obj_prefix}' || {obj_src}"
     else:
-        obj = f"CAST({spec.obj_col} AS VARCHAR)"
+        obj = f"CAST({obj_src} AS VARCHAR)"
+    where = f" WHERE {spec.where}" if spec.where else ""
     return (
         f"SELECT {subj} AS subject, '{spec.pred}' AS predicate, {obj} AS object "
-        f"FROM {spec.table}"
+        f"FROM {spec.table}{where}"
     )
 
 
@@ -305,12 +335,37 @@ class Pattern:
     base-table scans at plan-build time — Catalyst cannot constant-fold
     a ``LIKE 'table/%'`` over the concat-built subject, so without the
     constraint every branch of the predicate union is scanned and
-    discarded post-union (observed via .explain; matters at scale)."""
+    discarded post-union (observed via .explain; matters at scale).
+
+    ``plus`` marks a SPARQL ``<p>+`` transitive step: the pattern
+    matches (s, o) connected by a path of ≥1 ``p`` edges. Requires a
+    self-referential FK predicate (object domain == subject domain) —
+    validated here so hand-built BGPs fail as early as parsed ones."""
 
     s: str
     p: str
     o: str
     s_table: str | None = None
+    plus: bool = False
+
+    def __post_init__(self) -> None:
+        if self.plus:
+            specs = [
+                sp
+                for sp in PRED_SPECS
+                if sp.pred == self.p
+                and (self.s_table is None or sp.table == self.s_table)
+            ]
+            bad = [
+                sp
+                for sp in specs
+                if sp.obj_prefix is None or sp.obj_prefix.rstrip("/") != sp.table
+            ]
+            if not specs or bad:
+                raise ValueError(
+                    f"<{self.p}>+ needs a self-referential FK predicate "
+                    f"(object domain == subject domain)"
+                )
 
 
 def _is_var(term: str) -> bool:
@@ -322,6 +377,12 @@ def _pattern_df(
 ) -> DataFrame:
     df = pred_df(spark, sf_dir, pat.p, table=pat.s_table, encoded=encoded)
     obj_fk = _obj_is_fk(pat.p, pat.s_table)
+    if pat.plus:
+        from rdf_mapreduce_joins_spark.operators.graph import transitive_closure
+
+        df = transitive_closure(df, src="subject", dst="object").select(
+            F.col("src").alias("subject"), F.col("dst").alias("object")
+        )
     if not _is_var(pat.s):
         s_const = F.lit(_const_to_id(pat.s)) if encoded else F.lit(pat.s)
         df = df.filter(F.col("subject") == s_const)

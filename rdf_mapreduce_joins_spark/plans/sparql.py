@@ -32,11 +32,18 @@ need, SURVEY.md §2.3 J1-J9):
   left-join-then-filter) so the plan never carries the optional
   columns,
 * ``{ } UNION { }`` at the top level of WHERE,
+* **property paths** in predicate position: sequence ``<p1>/<p2>``
+  (lowered to chained patterns through fresh variables), inverse
+  ``^<p>`` (endpoint swap), and transitive ``<p>+`` (compiled to the
+  iterative-doubling closure operator, operators/graph.py — the one
+  construct whose unbounded reachability a fixed join pipeline cannot
+  express),
 * ``SELECT [DISTINCT]``, ``ORDER BY [ASC()/DESC()]``, ``LIMIT``,
   ``OFFSET``.
 
 Out of scope, rejected with errors (as in the reference, SURVEY §2.3):
-variable predicates, property paths, subqueries, aggregates (the
+variable predicates, ``*``/``?`` path modifiers and ``|`` alternation
+(the error names the UNION rewrite), subqueries, aggregates (the
 relational layer covers aggregation), named graphs.
 
 Execution inherits the BGP compiler's posture: dictionary-encoded int64
@@ -88,7 +95,7 @@ _TOKEN_RE = re.compile(
       | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
       | (?P<num>\d+\.\d+|\d+)
       | (?P<op2>&&|\|\||<=|>=|!=)
-      | (?P<ch>[{}().,;=<>!*])
+      | (?P<ch>[{}().,;=<>!*/^+|?-])
       | (?P<word>[A-Za-z_]\w*)
     """,
     re.X,
@@ -121,7 +128,8 @@ class SparqlUnsupportedError(ValueError):
 
 @dataclass
 class _Group:
-    triples: list[tuple[str, str, str]] = field(default_factory=list)
+    # (subject, predicate, object, transitive)
+    triples: list[tuple[str, str, str, bool]] = field(default_factory=list)
     optionals: list["_Group"] = field(default_factory=list)
     negations: list["_Group"] = field(default_factory=list)
     exists: list["_Group"] = field(default_factory=list)
@@ -131,7 +139,7 @@ class _Group:
 
     def all_vars_bound_here(self) -> set[str]:
         vs = set()
-        for s, _p, o in self.triples:
+        for s, _p, o, _plus in self.triples:
             if s.startswith("?"):
                 vs.add(s)
             if o.startswith("?"):
@@ -159,6 +167,7 @@ class _Parser:
         self.toks = toks
         self.i = 0
         self.types: dict[str, str] = {}
+        self._fresh = 0
 
     # -- token helpers -----------------------------------------------------
 
@@ -271,22 +280,40 @@ class _Parser:
         return g
 
     def parse_triples_block(self, g: _Group) -> None:
-        """subject (pred obj (, obj)*) (; pred obj (, obj)*)*"""
+        """subject (path obj (, obj)*) (; path obj (, obj)*)*"""
         s = self.parse_term(position="subject")
         while True:
-            p = self.parse_predicate()
+            steps = self.parse_path()
             while True:
                 o = self.parse_term(position="object")
-                if p == "a":
+                if steps == "a":
                     self._record_type(s, o)
                 else:
-                    g.triples.append((s, p, o))
+                    self._emit_path(g, s, steps, o)
                 if not self.accept(","):
                     break
             if not self.accept(";"):
                 break
             if self.peek() in (".", "}"):  # trailing ; is legal SPARQL
                 break
+
+    def _fresh_var(self) -> str:
+        self._fresh += 1
+        return f"?__pv{self._fresh}"
+
+    def _emit_path(
+        self, g: _Group, s: str, steps: list[tuple[str, bool, bool]], o: str
+    ) -> None:
+        """Lower a property path to triple patterns: sequence steps
+        chain through fresh variables; an inverse step swaps its two
+        endpoints; a ``+`` step becomes a transitive pattern (compiled
+        to the closure operator by plans/rdf.py). The lowering adds no
+        execution machinery — a path IS the BGP it abbreviates."""
+        terms = [s] + [self._fresh_var() for _ in steps[:-1]] + [o]
+        for (pred, inv, plus), a, b in zip(steps, terms, terms[1:]):
+            if inv:
+                a, b = b, a
+            g.triples.append((a, pred, b, plus))
 
     def _record_type(self, s: str, o: str) -> None:
         if not s.startswith("?"):
@@ -299,22 +326,57 @@ class _Parser:
         if prev != o:
             raise SparqlUnsupportedError(f"{s} typed as both <{prev}> and <{o}>")
 
-    def parse_predicate(self) -> str:
-        tok = self.next()
-        if tok == "a" or tok.lower() == "a":
+    def parse_path(self) -> str | list[tuple[str, bool, bool]]:
+        """Property path in predicate position.
+
+        Grammar: ``path := step ('/' step)* ; step := '^'? <iri> '+'?``.
+        Returns the literal string ``"a"`` for a bare type constraint,
+        else a list of (pred, inverse, transitive) steps. ``*`` and
+        ``?`` modifiers are rejected: their zero-length match binds
+        subject = object over the whole node domain, which is never what
+        a benchmark query means and would materialize the domain — use
+        ``+`` (≥1 step) instead. ``|`` alternation is rejected in favor
+        of the equivalent explicit ``UNION`` (same compiled plan)."""
+        if self.peek() == "a" and not (self.peek(1) in ("/", "+", "*", "|")):
+            self.next()
             return "a"
+        steps: list[tuple[str, bool, bool]] = []
+        while True:
+            steps.append(self._parse_path_step())
+            if not self.accept("/"):
+                break
+        return steps
+
+    def _parse_path_step(self) -> tuple[str, bool, bool]:
+        inverse = self.accept("^")
+        tok = self.next()
         if tok.startswith("?"):
             raise SparqlUnsupportedError(
                 "variable predicates are out of scope (SURVEY.md §2.3)"
             )
-        if tok.startswith("<") and tok.endswith(">"):
-            pred = tok[1:-1]
-            if pred not in _KNOWN_PREDS:
+        if tok == "a":
+            raise SparqlUnsupportedError("'a' cannot appear inside a property path")
+        if not (tok.startswith("<") and tok.endswith(">")):
+            raise SparqlSyntaxError(f"expected predicate <iri> or 'a', got {tok!r}")
+        pred = tok[1:-1]
+        if pred not in _KNOWN_PREDS:
+            raise SparqlUnsupportedError(
+                f"unknown predicate <{pred}>; known: {sorted(_KNOWN_PREDS)}"
+            )
+        plus = False
+        if self.peek() in ("+", "*", "?"):
+            mod = self.next()
+            if mod != "+":
                 raise SparqlUnsupportedError(
-                    f"unknown predicate <{pred}>; known: {sorted(_KNOWN_PREDS)}"
+                    f"path modifier {mod!r} unsupported (zero-length match "
+                    "binds subject=object over the whole domain); use '+'"
                 )
-            return pred
-        raise SparqlSyntaxError(f"expected predicate <iri> or 'a', got {tok!r}")
+            plus = True
+        if self.peek() == "|":
+            raise SparqlUnsupportedError(
+                "path alternation '|' unsupported; write the equivalent UNION"
+            )
+        return (pred, inverse, plus)
 
     def parse_term(self, position: str) -> str:
         tok = self.next()
@@ -397,7 +459,8 @@ def parse_sparql(text: str) -> ParsedQuery:
 
 def _patterns(g: _Group, types: dict[str, str]) -> list[Pattern]:
     return [
-        Pattern(s, p, o, s_table=types.get(s)) for s, p, o in g.triples
+        Pattern(s, p, o, s_table=types.get(s), plus=plus)
+        for s, p, o, plus in g.triples
     ]
 
 
@@ -544,3 +607,74 @@ def rdf_sparql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL over the base star schema, so parser + compiler + encoding are
     differential-tested as one unit."""
     return sparql(spark, sf_dir, RDF_SPARQL_TEXT)
+
+
+@query(
+    "rdf_path_sequence",
+    oracle="""
+    SELECT 'customer/' || c_custkey AS c, r_name AS rname,
+           o_orderstatus AS st
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    JOIN orders ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def rdf_path_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence + inverse property paths: ``<nation>/<region>/<name>``
+    walks customer→nation→region→literal through fresh variables (one
+    chain-join plan, identical to writing the patterns out), and
+    ``^<customer>/<status>`` walks customer→orders *against* the FK
+    direction then out to the status literal. Oracle is the plain
+    star-schema join — paths are pure syntax, so the compiled plan must
+    match it exactly."""
+    return sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?c ?rname ?st WHERE {
+          ?c <mktsegment> "BUILDING" .
+          ?c <nation>/<region>/<name> ?rname .
+          ?c ^<customer>/<status> ?st .
+        }
+        """,
+    )
+
+
+@query(
+    "rdf_path_transitive",
+    oracle="""
+    WITH RECURSIVE closure(src, dst) AS (
+      SELECT s_suppkey, CAST(FLOOR(s_suppkey / 2) AS BIGINT)
+      FROM supplier WHERE s_suppkey >= 1
+      UNION
+      SELECT c.src, CAST(FLOOR(c.dst / 2) AS BIGINT)
+      FROM closure c WHERE c.dst >= 1
+    )
+    SELECT 'supplier/' || closure.src AS s,
+           'supplier/' || closure.dst AS boss,
+           s2.s_name AS bossname
+    FROM closure JOIN supplier s2 ON s2.s_suppkey = closure.dst
+    """,
+)
+def rdf_path_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive property path ``<manager>+`` — unbounded reachability
+    over the supplier org tree (supplier s reports to ⌊s/2⌋), joined
+    back to a literal pattern on the closure's object end. The engine
+    side runs the iterative-doubling closure (⌈log₂ depth⌉ shuffle
+    rounds — operators/graph.py); the oracle derives the same closure
+    *independently* via DuckDB WITH RECURSIVE over the raw keys (one
+    row per hop), so operator, encoding, and path lowering are all
+    differential-tested."""
+    return sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?s ?boss ?bossname WHERE {
+          ?s <manager>+ ?boss .
+          ?boss a <supplier> ;
+                <name> ?bossname .
+        }
+        """,
+    )

@@ -411,3 +411,34 @@ def test_retain_set_invariants(spark, sf_dir):
     for c, ms in members.items():
         best = sorted(ms, key=lambda m: (-chars[m], m))[0]
         assert best in reps, f"cluster {c}: best member {best} not retained"
+
+
+# --------------------------------------------------------------------------
+# Transitive closure (operators/graph.py)
+# --------------------------------------------------------------------------
+
+from rdf_mapreduce_joins_spark.operators.graph import transitive_closure
+
+
+def test_transitive_closure_chain_and_island(spark):
+    """Chain 1→2→3 plus island 4→5: closure adds (1,3) only."""
+    edges = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "src long, dst long")
+    got = {tuple(r) for r in transitive_closure(edges).collect()}
+    assert got == {(1, 2), (2, 3), (1, 3), (4, 5)}
+
+
+def test_transitive_closure_cycle_terminates(spark):
+    """A 2-cycle must converge (distinct bounds the fixpoint) and
+    include the self-reachability pairs."""
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    got = {tuple(r) for r in transitive_closure(edges).collect()}
+    assert got == {(1, 2), (2, 1), (1, 1), (2, 2)}
+
+
+def test_transitive_closure_long_chain_round_count(spark):
+    """Path doubling: a 100-node chain needs ⌈log₂ 99⌉ = 7 growth
+    rounds, far under max_iter; result size is n·(n−1)/2."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "src long, dst long"
+    )
+    assert transitive_closure(edges).count() == 101 * 100 // 2

@@ -10,10 +10,14 @@ from rdf_mapreduce_joins_spark.sources.tables import load_table
 
 
 def test_triples_view_row_counts(spark, sf_dir):
-    """Unpivot cardinality: one triple per (spec row × base row)."""
-    counts = {t: load_table(spark, sf_dir, t).count() for t in
-              {"customer", "nation", "region", "orders", "supplier", "lineitem"}}
-    expected = sum(counts[s.table] for s in rdf.PRED_SPECS)
+    """Unpivot cardinality: one triple per (spec row × base row passing
+    the spec's WHERE, if any)."""
+    expected = 0
+    for s in rdf.PRED_SPECS:
+        base = load_table(spark, sf_dir, s.table)
+        if s.where:
+            base = base.filter(s.where)
+        expected += base.count()
     assert rdf.triples(spark, sf_dir).count() == expected
 
 

@@ -210,6 +210,70 @@ def test_notbound_on_required_var_rejected(spark, sf_dir):
         )
 
 
+def test_path_sequence_equals_expanded(spark, sf_dir):
+    """A sequence path is pure syntax: identical results (and plan) to
+    writing the chain through explicit variables."""
+    got = rows(
+        S.sparql(
+            spark,
+            sf_dir,
+            "SELECT ?c ?rname WHERE { ?c <nation>/<region>/<name> ?rname . }",
+        )
+    )
+    want = rows(
+        S.sparql(
+            spark,
+            sf_dir,
+            """SELECT ?c ?rname WHERE {
+                 ?c <nation> ?n . ?n <region> ?r . ?r <name> ?rname .
+               }""",
+        )
+    )
+    assert got == want and got
+
+
+def test_path_inverse_equals_forward(spark, sf_dir):
+    """^<p> swaps endpoints — same rows as the forward pattern with
+    subject/object exchanged."""
+    got = rows(
+        S.sparql(spark, sf_dir, "SELECT ?c ?n WHERE { ?n ^<nation> ?c . ?c a <customer> . }")
+    )
+    want = rows(
+        S.sparql(spark, sf_dir, "SELECT ?c ?n WHERE { ?c a <customer> ; <nation> ?n . }")
+    )
+    assert got == want and got
+
+
+def test_path_transitive_from_constant(spark, sf_dir):
+    """<manager>+ from a ground subject returns exactly the ⌊/2⌋
+    ancestor chain (supplier/9 → 4 → 2 → 1 → 0)."""
+    got = rows(
+        S.sparql(spark, sf_dir, "SELECT ?a WHERE { <supplier/9> <manager>+ ?a . }")
+    )
+    assert got == [("supplier/0",), ("supplier/1",), ("supplier/2",), ("supplier/4",)]
+
+
+PATH_ERRORS = [
+    "SELECT ?x ?y WHERE { ?x <name>* ?y . }",
+    "SELECT ?x ?y WHERE { ?x <name>? ?y . }",
+    "SELECT ?x ?y WHERE { ?x <nation>|<region> ?y . }",
+    "SELECT ?x ?y WHERE { ?x <nation>/a ?y . }",
+]
+
+
+@pytest.mark.parametrize("text", PATH_ERRORS)
+def test_path_modifier_rejections(text):
+    with pytest.raises(ValueError):
+        S.parse_sparql(text)
+
+
+def test_transitive_over_non_self_referential_pred_rejected(spark, sf_dir):
+    """<nation>+ (customer→nation, not self-referential) must be
+    rejected at compile time, not loop or return garbage."""
+    with pytest.raises(ValueError):
+        S.sparql(spark, sf_dir, "SELECT ?x ?y WHERE { ?x <nation>+ ?y . }").collect()
+
+
 def test_comment_and_whitespace_tolerance(spark, sf_dir):
     got = rows(
         S.sparql(
