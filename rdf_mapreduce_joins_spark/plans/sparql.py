@@ -39,7 +39,12 @@ need, SURVEY.md §2.3 J1-J9):
   construct whose unbounded reachability a fixed join pipeline cannot
   express),
 * ``SELECT [DISTINCT]``, ``ORDER BY [ASC()/DESC()]``, ``LIMIT``,
-  ``OFFSET``.
+  ``OFFSET``,
+* the other two benchmark query forms: ``ASK { }`` (1-row boolean
+  frame; LIMIT-1-bounded existence probe — SP2Bench Q12a/b/c are ASK)
+  and ``CONSTRUCT { template } WHERE { }`` (template instantiated per
+  solution, unioned, deduped into a (subject, predicate, object)
+  graph frame; free output vocabulary).
 
 Out of scope, rejected with errors (as in the reference, SURVEY §2.3):
 variable predicates, ``*``/``?`` path modifiers and ``|`` alternation
@@ -71,6 +76,8 @@ from rdf_mapreduce_joins_spark.plans.rdf import (
 
 _KEYWORDS = {
     "SELECT",
+    "ASK",
+    "CONSTRUCT",
     "DISTINCT",
     "WHERE",
     "OPTIONAL",
@@ -156,6 +163,9 @@ class ParsedQuery:
     order_by: list[tuple[str, bool]]  # (var, ascending)
     limit: int | None
     offset: int | None
+    form: str = "select"  # select | ask | construct
+    # CONSTRUCT template triples; terms are ?vars, <iri> text, or literals
+    template: list[tuple[str, str, str]] | None = None
 
 
 _KNOWN_PREDS = {s.pred for s in PRED_SPECS}
@@ -196,7 +206,39 @@ class _Parser:
     # -- grammar -----------------------------------------------------------
 
     def parse_query(self) -> ParsedQuery:
-        self.expect("SELECT")
+        form_tok = self.next()
+        if form_tok == "ASK":
+            # ASK: bare group, no projection/modifiers (strict SPARQL
+            # allows none either). WHERE keyword is optional per spec.
+            self.accept("WHERE")
+            where = self.parse_group()
+            if self.peek() is not None:
+                raise SparqlSyntaxError(f"unexpected trailing token {self.peek()!r}")
+            return ParsedQuery(
+                False, [], where, self.types, [], None, None, form="ask"
+            )
+        if form_tok == "CONSTRUCT":
+            template = self.parse_template()
+            self.expect("WHERE")
+            where = self.parse_group()
+            if self.peek() is not None:
+                raise SparqlSyntaxError(f"unexpected trailing token {self.peek()!r}")
+            tvars = sorted(
+                {t for tr in template for t in tr if t.startswith("?")}
+            )
+            return ParsedQuery(
+                False,
+                tvars,
+                where,
+                self.types,
+                [],
+                None,
+                None,
+                form="construct",
+                template=template,
+            )
+        if form_tok != "SELECT":
+            raise SparqlSyntaxError(f"expected 'SELECT', got {form_tok!r}")
         distinct = self.accept("DISTINCT")
         select: list[str] = []
         if self.peek() == "*":
@@ -296,6 +338,39 @@ class _Parser:
                 break
             if self.peek() in (".", "}"):  # trailing ; is legal SPARQL
                 break
+
+    def parse_template(self) -> list[tuple[str, str, str]]:
+        """CONSTRUCT template: triples with ``;``/``,`` sugar. Unlike
+        WHERE patterns, template predicates are free IRI text (the
+        constructed graph may use vocabulary the store doesn't hold)
+        and paths/types are meaningless here."""
+        self.expect("{")
+        tmpl: list[tuple[str, str, str]] = []
+        while self.peek() != "}":
+            if self.peek() is None:
+                raise SparqlSyntaxError("unterminated template: missing }")
+            s = self.parse_term(position="subject")
+            while True:
+                ptok = self.next()
+                if not (ptok.startswith("<") and ptok.endswith(">")):
+                    raise SparqlSyntaxError(
+                        f"template predicate must be <iri>, got {ptok!r}"
+                    )
+                p = ptok[1:-1]
+                while True:
+                    o = self.parse_term(position="object")
+                    tmpl.append((s, p, o))
+                    if not self.accept(","):
+                        break
+                if not self.accept(";"):
+                    break
+                if self.peek() in (".", "}"):
+                    break
+            self.accept(".")
+        self.expect("}")
+        if not tmpl:
+            raise SparqlSyntaxError("empty CONSTRUCT template")
+        return tmpl
 
     def _fresh_var(self) -> str:
         self._fresh += 1
@@ -542,6 +617,19 @@ def sparql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
     (SURVEY.md §3.1) has no analog here because it is not needed."""
     q = parse_sparql(text)
     _rewrite_notbound(q)
+    if q.form == "ask":
+        # Existence as a 1-row boolean frame, fully lazy: LIMIT 1 stops
+        # the scan at the first solution; the left join against a
+        # constant single-row probe materializes true/false without a
+        # driver-side count.
+        sol = _compile_group(spark, sf_dir, q, q.where)
+        marker = sol.limit(1).select(
+            F.lit(1).alias("_k"), F.lit(1).alias("_m")
+        )
+        probe = spark.range(1).select(F.lit(1).alias("_k"))
+        return probe.join(F.broadcast(marker), on="_k", how="left").select(
+            F.col("_m").isNotNull().alias("ask")
+        )
     if q.where.unions:
         for branch in q.where.unions:
             if branch.unions:
@@ -554,6 +642,27 @@ def sparql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
             out = out.distinct()
     else:
         out = _compile_group(spark, sf_dir, q, q.where)
+    if q.form == "construct":
+        # Instantiate each template triple per solution row, union, and
+        # dedupe — a CONSTRUCT result is a graph (set of triples). The
+        # solution frame is computed once; Catalyst reuses its subtree
+        # across the per-template-triple projections.
+        def term(t: str) -> F.Column:
+            return F.col(t[1:]).cast("string") if t.startswith("?") else F.lit(t)
+
+        assert q.template is not None
+        parts = [
+            out.select(
+                term(s).alias("subject"),
+                F.lit(p).alias("predicate"),
+                term(o).alias("object"),
+            )
+            for s, p, o in q.template
+        ]
+        tri = parts[0]
+        for p_df in parts[1:]:
+            tri = tri.unionByName(p_df)
+        return tri.distinct()
     if q.order_by:
         cols = [
             F.col(v[1:]).asc_nulls_last() if asc else F.col(v[1:]).desc_nulls_last()
@@ -638,6 +747,63 @@ def rdf_path_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
           ?c <nation>/<region>/<name> ?rname .
           ?c ^<customer>/<status> ?st .
         }
+        """,
+    )
+
+
+@query(
+    "rdf_sparql_ask",
+    oracle="""
+    SELECT EXISTS(
+      SELECT 1 FROM customer
+      WHERE c_mktsegment = 'BUILDING' AND c_nationkey = 3
+    ) AS ask
+    """,
+)
+def rdf_sparql_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ASK form (SP2Bench Q12a/b/c are ASK queries [K]): a
+    1-row boolean frame. LIMIT 1 bounds the probe scan — existence
+    never materializes the solution set — and the answer row exists
+    even when the pattern has no matches (left join against a constant
+    probe row, broadcast, no driver-side count)."""
+    return sparql(
+        spark,
+        sf_dir,
+        'ASK { ?c <mktsegment> "BUILDING" ; <nation> <nation/3> . }',
+    )
+
+
+@query(
+    "rdf_sparql_construct",
+    oracle="""
+    WITH sol AS (
+      SELECT 'customer/' || c_custkey AS c, 'region/' || r_regionkey AS r,
+             r_name AS rname
+      FROM customer
+      JOIN nation ON n_nationkey = c_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+    )
+    SELECT DISTINCT subject, predicate, object FROM (
+      SELECT c AS subject, 'locatedIn' AS predicate, r AS object FROM sol
+      UNION ALL
+      SELECT r AS subject, 'label' AS predicate, rname AS object FROM sol
+    )
+    """,
+)
+def rdf_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT form: template triples instantiated per
+    solution of the WHERE pattern (here a sequence property path),
+    unioned and deduplicated into a graph. Output vocabulary
+    (``locatedIn``/``label``) is free template text — constructed
+    graphs routinely use predicates the store doesn't hold. The result
+    is a (subject, predicate, object) frame that write_ntriples can
+    serialize directly."""
+    return sparql(
+        spark,
+        sf_dir,
+        """
+        CONSTRUCT { ?c <locatedIn> ?r . ?r <label> ?rname }
+        WHERE { ?c a <customer> ; <nation>/<region> ?r . ?r <name> ?rname . }
         """,
     )
 

@@ -189,7 +189,9 @@ PARSE_ERRORS = [
     ("SELECT * WHERE { ?x <name> ?y . }", "SELECT [*] unsupported"),
     ("SELECT ?x WHERE { ?x <name> ?y . ", "missing }"),
     ("SELECT ?x WHERE { ?x <name> ?y . } LIMIT", "end of query"),
-    ("ASK { ?x <name> ?y . }", "expected 'SELECT'"),
+    ("DESCRIBE <customer/1>", "unsupported form"),
+    ("ASK { ?x <name> ?y . } LIMIT 5", "ASK takes no modifiers"),
+    ("CONSTRUCT { } WHERE { ?x <name> ?y . }", "empty template"),
 ]
 
 
@@ -208,6 +210,35 @@ def test_notbound_on_required_var_rejected(spark, sf_dir):
                  ?c <name> ?cname . FILTER(!BOUND(?cname))
                }""",
         )
+
+
+def test_ask_true_and_false(spark, sf_dir):
+    t = S.sparql(spark, sf_dir, 'ASK { ?c <mktsegment> "BUILDING" . }').collect()
+    f = S.sparql(spark, sf_dir, 'ASK { ?c <mktsegment> "NO_SUCH_SEG" . }').collect()
+    assert [r.ask for r in t] == [True]
+    assert [r.ask for r in f] == [False]
+
+
+def test_construct_equals_manual_union(spark, sf_dir):
+    got = rows(
+        S.sparql(
+            spark,
+            sf_dir,
+            """CONSTRUCT { ?n <within> ?r }
+               WHERE { ?n a <nation> ; <region> ?r . }""",
+        )
+    )
+    sel = S.sparql(
+        spark, sf_dir, "SELECT ?n ?r WHERE { ?n a <nation> ; <region> ?r . }"
+    ).collect()
+    want = sorted({(r.n, "within", r.r) for r in sel})
+    assert got == want
+    assert S.sparql(
+        spark,
+        sf_dir,
+        """CONSTRUCT { ?n <within> ?r }
+           WHERE { ?n a <nation> ; <region> ?r . }""",
+    ).columns == ["subject", "predicate", "object"]
 
 
 def test_path_sequence_equals_expanded(spark, sf_dir):
