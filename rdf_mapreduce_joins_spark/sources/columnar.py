@@ -1,0 +1,61 @@
+"""Columnar interchange formats beyond parquet (SURVEY.md §2.1
+S-family extension).
+
+Parquet is the engine's home format (TESTDATA.md); ORC is the other
+columnar format a Spark deployment meets in practice (Hive/Trino
+lakehouses), and Spark supports it natively — same predicate pushdown,
+column pruning, and min/max row-group skipping code paths as parquet.
+These wrappers pin the two scale-relevant choices: an explicit
+compression codec (zstd: ~parquet-snappy read speed at a visibly
+better ratio — at 100 TB the ratio IS the scan time) and
+``mergeSchema`` off (schema merging lists every file footer on the
+driver before planning).
+
+Avro (the row-oriented interchange format of Kafka pipelines) is NOT
+bundled in this PySpark build: ``spark-avro`` has been an external
+module since Spark 2.4, and this environment is offline. The reader
+raises immediately with the deploy instruction instead of letting
+Spark fail with an opaque ClassNotFoundException mid-job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+) -> None:
+    """Write ORC with an explicit codec (never rely on cluster-default
+    compression: it silently varies across deployments)."""
+    df.write.mode(mode).option("compression", compression).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read ORC. Filter pushdown and column pruning apply exactly as
+    for parquet (plan-tested in tests/test_text_formats.py)."""
+    return spark.read.orc(path)
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True if the spark-avro datasource is deployed on this cluster."""
+    try:
+        spark.read.format("avro").schema("x int").load("/nonexistent")
+        return True
+    except Exception as e:  # noqa: BLE001
+        return "Failed to find data source: avro" not in str(e)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Read Avro if the external ``spark-avro`` module is deployed;
+    otherwise fail fast with the deploy instruction."""
+    if not avro_available(spark):
+        raise NotImplementedError(
+            "spark-avro is not on the classpath (external module since "
+            "Spark 2.4). Deploy with: spark-submit --packages "
+            "org.apache.spark:spark-avro_2.13:<spark-version>"
+        )
+    return spark.read.format("avro").load(path)

@@ -55,3 +55,35 @@ def test_csv_roundtrip_typed(spark, sf_dir, tmp_path):
         back.agg(F.sum("n_nationkey")).collect()[0][0]
         == nat.agg(F.sum("n_nationkey")).collect()[0][0]
     )
+
+
+# --------------------------------------------------------------------------
+# Columnar formats (sources/columnar.py)
+# --------------------------------------------------------------------------
+
+from rdf_mapreduce_joins_spark.sources import columnar
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    cust = load_table(spark, sf_dir, "customer")
+    path = str(tmp_path / "cust_orc")
+    columnar.write_orc(cust, path)
+    back = columnar.read_orc(spark, path)
+    assert back.schema.simpleString() == cust.schema.simpleString()
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, cust.collect()))
+    # filter + projection must reach the ORC scan (same path as parquet)
+    q = back.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "c_mktsegment" in plan
+    assert "ReadSchema: struct<c_custkey:bigint,c_mktsegment:string>" in plan
+
+
+def test_avro_gated_with_clear_error(spark):
+    if columnar.avro_available(spark):  # pragma: no cover - jar present
+        import pytest as _pytest
+
+        _pytest.skip("spark-avro deployed here")
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="spark-avro"):
+        columnar.read_avro(spark, "/nonexistent")
