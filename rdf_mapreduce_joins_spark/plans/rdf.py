@@ -36,7 +36,7 @@ re-join changes no query code.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -406,21 +406,38 @@ def _var_kinds(
 ) -> dict[str, tuple[str, frozenset[str]]]:
     """Per variable: ('id'|'str', possible tables). Subjects are always
     ids, objects per the predicate's spec; a variable must be one kind
-    everywhere it appears. Each occurrence constrains the variable's
-    possible tables — the intersection is what lets decode skip the
-    tag-dispatch CASE (single-table fast path)."""
-    kinds: dict[str, tuple[str, frozenset[str]]] = {}
+    everywhere it appears (asserted across all groups).
 
-    def put(var: str, kind: str, tables: frozenset[str]) -> None:
-        name = var[1:]
-        if name in kinds:
-            k0, t0 = kinds[name]
-            assert k0 == kind, f"variable ?{name} is both id and literal"
-            tables = t0 & tables if kind == "id" else t0
-            assert kind == "str" or tables, f"variable ?{name} has no possible table"
-        kinds[name] = (kind, tables)
-
+    Table domains respect binding semantics. A variable bound in the
+    required group (``groups[0]``) takes the intersection of its
+    required-group constraints ONLY: an occurrence inside an
+    OPTIONAL/anti/semi sub-group must NOT narrow it — those groups may
+    simply fail to match, and e.g. ``FILTER NOT EXISTS`` over a
+    customer-only predicate would otherwise wrongly shrink a
+    customer-or-supplier variable (dropping valid solutions from scans
+    pruned with the narrowed set, and mis-prefixing decode). A variable
+    bound only in sub-groups intersects across the groups that bind it
+    — it is only ever non-NULL when those matched."""
+    per: list[dict[str, tuple[str, frozenset[str]]]] = []
     for group in groups:
+        g: dict[str, tuple[str, frozenset[str]]] = {}
+
+        def put(
+            var: str,
+            kind: str,
+            tables: frozenset[str],
+            g: dict[str, tuple[str, frozenset[str]]] = g,
+        ) -> None:
+            name = var[1:]
+            if name in g:
+                k0, t0 = g[name]
+                assert k0 == kind, f"variable ?{name} is both id and literal"
+                tables = t0 & tables if kind == "id" else t0
+                assert (
+                    kind == "str" or tables
+                ), f"variable ?{name} has no possible table"
+            g[name] = (kind, tables)
+
         for pat in group:
             specs = [
                 s
@@ -435,7 +452,56 @@ def _var_kinds(
                     put(pat.o, "id", targets)
                 else:
                     put(pat.o, "str", frozenset())
+        per.append(g)
+
+    kinds: dict[str, tuple[str, frozenset[str]]] = {}
+    required = per[0] if per else {}
+    for g in per:
+        for name, (kind, tables) in g.items():
+            if name not in kinds:
+                kinds[name] = (kind, tables)
+                continue
+            k0, t0 = kinds[name]
+            assert k0 == kind, f"variable ?{name} is both id and literal"
+            if name in required or kind == "str":
+                continue  # required-group domain is authoritative
+            t = t0 & tables
+            assert t, f"variable ?{name} has no possible table"
+            kinds[name] = (kind, t)
     return kinds
+
+
+def _infer_s_tables(groups: list[list[Pattern]]) -> list[list[Pattern]]:
+    """Subject-table inference: if every occurrence of a variable pins
+    it to ONE table (e.g. ?c appears with a customer-only predicate, or
+    as the FK target of ``<customer>``), every pattern with that
+    variable as subject can restrict its scan to that table's unpivot
+    branch — the same plan-build-time pruning an explicit ``?c a
+    <customer>`` buys, derived instead of declared.
+
+    Semantics-preserving by construction: subjects/FK-objects carry
+    their table identity in the value (id tag / IRI prefix), so rows
+    from other branches could never have joined anyway — the inference
+    only removes provably-dead scans. Patterns whose predicate has no
+    spec in the inferred table (unsatisfiable query) are left alone;
+    the join simply comes back empty."""
+    kinds = _var_kinds(groups)
+
+    def refine(pats: list[Pattern]) -> list[Pattern]:
+        out = []
+        for p in pats:
+            if _is_var(p.s) and p.s_table is None:
+                _kind, tabs = kinds.get(p.s[1:], ("str", frozenset()))
+                if len(tabs) == 1:
+                    (t,) = tabs
+                    if any(
+                        sp.table == t and sp.pred == p.p for sp in PRED_SPECS
+                    ):
+                        p = replace(p, s_table=t)
+            out.append(p)
+        return out
+
+    return [refine(g) for g in groups]
 
 
 def _join_chain(
@@ -492,8 +558,17 @@ def bgp(
       Filters referencing id variables are not supported encoded (all
       declared queries filter literal variables only).
     """
+    n_opt = len(optional or [])
+    n_neg = len(negation or [])
+    refined = _infer_s_tables(
+        [patterns, *(optional or []), *(negation or []), *(exists or [])]
+    )
+    patterns = refined[0]
+    optional = refined[1 : 1 + n_opt]
+    negation = refined[1 + n_opt : 1 + n_opt + n_neg]
+    exists = refined[1 + n_opt + n_neg :]
     out = _join_chain(spark, sf_dir, patterns, broadcast_idx or set(), encoded=encoded)
-    all_groups = [patterns, *(optional or []), *(negation or []), *(exists or [])]
+    all_groups = [patterns, *optional, *negation, *exists]
     for group, how in (
         *[(g, "left") for g in optional or []],
         *[(g, "left_anti") for g in negation or []],

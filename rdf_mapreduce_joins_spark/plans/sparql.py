@@ -619,17 +619,14 @@ def sparql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
     _rewrite_notbound(q)
     if q.form == "ask":
         # Existence as a 1-row boolean frame, fully lazy: LIMIT 1 stops
-        # the scan at the first solution; the left join against a
-        # constant single-row probe materializes true/false without a
-        # driver-side count.
+        # the scan at the first solution, and a global aggregate over
+        # the ≤1-row remainder always yields exactly one row (true on a
+        # match, false on empty input) — no join node, no driver-side
+        # count. (A constant-key probe join here constant-folds into a
+        # BroadcastNestedLoopJoin; the aggregate form has no join to
+        # degenerate.)
         sol = _compile_group(spark, sf_dir, q, q.where)
-        marker = sol.limit(1).select(
-            F.lit(1).alias("_k"), F.lit(1).alias("_m")
-        )
-        probe = spark.range(1).select(F.lit(1).alias("_k"))
-        return probe.join(F.broadcast(marker), on="_k", how="left").select(
-            F.col("_m").isNotNull().alias("ask")
-        )
+        return sol.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
     if q.where.unions:
         for branch in q.where.unions:
             if branch.unions:
@@ -763,9 +760,9 @@ def rdf_path_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rdf_sparql_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL ASK form (SP2Bench Q12a/b/c are ASK queries [K]): a
     1-row boolean frame. LIMIT 1 bounds the probe scan — existence
-    never materializes the solution set — and the answer row exists
-    even when the pattern has no matches (left join against a constant
-    probe row, broadcast, no driver-side count)."""
+    never materializes the solution set — and a global aggregate over
+    the ≤1-row remainder yields the answer row even when the pattern
+    has no matches (no join node, no driver-side count)."""
     return sparql(
         spark,
         sf_dir,

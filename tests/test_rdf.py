@@ -92,6 +92,66 @@ def test_id_encoding_roundtrip():
         assert enc >> R._KEY_BITS == R._TAG[table]
 
 
+def test_subgroup_does_not_narrow_required_var(spark, sf_dir):
+    """Regression: a variable bound in the required group keeps its
+    required-group table domain even when an OPTIONAL/anti sub-group
+    occurrence would pin it tighter. ``?x name ?nm`` spans 4 tables;
+    the anti group's ``?o customer ?x`` is customer-only — narrowing
+    would prune the 3 non-customer scans (dropping their rows) and
+    decode every id with a 'customer/' prefix."""
+    kinds = rdf._var_kinds(
+        [
+            [rdf.Pattern("?x", "name", "?nm")],
+            [rdf.Pattern("?o", "customer", "?x")],
+        ]
+    )
+    assert kinds["x"] == (
+        "id",
+        frozenset({"customer", "nation", "region", "supplier"}),
+    )
+
+    out = rdf.bgp(
+        spark,
+        sf_dir,
+        [rdf.Pattern("?x", "name", "?nm")],
+        negation=[[rdf.Pattern("?o", "customer", "?x")]],
+        select=["?x", "?nm"],
+    )
+    plain = rdf.bgp(
+        spark,
+        sf_dir,
+        [rdf.Pattern("?x", "name", "?nm")],
+        negation=[[rdf.Pattern("?o", "customer", "?x")]],
+        select=["?x", "?nm"],
+        encoded=False,
+    )
+    rows = {tuple(r) for r in out.collect()}
+    assert rows == {tuple(r) for r in plain.collect()}
+    prefixes = {x.split("/")[0] for x, _ in rows}
+    # every non-customer named subject survives the anti join
+    assert {"nation", "region", "supplier"} <= prefixes
+
+
+def test_infer_s_tables_prunes_dead_scans(spark, sf_dir):
+    """Subject-table inference: ``?c mktsegment ?seg`` pins ?c to
+    customer, so the 4-branch ``name`` union collapses to the customer
+    branch — visible both in the refined patterns and in the physical
+    plan's parquet scan count."""
+    pats = [
+        rdf.Pattern("?c", "mktsegment", "?seg"),
+        rdf.Pattern("?c", "name", "?cname"),
+    ]
+    refined = rdf._infer_s_tables([pats])[0]
+    assert refined[1].s_table == "customer"
+
+    df = rdf.bgp(spark, sf_dir, pats, select=["?c", "?cname"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 2  # not 5 (1 + 4 name branches)
+    # inference must not change results (string path re-derives it too)
+    plain = rdf.bgp(spark, sf_dir, pats, select=["?c", "?cname"], encoded=False)
+    assert {tuple(r) for r in df.collect()} == {tuple(r) for r in plain.collect()}
+
+
 def test_bgp_encoded_matches_string_path(spark, sf_dir):
     """The dictionary-encoded BGP path must be bit-identical to the
     string path on every join shape — run the shapes that exercise
