@@ -40,14 +40,22 @@ def main() -> None:
     # absorb session startup.
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    timings: dict[str, float] = {}
+    # Per-query error isolation: one broken query must not zero the
+    # whole artifact — it gets null and the JSON line still prints.
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     for name, fn in qs.items():
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            timings[name] = None
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t is not None), 3)
     print(
         json.dumps(
             {
@@ -57,6 +65,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_from_dir(sf_dir),
                 "n_queries": len(timings),
+                "n_failed": len(errors),
             }
         )
     )

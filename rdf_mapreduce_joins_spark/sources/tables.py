@@ -6,17 +6,18 @@ plain parquet scan — Catalyst pushes predicates and prunes columns into
 the scan for free, which is the 100 TB answer (row-group/page skipping
 instead of HBase row-key point gets).
 
-Events-table timestamp handling: the parquet column is TIMESTAMP(NANOS),
-illegal for Spark's vectorized reader by default. With
-``spark.sql.legacy.parquet.nanosAsLong`` (set by
-:func:`ensure_runtime_confs`) it arrives as LongType nanoseconds. We
-expose:
+Events-table timestamp handling: the ``ts`` column's physical type has
+drifted across fixture generations — TIMESTAMP(NANOS) (read as int64
+nanoseconds under ``spark.sql.legacy.parquet.nanosAsLong``) in one,
+plain ``timestamp[us]`` (read as TIMESTAMP/TIMESTAMP_NTZ) in another —
+so :func:`normalize_events` branches on the *actual* dtype instead of
+assuming either. Downstream consumers only ever see:
 
-* ``ts_ns``  — raw int64 nanoseconds (exact),
-* ``ts_s``   — int64 epoch seconds via exact integer division
-  (``ts_ns div 1e9``; truncation is monotone so it equals DuckDB's
-  ``floor(epoch(ts))`` even though DuckDB reads at µs precision),
-* ``ts``     — TimestampType at µs precision for window/streaming ops.
+* ``ts_ns``  — int64 nanoseconds since epoch (exact for both sources;
+  µs inputs are ×1000),
+* ``ts_s``   — int64 epoch seconds via floor division (monotone, so it
+  equals DuckDB's ``floor(epoch(ts))`` at any stored precision),
+* ``ts``     — TimestampType (µs, session-UTC) for window/streaming ops.
 
 All other tables pass through with their parquet schema untouched.
 """
@@ -46,16 +47,41 @@ TABLES = [
 NS_PER_SECOND = 1_000_000_000
 
 
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Derive the canonical ``ts_ns`` / ``ts_s`` / ``ts`` trio from
+    whatever physical type the fixture's ``ts`` column actually has.
+
+    Branching on ``df.dtypes`` (not on what FIXTURES.md recorded) makes
+    the loader robust to fixture re-provisioning: int64-nanos and
+    timestamp[us] fixtures both normalize to identical downstream
+    schemas and values.
+    """
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        # Parquet TIMESTAMP(NANOS) surfaced as long via nanosAsLong.
+        return (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts_s", F.expr(f"ts_ns div {NS_PER_SECOND}"))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+        )
+    if ts_type.startswith("timestamp"):
+        # timestamp or timestamp_ntz at µs precision; session TZ is UTC
+        # (ensure_runtime_confs), so the NTZ→TZ cast is epoch-identity.
+        ts = F.col("ts").cast("timestamp")
+        return (
+            df.withColumn("ts", ts)
+            .withColumn("ts_ns", F.unix_micros(ts) * F.lit(1000))
+            .withColumn("ts_s", F.expr("unix_micros(ts) div 1000000"))
+        )
+    raise TypeError(f"events.ts has unsupported type {ts_type!r}")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table; normalizes the events timestamp column."""
     ensure_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        df = (
-            df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts_s", F.expr(f"ts_ns div {NS_PER_SECOND}"))
-            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
-        )
+        df = normalize_events(df)
     return df
 
 

@@ -29,19 +29,7 @@ from pyspark.sql.types import (
 )
 
 from rdf_mapreduce_joins_spark.session import ensure_runtime_confs
-
-# Schema as stored (ts = int64 nanos under nanosAsLong; file streams
-# require an explicit schema).
-EVENTS_FILE_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+from rdf_mapreduce_joins_spark.sources.tables import normalize_events
 
 
 def read_events_stream(
@@ -50,12 +38,22 @@ def read_events_stream(
     """File-source stream of events with the same column normalization
     as the batch loader (ts_ns / ts_s / ts).
 
+    File streams require an explicit schema; hard-coding one silently
+    mis-reads re-provisioned fixtures (an int64-nanos schema applied to
+    timestamp[us] files yields wrong epochs, not an error). So the
+    schema is sniffed from the actual parquet footers with a one-off
+    batch read — metadata-only, no row groups touched — and the same
+    dtype-adaptive :func:`normalize_events` runs on the stream.
+
     ``max_files_per_trigger`` splits a multi-file directory into that
     many files per micro-batch — with availableNow this replays the
     directory as a sequence of batches, which is how tests drive
     watermark advancement (state timeouts only fire on a later batch)."""
     ensure_runtime_confs(spark)
-    reader = spark.readStream.schema(EVENTS_FILE_SCHEMA)
+    if not (os.path.isdir(path) or path.endswith(".parquet")):
+        raise ValueError(f"unsupported stream path: {path}")
+    file_schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(file_schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if os.path.isdir(path):
@@ -69,11 +67,7 @@ def read_events_stream(
         )
     else:
         raise ValueError(f"unsupported stream path: {path}")
-    return (
-        raw.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts_s", F.expr("ts_ns div 1000000000"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
-    )
+    return normalize_events(raw)
 
 
 def tumbling_counts_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:

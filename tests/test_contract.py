@@ -33,6 +33,25 @@ def test_oracle_keys_subset_of_queries():
     }
 
 
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_events_loader_matches_live_testdata(spark, sf):
+    """Environment-drift guard (VERDICT r1 #4): whatever physical type
+    the driver's current fixtures store events.ts as, the loader must
+    resolve the canonical ts_ns/ts_s/ts trio — loudly, in tests, not in
+    the driver run."""
+    from rdf_mapreduce_joins_spark.sources.tables import load_table
+
+    e = load_table(spark, f"/root/testdata/{sf}", "events")
+    dtypes = dict(e.dtypes)
+    assert dtypes["ts_ns"] == "bigint"
+    assert dtypes["ts_s"] == "bigint"
+    assert dtypes["ts"] == "timestamp"
+    row = e.select("ts_ns", "ts_s", "ts").first()
+    assert row.ts_ns // 1_000_000_000 == row.ts_s
+    # ts renders the same instant (UTC session): epoch-seconds agree
+    assert int(row.ts.timestamp()) == row.ts_s
+
+
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
 def test_query_runs(spark, sf_dir, name):
     df = entrymod.queries()[name](spark, sf_dir)

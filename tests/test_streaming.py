@@ -6,9 +6,31 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
 from rdf_mapreduce_joins_spark.streaming import events_stream as es
 
 BASE = 1_700_000_000  # epoch seconds
+
+# Synthetic fixtures are written in the int64-nanos layout — this also
+# keeps the loader's bigint branch exercised now that the driver's
+# testdata stores timestamp[us] (normalize_events handles both).
+EVENTS_NANOS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
 
 
 @pytest.fixture(scope="module")
@@ -26,7 +48,7 @@ def events_dir(spark, tmp_path_factory):
             )
     # one duplicate event_id
     rows.append((101, (BASE + 5) * 10**9, 1, "click", 1.0, "{}"))
-    df = spark.createDataFrame(rows, schema=es.EVENTS_FILE_SCHEMA)
+    df = spark.createDataFrame(rows, schema=EVENTS_NANOS_SCHEMA)
     path = str(tmp_path_factory.mktemp("events_stream") / "events")
     df.write.parquet(path)
     return path
@@ -96,7 +118,7 @@ def multi_batch_events_dir(spark, tmp_path_factory):
     one file per micro-batch so the watermark advances between batches
     and event-time timeouts fire."""
     path = tmp_path_factory.mktemp("events_multibatch")
-    mk = lambda rows: spark.createDataFrame(rows, schema=es.EVENTS_FILE_SCHEMA)
+    mk = lambda rows: spark.createDataFrame(rows, schema=EVENTS_NANOS_SCHEMA)
     # batch 1: user 1 session A (2 events, 10 min apart), user 2 session (1 event)
     mk(
         [
@@ -195,7 +217,7 @@ def test_anomaly_stream_welford(spark, tmp_path_factory):
     rows.append((999, (BASE + 20 * 60) * 10**9, 1, "click", 100.0, "{}"))
     for i in range(15):
         rows.append((200 + i, (BASE + i * 60) * 10**9, 2, "click", 5.0, "{}"))
-    df = spark.createDataFrame(rows, schema=es.EVENTS_FILE_SCHEMA)
+    df = spark.createDataFrame(rows, schema=EVENTS_NANOS_SCHEMA)
     path = str(tmp_path_factory.mktemp("anomaly") / "events")
     df.coalesce(1).write.parquet(path)
     stream = es.read_events_stream(spark, path)
