@@ -337,23 +337,52 @@ class Pattern:
     constraint every branch of the predicate union is scanned and
     discarded post-union (observed via .explain; matters at scale).
 
-    ``plus`` marks a SPARQL ``<p>+`` transitive step: the pattern
-    matches (s, o) connected by a path of ≥1 ``p`` edges. Requires a
+    ``mod`` is a SPARQL path modifier on the step:
+
+    * ``"+"`` — transitive (≥1 edges): compiled to the iterative-
+      doubling closure operator,
+    * ``"*"`` — reflexive-transitive (≥0 edges): closure ∪ identity,
+    * ``"?"`` — optional hop (0 or 1 edges): edges ∪ identity.
+
+    The zero-length match of ``*``/``?`` binds subject = object over
+    the predicate's *node domain* (subjects ∪ objects of its edges) —
+    the endpoint-domain reading every benchmark query means (LUBM's
+    ``subOrganizationOf*`` includes the organization itself), rather
+    than the SPARQL-spec "every term in the graph" (which would
+    materialize the whole store). All three modifiers require a
     self-referential FK predicate (object domain == subject domain) —
-    validated here so hand-built BGPs fail as early as parsed ones."""
+    validated here so hand-built BGPs fail as early as parsed ones.
+
+    ``alts`` lists alternative predicates (SPARQL ``p1|p2``): the
+    pattern matches an edge of ANY listed predicate (bag union, as the
+    spec requires). Alternatives must agree on object kind
+    (literal vs FK) so the variable typing stays consistent."""
 
     s: str
     p: str
     o: str
     s_table: str | None = None
-    plus: bool = False
+    mod: str = ""
+    alts: tuple[str, ...] = ()
+
+    @property
+    def preds(self) -> tuple[str, ...]:
+        return (self.p, *self.alts)
 
     def __post_init__(self) -> None:
-        if self.plus:
+        if self.mod not in ("", "+", "*", "?"):
+            raise ValueError(f"unknown path modifier {self.mod!r}")
+        if self.alts:
+            kinds = {_obj_is_fk(p, None) for p in self.preds}
+            if len(kinds) > 1:
+                raise ValueError(
+                    f"alternation {self.preds} mixes literal and FK objects"
+                )
+        if self.mod:
             specs = [
                 sp
                 for sp in PRED_SPECS
-                if sp.pred == self.p
+                if sp.pred in self.preds
                 and (self.s_table is None or sp.table == self.s_table)
             ]
             bad = [
@@ -363,8 +392,8 @@ class Pattern:
             ]
             if not specs or bad:
                 raise ValueError(
-                    f"<{self.p}>+ needs a self-referential FK predicate "
-                    f"(object domain == subject domain)"
+                    f"<{self.p}>{self.mod} needs a self-referential FK "
+                    f"predicate (object domain == subject domain)"
                 )
 
 
@@ -376,13 +405,34 @@ def _pattern_df(
     spark: SparkSession, sf_dir: str, pat: Pattern, encoded: bool = False
 ) -> DataFrame:
     df = pred_df(spark, sf_dir, pat.p, table=pat.s_table, encoded=encoded)
+    for alt in pat.alts:
+        # p1|p2 alternation: bag union of the per-predicate edge sets —
+        # Catalyst unions the vertical partitions; no distinct (SPARQL
+        # alternation is bag semantics).
+        df = df.unionByName(
+            pred_df(spark, sf_dir, alt, table=pat.s_table, encoded=encoded)
+        )
     obj_fk = _obj_is_fk(pat.p, pat.s_table)
-    if pat.plus:
+    if pat.mod:
         from rdf_mapreduce_joins_spark.operators.graph import transitive_closure
 
-        df = transitive_closure(df, src="subject", dst="object").select(
-            F.col("src").alias("subject"), F.col("dst").alias("object")
-        )
+        if pat.mod in ("+", "*"):
+            closed = transitive_closure(df, src="subject", dst="object").select(
+                F.col("src").alias("subject"), F.col("dst").alias("object")
+            )
+        if pat.mod == "+":
+            df = closed
+        else:
+            # Zero-length match over the predicate's node domain: the
+            # identity pairs (x, x) for every subject or object of an
+            # edge. Path results under * / ? are solution SETS per the
+            # spec's ALP semantics, so dedupe the union.
+            nodes = df.select("subject").unionByName(
+                df.select(F.col("object").alias("subject"))
+            )
+            ident = nodes.select("subject", F.col("subject").alias("object"))
+            base = closed if pat.mod == "*" else df
+            df = base.unionByName(ident).distinct()
     if not _is_var(pat.s):
         s_const = F.lit(_const_to_id(pat.s)) if encoded else F.lit(pat.s)
         df = df.filter(F.col("subject") == s_const)
@@ -442,13 +492,16 @@ def _var_kinds(
             specs = [
                 s
                 for s in PRED_SPECS
-                if s.pred == pat.p and (pat.s_table is None or s.table == pat.s_table)
+                if s.pred in pat.preds
+                and (pat.s_table is None or s.table == pat.s_table)
             ]
             if _is_var(pat.s):
                 put(pat.s, "id", frozenset(s.table for s in specs))
             if _is_var(pat.o):
                 if _obj_is_fk(pat.p, pat.s_table):
-                    targets = frozenset(s.obj_prefix.rstrip("/") for s in specs)
+                    targets = frozenset(
+                        s.obj_prefix.rstrip("/") for s in specs if s.obj_prefix
+                    )
                     put(pat.o, "id", targets)
                 else:
                     put(pat.o, "str", frozenset())
@@ -494,8 +547,9 @@ def _infer_s_tables(groups: list[list[Pattern]]) -> list[list[Pattern]]:
                 _kind, tabs = kinds.get(p.s[1:], ("str", frozenset()))
                 if len(tabs) == 1:
                     (t,) = tabs
-                    if any(
-                        sp.table == t and sp.pred == p.p for sp in PRED_SPECS
+                    if all(
+                        any(sp.table == t and sp.pred == pr for sp in PRED_SPECS)
+                        for pr in p.preds
                     ):
                         p = replace(p, s_table=t)
             out.append(p)

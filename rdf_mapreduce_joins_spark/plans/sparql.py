@@ -34,10 +34,14 @@ need, SURVEY.md §2.3 J1-J9):
 * ``{ } UNION { }`` at the top level of WHERE,
 * **property paths** in predicate position: sequence ``<p1>/<p2>``
   (lowered to chained patterns through fresh variables), inverse
-  ``^<p>`` (endpoint swap), and transitive ``<p>+`` (compiled to the
+  ``^<p>`` (endpoint swap), transitive ``<p>+`` (compiled to the
   iterative-doubling closure operator, operators/graph.py — the one
   construct whose unbounded reachability a fixed join pipeline cannot
-  express),
+  express), reflexive-transitive ``<p>*`` (closure ∪ identity over the
+  predicate's node domain — the endpoint-domain reading LUBM's
+  ``subOrganizationOf*`` means), optional hop ``<p>?`` (edges ∪
+  identity), and alternation ``<p1>|<p2>`` / ``(<p1>|<p2>)mod``
+  (bag union of the predicates' edge sets),
 * ``SELECT [DISTINCT]``, ``ORDER BY [ASC()/DESC()]``, ``LIMIT``,
   ``OFFSET``,
 * the other two benchmark query forms: ``ASK { }`` (1-row boolean
@@ -47,9 +51,10 @@ need, SURVEY.md §2.3 J1-J9):
   graph frame; free output vocabulary).
 
 Out of scope, rejected with errors (as in the reference, SURVEY §2.3):
-variable predicates, ``*``/``?`` path modifiers and ``|`` alternation
-(the error names the UNION rewrite), subqueries, aggregates (the
-relational layer covers aggregation), named graphs.
+variable predicates, ``|`` after a ``/`` sequence without parentheses
+(precedence trap — the error names the rewrite), mixed forward/inverse
+alternation, subqueries, aggregates (the relational layer covers
+aggregation), named graphs.
 
 Execution inherits the BGP compiler's posture: dictionary-encoded int64
 joins with decode-on-projection (automatically falling back to the
@@ -135,8 +140,8 @@ class SparqlUnsupportedError(ValueError):
 
 @dataclass
 class _Group:
-    # (subject, predicate, object, transitive)
-    triples: list[tuple[str, str, str, bool]] = field(default_factory=list)
+    # (subject, predicate-alternatives, object, path modifier "" + * ?)
+    triples: list[tuple[str, tuple[str, ...], str, str]] = field(default_factory=list)
     optionals: list["_Group"] = field(default_factory=list)
     negations: list["_Group"] = field(default_factory=list)
     exists: list["_Group"] = field(default_factory=list)
@@ -146,7 +151,7 @@ class _Group:
 
     def all_vars_bound_here(self) -> set[str]:
         vs = set()
-        for s, _p, o, _plus in self.triples:
+        for s, _p, o, _mod in self.triples:
             if s.startswith("?"):
                 vs.add(s)
             if o.startswith("?"):
@@ -377,18 +382,24 @@ class _Parser:
         return f"?__pv{self._fresh}"
 
     def _emit_path(
-        self, g: _Group, s: str, steps: list[tuple[str, bool, bool]], o: str
+        self,
+        g: _Group,
+        s: str,
+        steps: list[tuple[tuple[str, ...], bool, str]],
+        o: str,
     ) -> None:
         """Lower a property path to triple patterns: sequence steps
         chain through fresh variables; an inverse step swaps its two
-        endpoints; a ``+`` step becomes a transitive pattern (compiled
-        to the closure operator by plans/rdf.py). The lowering adds no
-        execution machinery — a path IS the BGP it abbreviates."""
+        endpoints; ``+``/``*``/``?`` modifiers and ``p1|p2``
+        alternatives ride on the pattern (compiled by plans/rdf.py —
+        closure / closure∪identity / edges∪identity / edge-set union).
+        The lowering adds no execution machinery — a path IS the BGP it
+        abbreviates."""
         terms = [s] + [self._fresh_var() for _ in steps[:-1]] + [o]
-        for (pred, inv, plus), a, b in zip(steps, terms, terms[1:]):
+        for (preds, inv, mod), a, b in zip(steps, terms, terms[1:]):
             if inv:
                 a, b = b, a
-            g.triples.append((a, pred, b, plus))
+            g.triples.append((a, preds, b, mod))
 
     def _record_type(self, s: str, o: str) -> None:
         if not s.startswith("?"):
@@ -401,28 +412,76 @@ class _Parser:
         if prev != o:
             raise SparqlUnsupportedError(f"{s} typed as both <{prev}> and <{o}>")
 
-    def parse_path(self) -> str | list[tuple[str, bool, bool]]:
+    def parse_path(self) -> str | list[tuple[tuple[str, ...], bool, str]]:
         """Property path in predicate position.
 
-        Grammar: ``path := step ('/' step)* ; step := '^'? <iri> '+'?``.
+        Grammar::
+
+            path := step ('/' step)* | atom ('|' atom)+ mod?
+            step := ('(' atom ('|' atom)* ')' | atom) mod?
+            atom := '^'? <iri> ;  mod := '+' | '*' | '?'
+
         Returns the literal string ``"a"`` for a bare type constraint,
-        else a list of (pred, inverse, transitive) steps. ``*`` and
-        ``?`` modifiers are rejected: their zero-length match binds
-        subject = object over the whole node domain, which is never what
-        a benchmark query means and would materialize the domain — use
-        ``+`` (≥1 step) instead. ``|`` alternation is rejected in favor
-        of the equivalent explicit ``UNION`` (same compiled plan)."""
+        else a list of (predicate-alternatives, inverse, mod) steps.
+        ``*``/``?`` zero-length matches bind subject = object over the
+        predicate's node domain (see plans/rdf.py Pattern docstring) —
+        the endpoint-domain reading LUBM's ``subOrganizationOf*``
+        means. Top-level unparenthesized ``|`` is accepted only for a
+        single-step path (SPARQL gives ``|`` lower precedence than
+        ``/``, so ``<a>/<b>|<c>`` would mean ``(<a>/<b>)|<c>`` — that
+        shape must be parenthesized or written as UNION). Alternatives
+        must share one inverse direction."""
         if self.peek() == "a" and not (self.peek(1) in ("/", "+", "*", "|")):
             self.next()
             return "a"
-        steps: list[tuple[str, bool, bool]] = []
+        steps: list[tuple[tuple[str, ...], bool, str]] = []
         while True:
             steps.append(self._parse_path_step())
             if not self.accept("/"):
                 break
+        if self.peek() == "|":
+            if len(steps) > 1:
+                raise SparqlUnsupportedError(
+                    "'|' after a '/' sequence is ambiguous — parenthesize "
+                    "the alternation or use UNION"
+                )
+            preds, inv, mod = steps[0]
+            if mod:
+                raise SparqlUnsupportedError(
+                    "modifier on an unparenthesized alternation branch — "
+                    "write (p1|p2)mod"
+                )
+            atoms = [(p, inv) for p in preds]
+            while self.accept("|"):
+                atoms.append(self._parse_path_atom())
+            mod = self.next() if self.peek() in ("+", "*", "?") else ""
+            steps = [self._combine_atoms(atoms, mod)]
         return steps
 
-    def _parse_path_step(self) -> tuple[str, bool, bool]:
+    def _parse_path_step(self) -> tuple[tuple[str, ...], bool, str]:
+        if self.accept("("):
+            atoms = [self._parse_path_atom()]
+            while self.accept("|"):
+                atoms.append(self._parse_path_atom())
+            self.expect(")")
+        else:
+            atoms = [self._parse_path_atom()]
+        mod = self.next() if self.peek() in ("+", "*", "?") else ""
+        return self._combine_atoms(atoms, mod)
+
+    @staticmethod
+    def _combine_atoms(
+        atoms: list[tuple[str, bool]], mod: str
+    ) -> tuple[tuple[str, ...], bool, str]:
+        inverses = {inv for _, inv in atoms}
+        if len(inverses) > 1:
+            raise SparqlUnsupportedError(
+                "alternation mixing forward and inverse (^) steps is "
+                "unsupported — split into UNION branches"
+            )
+        return (tuple(p for p, _ in atoms), inverses.pop(), mod)
+
+    def _parse_path_atom(self) -> tuple[str, bool]:
         inverse = self.accept("^")
         tok = self.next()
         if tok.startswith("?"):
@@ -438,20 +497,7 @@ class _Parser:
             raise SparqlUnsupportedError(
                 f"unknown predicate <{pred}>; known: {sorted(_KNOWN_PREDS)}"
             )
-        plus = False
-        if self.peek() in ("+", "*", "?"):
-            mod = self.next()
-            if mod != "+":
-                raise SparqlUnsupportedError(
-                    f"path modifier {mod!r} unsupported (zero-length match "
-                    "binds subject=object over the whole domain); use '+'"
-                )
-            plus = True
-        if self.peek() == "|":
-            raise SparqlUnsupportedError(
-                "path alternation '|' unsupported; write the equivalent UNION"
-            )
-        return (pred, inverse, plus)
+        return (pred, inverse)
 
     def parse_term(self, position: str) -> str:
         tok = self.next()
@@ -534,8 +580,8 @@ def parse_sparql(text: str) -> ParsedQuery:
 
 def _patterns(g: _Group, types: dict[str, str]) -> list[Pattern]:
     return [
-        Pattern(s, p, o, s_table=types.get(s), plus=plus)
-        for s, p, o, plus in g.triples
+        Pattern(s, preds[0], o, s_table=types.get(s), mod=mod, alts=preds[1:])
+        for s, preds, o, mod in g.triples
     ]
 
 
@@ -840,4 +886,92 @@ def rdf_path_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <name> ?bossname .
         }
         """,
+    )
+
+
+@query(
+    "rdf_path_star",
+    oracle="""
+    WITH RECURSIVE edges(src, dst) AS (
+      SELECT s_suppkey, CAST(FLOOR(s_suppkey / 2) AS BIGINT)
+      FROM supplier WHERE s_suppkey >= 1
+    ), closure(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT c.src, CAST(FLOOR(c.dst / 2) AS BIGINT)
+      FROM closure c WHERE c.dst >= 1
+    ), star(src, dst) AS (
+      SELECT src, dst FROM closure
+      UNION
+      SELECT n, n FROM (SELECT src AS n FROM edges
+                        UNION SELECT dst FROM edges)
+    )
+    SELECT 'supplier/' || star.src AS s,
+           'supplier/' || star.dst AS boss,
+           s2.s_name AS bossname
+    FROM star JOIN supplier s2 ON s2.s_suppkey = star.dst
+    """,
+)
+def rdf_path_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reflexive-transitive path ``<manager>*`` — everything ``+``
+    reaches PLUS the zero-length match: each node of the predicate's
+    edge domain paired with itself (so every supplier is its own
+    0-hop boss — the LUBM ``subOrganizationOf*`` reading, where the
+    organization itself belongs to the answer). Engine side: closure ∪
+    identity over the node domain, deduplicated (ALP set semantics);
+    oracle derives the same thing independently with WITH RECURSIVE ∪
+    the edge endpoints."""
+    return sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?s ?boss ?bossname WHERE {
+          ?s <manager>* ?boss .
+          ?boss a <supplier> ;
+                <name> ?bossname .
+        }
+        """,
+    )
+
+
+@query(
+    "rdf_path_optional_hop",
+    oracle="""
+    WITH edges(src, dst) AS (
+      SELECT s_suppkey, CAST(FLOOR(s_suppkey / 2) AS BIGINT)
+      FROM supplier WHERE s_suppkey >= 1
+    ), hop(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT n, n FROM (SELECT src AS n FROM edges
+                        UNION SELECT dst FROM edges)
+    )
+    SELECT 'supplier/' || src AS s, 'supplier/' || dst AS m FROM hop
+    """,
+)
+def rdf_path_optional_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-or-one path ``<manager>?`` — the edge set plus the
+    identity pairs over its node domain, deduplicated. The cheap
+    sibling of ``*``: no closure iteration, one union + distinct."""
+    return sparql(spark, sf_dir, "SELECT ?s ?m WHERE { ?s <manager>? ?m . }")
+
+
+@query(
+    "rdf_path_alternation",
+    oracle="""
+    SELECT 'customer/' || c_custkey AS c, c_name AS v FROM customer
+    UNION ALL
+    SELECT 'customer/' || c_custkey AS c, c_mktsegment AS v FROM customer
+    """,
+)
+def rdf_path_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path alternation ``(<name>|<mktsegment>)`` — the bag union of
+    the two predicates' edge sets (SPARQL alternation keeps
+    duplicates, hence UNION ALL in the oracle). Compiled as one extra
+    unionByName branch on the pattern's vertical partitions — no join,
+    no distinct."""
+    return sparql(
+        spark,
+        sf_dir,
+        "SELECT ?c ?v WHERE { ?c a <customer> ; (<name>|<mktsegment>) ?v . }",
     )

@@ -285,9 +285,13 @@ def test_path_transitive_from_constant(spark, sf_dir):
 
 
 PATH_ERRORS = [
-    "SELECT ?x ?y WHERE { ?x <name>* ?y . }",
-    "SELECT ?x ?y WHERE { ?x <name>? ?y . }",
-    "SELECT ?x ?y WHERE { ?x <nation>|<region> ?y . }",
+    # '|' after a '/' sequence: precedence trap, must be parenthesized
+    "SELECT ?x ?y WHERE { ?x <nation>/<region>|<name> ?y . }",
+    # modifier on an unparenthesized alternation branch
+    "SELECT ?x ?y WHERE { ?x <manager>+|<nation> ?y . }",
+    # mixed forward/inverse alternation
+    "SELECT ?x ?y WHERE { ?x ^<nation>|<region> ?y . }",
+    # 'a' inside a path
     "SELECT ?x ?y WHERE { ?x <nation>/a ?y . }",
 ]
 
@@ -298,11 +302,80 @@ def test_path_modifier_rejections(text):
         S.parse_sparql(text)
 
 
-def test_transitive_over_non_self_referential_pred_rejected(spark, sf_dir):
-    """<nation>+ (customer→nation, not self-referential) must be
-    rejected at compile time, not loop or return garbage."""
+@pytest.mark.parametrize(
+    "text",
+    [
+        # non-self-referential predicates under any closure/identity mod
+        "SELECT ?x ?y WHERE { ?x <nation>+ ?y . }",
+        "SELECT ?x ?y WHERE { ?x <name>* ?y . }",
+        "SELECT ?x ?y WHERE { ?x <name>? ?y . }",
+    ],
+)
+def test_mod_over_non_self_referential_pred_rejected(spark, sf_dir, text):
+    """+/*/? over a non-self-referential predicate (object domain !=
+    subject domain) must be rejected at compile time, not loop or
+    return garbage."""
     with pytest.raises(ValueError):
-        S.sparql(spark, sf_dir, "SELECT ?x ?y WHERE { ?x <nation>+ ?y . }").collect()
+        S.sparql(spark, sf_dir, text).collect()
+
+
+def test_path_star_includes_identity(spark, sf_dir):
+    """<manager>* from a ground subject = the + ancestor chain plus the
+    zero-length match (the subject itself)."""
+    plus = rows(
+        S.sparql(spark, sf_dir, "SELECT ?a WHERE { <supplier/9> <manager>+ ?a . }")
+    )
+    star = rows(
+        S.sparql(spark, sf_dir, "SELECT ?a WHERE { <supplier/9> <manager>* ?a . }")
+    )
+    assert star == sorted(plus + [("supplier/9",)])
+
+
+def test_path_optional_hop_from_constant(spark, sf_dir):
+    """<manager>? from a ground subject: itself and its direct manager,
+    nothing further."""
+    got = rows(
+        S.sparql(spark, sf_dir, "SELECT ?a WHERE { <supplier/9> <manager>? ?a . }")
+    )
+    assert got == [("supplier/4",), ("supplier/9",)]
+
+
+def test_path_alternation_equals_union(spark, sf_dir):
+    """p1|p2 is the bag union of the two edge sets — identical rows to
+    the UNION formulation."""
+    got = rows(
+        S.sparql(
+            spark,
+            sf_dir,
+            "SELECT ?c ?v WHERE { ?c a <customer> ; (<name>|<mktsegment>) ?v . }",
+        )
+    )
+    want = rows(
+        S.sparql(
+            spark,
+            sf_dir,
+            """SELECT ?c ?v WHERE {
+                 { ?c a <customer> ; <name> ?v . }
+                 UNION
+                 { ?c a <customer> ; <mktsegment> ?v . }
+               }""",
+        )
+    )
+    assert got == want and got
+
+
+def test_paren_alternation_with_modifier(spark, sf_dir):
+    """(p|p)+ exercises a modifier over a parenthesized alternation;
+    duplicate alternatives collapse in the closure, so it equals p+."""
+    got = rows(
+        S.sparql(
+            spark, sf_dir, "SELECT ?a WHERE { <supplier/9> (<manager>|<manager>)+ ?a . }"
+        )
+    )
+    want = rows(
+        S.sparql(spark, sf_dir, "SELECT ?a WHERE { <supplier/9> <manager>+ ?a . }")
+    )
+    assert got == want and got
 
 
 def test_comment_and_whitespace_tolerance(spark, sf_dir):
