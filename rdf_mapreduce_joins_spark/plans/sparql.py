@@ -623,6 +623,19 @@ def _compile_group(
     pats = _patterns(g, q.types)
     if not pats:
         raise SparqlUnsupportedError("group needs at least one triple pattern")
+    if g.unions:
+        raise SparqlUnsupportedError(
+            "UNION inside a group that also has other structure is "
+            "unsupported — make UNION the whole WHERE body"
+        )
+    for sub in (*g.optionals, *g.negations, *g.exists):
+        if sub.optionals or sub.negations or sub.exists or sub.unions or sub.filters:
+            # Silently ignoring a FILTER or nested OPTIONAL inside a
+            # sub-group would change semantics — refuse loudly instead.
+            raise SparqlUnsupportedError(
+                "nested structure (FILTER/OPTIONAL/negation/UNION) inside "
+                "an OPTIONAL/MINUS/EXISTS group is unsupported"
+            )
     opt = [_patterns(og, q.types) for og in g.optionals]
     neg = [_patterns(ng, q.types) for ng in g.negations]
     exi = [_patterns(eg, q.types) for eg in g.exists]
@@ -674,6 +687,17 @@ def sparql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
         sol = _compile_group(spark, sf_dir, q, q.where)
         return sol.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
     if q.where.unions:
+        if (
+            q.where.triples
+            or q.where.optionals
+            or q.where.negations
+            or q.where.exists
+            or q.where.filters
+        ):
+            raise SparqlUnsupportedError(
+                "mixing UNION with other top-level patterns is unsupported "
+                "— push the shared patterns into each branch"
+            )
         for branch in q.where.unions:
             if branch.unions:
                 raise SparqlUnsupportedError("nested UNION unsupported")
