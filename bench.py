@@ -42,18 +42,31 @@ def main() -> None:
 
     # Per-query error isolation: one broken query must not zero the
     # whole artifact — it gets null and the JSON line still prints.
+    #
+    # min over SPARK_GRAFT_BENCH_REPS suite passes (default 2): the
+    # first execution of each query is dominated by whole-stage-codegen
+    # compile + JIT (measured 2-7x the steady-state on sub-second
+    # queries), which is noise at any real scale factor. BASELINE.md's
+    # numbers are per-query minima over 10 passes for the same reason —
+    # reporting minima keeps the two comparable.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float | None] = {}
     errors: dict[str, str] = {}
-    for name, fn in qs.items():
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # noqa: BLE001
-            timings[name] = None
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+    for rep in range(reps):
+        for name, fn in qs.items():
+            if name in errors:
+                continue
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                t = round(time.perf_counter() - t0, 3)
+                prev = timings.get(name)
+                timings[name] = t if prev is None else min(prev, t)
+            except Exception as exc:  # noqa: BLE001
+                timings[name] = None
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t is not None), 3)
     print(
@@ -66,6 +79,7 @@ def main() -> None:
                 "sf": sf_from_dir(sf_dir),
                 "n_queries": len(timings),
                 "n_failed": len(errors),
+                "reps": reps,
             }
         )
     )

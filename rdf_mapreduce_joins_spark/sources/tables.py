@@ -103,9 +103,19 @@ def spread(df: DataFrame, *key_cols: str, partitions: int | None = None) -> Data
     expensive explode+agg, so the pipeline recomputed once per
     reference — measured 4-8x wall regression on the dedup suite.
     Pass key_cols only when a single downstream consumer needs
-    co-partitioning."""
+    co-partitioning.
+
+    The keyless form is CONDITIONAL: when the scan already splits into
+    >= the target partition count (any real multi-file/multi-row-group
+    input — i.e. always at production scale), the repartition would be
+    a full shuffle of the raw rows for nothing, so it is skipped. The
+    single-row-group synthetic fixtures stay covered."""
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n, *key_cols) if key_cols else df.repartition(n)
+    if key_cols:
+        return df.repartition(n, *key_cols)
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:

@@ -168,3 +168,17 @@ def test_knn_join_ivf_is_equi_join(spark, sf_dir):
     plan = _plan(df)
     assert "HashJoin" in plan
     assert "NestedLoop" not in plan
+
+
+def test_spread_skips_repartition_on_wide_input(spark):
+    """spread() must not inject a round-robin shuffle when the input
+    already has >= defaultParallelism partitions (VERDICT r1 #9): at
+    production scale every scan splits naturally, and an unconditional
+    repartition would be a full shuffle of the raw rows for nothing."""
+    from rdf_mapreduce_joins_spark.sources.tables import spread
+
+    n = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 10_000).repartition(n * 2)
+    assert _plan(spread(wide)) == _plan(wide)  # no extra Exchange node
+    narrow = spark.range(0, 10_000).coalesce(1)
+    assert "RoundRobinPartitioning" in _plan(spread(narrow))
