@@ -783,3 +783,246 @@ def text_normalize_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalize("text").alias("norm_text"),
         F.length(normalize("text")).cast("int").alias("norm_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# Training-dataset assembly (X4/X5 extension): the ops between "clean
+# corpus" and "training batches" — deterministic splits, sequence
+# packing, context-window chunking, PII scrubbing, range retrieval.
+# All full-SQL-oracled; all built-ins (no Python in the hot path).
+# --------------------------------------------------------------------------
+
+# Hash-split thresholds as fixed-width hex literals: md5 is uniform on
+# hex strings, so comparing the first 8 hex chars against
+# floor(frac * 16^8) rendered in hex gives an exact, engine-identical
+# 80/10/10 split with no float arithmetic anywhere.
+_SPLIT_T80 = format(int(0.8 * 16**8), "08x")  # 'cccccccc'
+_SPLIT_T90 = format(int(0.9 * 16**8), "08x")  # 'e6666666'
+
+
+@query(
+    "dataset_split_assign",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             substr(md5('split2:' || CAST(doc_id AS VARCHAR)), 1, 8) AS hk
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN hk < '{_SPLIT_T80}' THEN 'train'
+                WHEN hk < '{_SPLIT_T90}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (the reproducible-split
+    primitive): bucket on a salted content-independent hash, so the
+    same document lands in the same split across runs, engines, and
+    cluster layouts — and adding documents never moves existing ones
+    (unlike rank-based sampling). Embarrassingly parallel: a per-row
+    projection, no shuffle at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    hk = F.substring(
+        F.md5(F.concat(F.lit("split2:"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    split = (
+        F.when(hk < _SPLIT_T80, F.lit("train"))
+        .when(hk < _SPLIT_T90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return d.select("doc_id", "lang", split.alias("split"))
+
+
+PACK_BUDGET_TOKENS = 256
+
+
+@query(
+    "docs_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+             md5('pack:' || CAST(doc_id AS VARCHAR)) AS skey
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY skey, doc_id
+             ) AS cum
+      FROM t
+    )
+    SELECT lang,
+           CAST((cum - n_tokens) // {PACK_BUDGET_TOKENS} AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM c
+    GROUP BY lang, bin_id
+    """,
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (pretraining-batch assembly): assign documents
+    to fixed-token-budget bins per language by streaming them in a
+    deterministic hash order and cutting a new bin each time the
+    running token total crosses the budget (contiguous fill — a doc may
+    straddle its bin boundary; the padding-free approximation real
+    packing pipelines use). One window + one aggregation, both on the
+    same (lang) partitioning, so the whole op is a single shuffle at
+    any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.md5(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))).alias("skey"),
+    )
+    w = Window.partitionBy("lang").orderBy("skey", "doc_id")
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    bin_id = ((F.col("cum") - F.col("n_tokens")) / PACK_BUDGET_TOKENS).cast("bigint")
+    return (
+        c.select("lang", bin_id.alias("bin_id"), "n_tokens")
+        .groupBy("lang", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+@query(
+    "docs_chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    c AS (
+      SELECT doc_id, w, CAST(i AS INTEGER) AS start
+      FROM t, range(0, 2000, {CHUNK_STRIDE}) r(i)
+      WHERE i < len(w)
+    )
+    SELECT doc_id,
+           CAST(start / {CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+           CAST(LEAST({CHUNK_TOKENS}, len(w) - start) AS INTEGER) AS n_chunk_tokens,
+           md5(array_to_string(w[start + 1 : start + {CHUNK_TOKENS}], ' ')) AS chunk_md5
+    FROM c
+    """,
+)
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (long-document → model-sized pieces):
+    overlapping token windows of CHUNK_TOKENS tokens every CHUNK_STRIDE
+    (embedding-pipeline chunking / sliding-window pretraining). All
+    JVM-side array ops — sequence of starts, slice per start,
+    posexplode — one Generate per doc, no shuffle, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    t = spread(d).select("doc_id", w.alias("w")).filter(F.size("w") > 0)
+    starts = F.sequence(F.lit(0), F.size("w") - 1, F.lit(CHUNK_STRIDE))
+    e = t.select("doc_id", "w", F.explode(starts).alias("start"))
+    chunk = F.slice(F.col("w"), F.col("start") + 1, CHUNK_TOKENS)
+    return e.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+        F.least(F.lit(CHUNK_TOKENS), F.size("w") - F.col("start"))
+        .cast("int")
+        .alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com'
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          ELSE '' END AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{_PHONE_RE}')) AS INTEGER) AS n_phones,
+           md5(regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM aug
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (X4, pre-training hygiene): redact email/phone
+    patterns and count redactions, all with JVM regex built-ins
+    (regexp_replace / regexp_count — no UDF). The fixture corpus is
+    synthetic word soup, so deterministic contact strings are appended
+    first; the oracle applies the identical construction, so the test
+    checks Java-vs-RE2 regex parity on the patterns actually used.
+    Regexes stay in the dialect-portable subset (char classes +
+    bounded repetition; no lookaround)."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" tel 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    aug = d.select("doc_id", raw.alias("raw"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count(F.col("raw"), F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(F.col("raw"), F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+RANGE_SIM_THRESHOLD = 0.25
+
+
+@query(
+    "similarity_range_search",
+    oracle=f"""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+    )
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 4) AS sim
+    FROM embeddings, q
+    WHERE vec_id <> 0
+      AND ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 4)
+          >= {RANGE_SIM_THRESHOLD}
+    """,
+)
+def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range retrieval (X3): ALL vectors within a cosine radius of the
+    probe, not a fixed k — the dedup/recall-sweep sibling of top-k.
+    One scan + filter; the threshold prunes before any ordering, so
+    there is no sort at all (contrast top-k's TakeOrderedAndProject)."""
+    qv = _query_vector(spark, sf_dir, 0)
+    e = load_table(spark, sf_dir, "embeddings")
+    sim = F.round(
+        similarity.cosine(similarity.as_double_array("embedding"), similarity.lit_vector(qv)), 4
+    )
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", sim.alias("sim"))
+        .filter(F.col("sim") >= RANGE_SIM_THRESHOLD)
+    )
