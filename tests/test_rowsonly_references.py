@@ -210,3 +210,122 @@ def test_lsh_topk_matches_python_reference(spark):
         for r in entrymod.queries()["similarity_topk_lsh"](spark, SF).collect()
     ]
     assert got == ranked and got
+
+
+def test_lang_id_matches_python_reference(spark):
+    """Naive-Bayes lang-id reference: exact integer counts, float
+    log-likelihood sums compared at 1e-5 (Java vs glibc log differ at
+    ~1 ulp; scores are rounded to 1e-6 by the engine)."""
+    import math
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"])
+    docs = list(
+        zip(
+            t.column("doc_id").to_pylist(),
+            t.column("text").to_pylist(),
+            t.column("lang").to_pylist(),
+        )
+    )
+    toks_by_doc = {d: [tok for tok in txt.split(" ") if tok != ""] for d, txt, _ in docs}
+    lang_by_doc = {d: lang for d, _, lang in docs}
+    vocab = {tok for toks in toks_by_doc.values() for tok in toks}
+    lang_n: dict[str, int] = {}
+    tok_n: dict[tuple[str, str], int] = {}
+    for d, toks in toks_by_doc.items():
+        lang = lang_by_doc[d]
+        for tok in toks:
+            lang_n[lang] = lang_n.get(lang, 0) + 1
+            tok_n[(lang, tok)] = tok_n.get((lang, tok), 0) + 1
+    V = len(vocab)
+    want: dict[int, tuple[str, str, float]] = {}
+    for d, toks in toks_by_doc.items():
+        scores = []
+        for lang in sorted(lang_n):
+            s = 0.0
+            known = [tok for tok in toks if (lang, tok) in tok_n]
+            if not known:
+                continue  # inner join drops (doc, lang) with no profile hit
+            for tok in known:
+                s += math.log((tok_n[(lang, tok)] + 1) / (lang_n[lang] + V))
+            scores.append((round(s, 6), lang))
+        best = max(scores, key=lambda p: (p[0], [-ord(c) for c in p[1]]))
+        want[d] = (lang_by_doc[d], best[1], best[0])
+    got = {
+        r.doc_id: (r.lang, r.lang_pred, float(r.score))
+        for r in entrymod.queries()["text_lang_id"](spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0], f"doc {d}: true lang differs"
+        assert got[d][1] == want[d][1], f"doc {d}: predicted lang differs"
+        assert abs(got[d][2] - want[d][2]) < 1e-5, f"doc {d}: score differs"
+
+
+def _doc_bytes() -> dict[int, bytes]:
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    return {
+        d: txt.encode("utf-8")
+        for d, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    }
+
+
+def test_multimodal_features_match_python_reference(spark):
+    """The fake featurizer is sha256-derived; the reference re-derives
+    every feature and the query's float32-faithful checksum, verifying
+    the Arrow round trip preserves content bytes and batch order has
+    no effect."""
+    import hashlib
+
+    import numpy as np
+
+    dim = 16
+    want = {}
+    for d, b in _doc_bytes().items():
+        dg = hashlib.sha256(b).digest()
+        need = (dim * 2 + len(dg) - 1) // len(dg)
+        buf = dg + b"".join(
+            hashlib.sha256(b + bytes([i])).digest() for i in range(need)
+        )
+        feats = [int.from_bytes(buf[2 * i : 2 * i + 2], "big") / 65536.0 for i in range(dim)]
+        acc = 0.0
+        for v in feats:
+            acc += float(np.float32(v))  # stored as array<float>, summed as double
+        want[d] = (dim, _round4(acc))
+    got = {
+        r.id: (r.dim, float(r.feature_sum))
+        for r in entrymod.queries()["multimodal_features"](spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_multimodal_resize_matches_python_reference(spark):
+    import hashlib
+
+    target = 32 * 32
+    want = {}
+    for d, b in _doc_bytes().items():
+        stride = max(1, len(b) // target)
+        resized = b[::stride][:target]
+        want[d] = (32, 32, hashlib.md5(resized).hexdigest(), len(resized))
+    got = {
+        r.id: (r.width, r.height, r.resized_md5, r.resized_bytes)
+        for r in entrymod.queries()["multimodal_resize"](spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_multimodal_frame_sample_matches_python_reference(spark):
+    import hashlib
+
+    n_frames = 4
+    want = set()
+    for d, b in _doc_bytes().items():
+        step = max(len(b) // n_frames, 1)
+        for i in range(n_frames):
+            frame = b[i * step : i * step + step]
+            want.add((d, i, hashlib.md5(frame).hexdigest(), len(frame)))
+    got = {
+        (r.id, r.frame_no, r.frame_md5, r.frame_n_bytes)
+        for r in entrymod.queries()["multimodal_frame_sample"](spark, SF).collect()
+    }
+    assert got == want
