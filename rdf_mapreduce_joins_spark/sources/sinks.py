@@ -137,3 +137,42 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def upsert_parquet(
+    spark,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    out_path: str | None = None,
+) -> str:
+    """MERGE/upsert for plain parquet (no table format required):
+    rows of ``updates`` replace target rows with the same key; new
+    keys are inserted. The merged snapshot is written to ``out_path``
+    (default: ``<target>__merged``) and the path returned — the
+    write-new-then-repoint pattern, because overwriting a directory
+    that is also the read source is lost-data-on-failure. A real
+    deployment repoints a view/symlink at the returned path; table
+    formats (Delta/Iceberg) do this atomically and are the 100 TB
+    answer when available — this operator is the dependency-free form.
+
+    Plan shape: one left-anti join on the key (broadcastable when the
+    update batch is small — the common CDC case; AQE decides) + a
+    union. The target is scanned once; nothing collects."""
+    import os
+
+    target = spark.read.parquet(target_path)
+    missing = [c for c in updates.columns if c not in target.columns]
+    if missing or set(updates.columns) != set(target.columns):
+        raise ValueError(
+            f"updates schema {sorted(updates.columns)} must match "
+            f"target {sorted(target.columns)}"
+        )
+    kept = target.join(updates.select(*key_cols), on=key_cols, how="left_anti")
+    merged = kept.unionByName(updates)
+    out = out_path or os.path.join(
+        os.path.dirname(target_path.rstrip("/")),
+        os.path.basename(target_path.rstrip("/")) + "__merged",
+    )
+    merged.write.mode("overwrite").parquet(out)
+    return out

@@ -126,3 +126,34 @@ def test_zorder_skips_files_on_second_dimension(spark, sf_dir, tmp_path):
     assert s_touched == s_total  # plain sort cannot skip on partkey
     assert z_touched <= z_total // 2, (z_touched, z_total, s_touched, s_total)
     assert spark.read.parquet(z_path).count() == li.count()
+
+
+def test_upsert_parquet_merges_and_inserts(spark, sf_dir, tmp_path):
+    """upsert_parquet: updated keys replaced, new keys inserted,
+    untouched rows preserved; output goes to a NEW path (write-new-
+    then-repoint — never overwrite the directory being read)."""
+    from pyspark.sql import functions as F
+
+    from rdf_mapreduce_joins_spark.sources import sinks
+    from rdf_mapreduce_joins_spark.sources.tables import load_table
+
+    target_path = str(tmp_path / "nation")
+    load_table(spark, sf_dir, "nation").write.parquet(target_path)
+    updates = spark.createDataFrame(
+        [(3, "RENAMED", 0), (999, "NEW_NATION", 1)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    out = sinks.upsert_parquet(spark, target_path, updates, ["n_nationkey"])
+    assert out != target_path
+    merged = {r.n_nationkey: (r.n_name, r.n_regionkey) for r in spark.read.parquet(out).collect()}
+    assert merged[3] == ("RENAMED", 0)
+    assert merged[999] == ("NEW_NATION", 1)
+    assert merged[0][0] == "NATION_0"  # untouched row intact
+    assert len(merged) == 26  # 25 original + 1 insert
+
+    # schema drift is refused loudly
+    bad = updates.withColumn("extra", F.lit(1))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sinks.upsert_parquet(spark, target_path, bad, ["n_nationkey"])

@@ -232,3 +232,56 @@ def test_anomaly_stream_welford(spark, tmp_path_factory):
     assert r.n_seen == 20
     # nothing else flagged
     assert set(flagged) == {999}
+
+
+def test_file_sink_checkpoint_recovery_exactly_once(spark, tmp_path_factory):
+    """Exactly-once across restart: a parquet-sink stream with a
+    checkpoint processes batch 1, stops, new files arrive, a NEW query
+    with the SAME checkpoint resumes — the sink must hold every input
+    row exactly once (no replays of batch 1, no gaps)."""
+    import time as _time
+
+    src = tmp_path_factory.mktemp("ck_src")
+    out = str(tmp_path_factory.mktemp("ck_out"))
+    ck = str(tmp_path_factory.mktemp("ck_state"))
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema=EVENTS_NANOS_SCHEMA).coalesce(1).write.parquet(
+            str(src / name)
+        )
+        # file source orders by mtime — keep strictly increasing
+        _time.sleep(0.05)
+
+    import glob, os, shutil
+    flat = tmp_path_factory.mktemp("ck_flat")
+
+    def publish(name):
+        f = glob.glob(str(src / name / "*.parquet"))[0]
+        shutil.copy(f, str(flat / f"{name}.parquet"))
+
+    write_batch("b1", [(1, BASE * 10**9, 1, "click", 1.0, "{}"),
+                       (2, (BASE + 60) * 10**9, 2, "view", 2.0, "{}")])
+    publish("b1")
+
+    def run_once():
+        stream = es.read_events_stream(spark, str(flat))
+        q = (
+            stream.select("event_id", "user_id", "ts_s")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    got1 = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got1 == [1, 2]
+
+    write_batch("b2", [(3, (BASE + 120) * 10**9, 1, "click", 3.0, "{}")])
+    publish("b2")
+    run_once()  # resumes from the checkpoint
+    got2 = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got2 == [1, 2, 3]  # batch 1 not replayed, batch 2 not missed
