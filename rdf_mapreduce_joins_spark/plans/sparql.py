@@ -19,11 +19,17 @@ gap so a user can run the query text itself:
 Supported surface (everything the LUBM Q1-Q14 / SP2Bench Q1-Q12 shapes
 need, SURVEY.md §2.3 J1-J9):
 
+* ``PREFIX`` declarations and prefixed names everywhere an IRI can
+  appear (``PREFIX ub: <...>`` then ``ub:takesCourse`` — the form the
+  published benchmark queries are written in; with ``PREFIX : <>`` the
+  engine's bare predicate vocabulary writes as ``:name``),
 * basic graph patterns with ``;`` / ``,`` predicate-object sugar,
 * ``?x a <table>`` type constraints (compiled to unpivot-branch pruning
   — the vertical-partitioning analog of a class scan, never a scan of
   an actual type predicate),
 * ``FILTER (expr)`` with comparisons, ``&&``/``||``/``!``, ``BOUND``,
+  and ``regex(?v, "pattern")`` (compiled to RLIKE — flagless, Java
+  regex semantics),
 * ``OPTIONAL { }`` (left join), ``MINUS { }`` and
   ``FILTER NOT EXISTS { }`` (anti join), ``FILTER EXISTS { }``
   (semi join),
@@ -98,6 +104,7 @@ _KEYWORDS = {
     "LIMIT",
     "OFFSET",
     "BOUND",
+    "PREFIX",
 }
 
 _TOKEN_RE = re.compile(
@@ -105,6 +112,8 @@ _TOKEN_RE = re.compile(
       | (?P<var>\?[A-Za-z_]\w*)
       | (?P<iri><[^<>\s]*>)
       | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+      | (?P<pname>(?:[A-Za-z_][\w.-]*)?:[A-Za-z_][\w.-]*)
+      | (?P<pfx>(?:[A-Za-z_][\w.-]*)?:)
       | (?P<num>\d+\.\d+|\d+)
       | (?P<op2>&&|\|\||<=|>=|!=)
       | (?P<ch>[{}().,;=<>!*/^+|?-])
@@ -112,6 +121,10 @@ _TOKEN_RE = re.compile(
     """,
     re.X,
 )
+
+# A prefixed name in predicate/term position (never a ?var / <iri> /
+# literal): optional prefix part, ':', local part.
+_PNAME_RE = re.compile(r"(?:[A-Za-z_][\w.-]*)?:[A-Za-z_][\w.-]*")
 
 
 def _tokenize(text: str) -> list[str]:
@@ -182,7 +195,18 @@ class _Parser:
         self.toks = toks
         self.i = 0
         self.types: dict[str, str] = {}
+        self.prefixes: dict[str, str] = {}
         self._fresh = 0
+
+    def _expand_pname(self, tok: str) -> str:
+        """``p:local`` → declared-base + local (SPARQL prefixed name).
+        With ``PREFIX : <>`` the engine's bare predicate names write as
+        ``:name`` — the idiomatic form of the published benchmark
+        queries (``ub:takesCourse`` etc.)."""
+        pfx, _, local = tok.partition(":")
+        if pfx not in self.prefixes:
+            raise SparqlSyntaxError(f"undeclared prefix '{pfx}:' in {tok!r}")
+        return self.prefixes[pfx] + local
 
     # -- token helpers -----------------------------------------------------
 
@@ -211,6 +235,15 @@ class _Parser:
     # -- grammar -----------------------------------------------------------
 
     def parse_query(self) -> ParsedQuery:
+        while self.peek() == "PREFIX":
+            self.next()
+            pfx = self.next()
+            if not pfx.endswith(":") or pfx[:1] in "?<\"'":
+                raise SparqlSyntaxError(f"expected 'prefix:' after PREFIX, got {pfx!r}")
+            iri = self.next()
+            if not (iri.startswith("<") and iri.endswith(">")):
+                raise SparqlSyntaxError(f"expected <iri> in PREFIX decl, got {iri!r}")
+            self.prefixes[pfx[:-1]] = iri[1:-1]
         form_tok = self.next()
         if form_tok == "ASK":
             # ASK: bare group, no projection/modifiers (strict SPARQL
@@ -357,11 +390,14 @@ class _Parser:
             s = self.parse_term(position="subject")
             while True:
                 ptok = self.next()
-                if not (ptok.startswith("<") and ptok.endswith(">")):
+                if ptok.startswith("<") and ptok.endswith(">"):
+                    p = ptok[1:-1]
+                elif _PNAME_RE.fullmatch(ptok):
+                    p = self._expand_pname(ptok)
+                else:
                     raise SparqlSyntaxError(
-                        f"template predicate must be <iri>, got {ptok!r}"
+                        f"template predicate must be <iri> or pname, got {ptok!r}"
                     )
-                p = ptok[1:-1]
                 while True:
                     o = self.parse_term(position="object")
                     tmpl.append((s, p, o))
@@ -490,9 +526,12 @@ class _Parser:
             )
         if tok == "a":
             raise SparqlUnsupportedError("'a' cannot appear inside a property path")
-        if not (tok.startswith("<") and tok.endswith(">")):
+        if tok.startswith("<") and tok.endswith(">"):
+            pred = tok[1:-1]
+        elif _PNAME_RE.fullmatch(tok):
+            pred = self._expand_pname(tok)
+        else:
             raise SparqlSyntaxError(f"expected predicate <iri> or 'a', got {tok!r}")
-        pred = tok[1:-1]
         if pred not in _KNOWN_PREDS:
             raise SparqlUnsupportedError(
                 f"unknown predicate <{pred}>; known: {sorted(_KNOWN_PREDS)}"
@@ -509,14 +548,25 @@ class _Parser:
             return tok[1:-1].replace("\\" + tok[0], tok[0])
         if re.fullmatch(r"\d+(\.\d+)?", tok):
             return tok
+        if _PNAME_RE.fullmatch(tok):
+            return self._expand_pname(tok)
         raise SparqlSyntaxError(f"bad {position} term {tok!r}")
 
     def parse_filter(self) -> tuple:
-        """FILTER ( expr ) — returns ('notbound', ?v) for the pure
-        !BOUND idiom, else ('sql', spark-sql-text, vars)."""
+        """``FILTER ( expr )`` or ``FILTER func(args)`` (SPARQL allows
+        a bare function call, e.g. ``FILTER regex(?v, "p")``) — returns
+        ('notbound', ?v) for the pure !BOUND idiom, else
+        ('sql', spark-sql-text, vars)."""
+        toks: list[str] = []
+        bare_call = self.peek() != "("
+        if bare_call:
+            fn = self.next()
+            if not re.fullmatch(r"[A-Za-z_]\w*", fn):
+                raise SparqlSyntaxError(f"expected '(' or function after FILTER, got {fn!r}")
+            toks.append(fn)
+            toks.append("(")
         self.expect("(")
         depth = 1
-        toks: list[str] = []
         while depth:
             tok = self.next()
             if tok == "(":
@@ -524,6 +574,8 @@ class _Parser:
             elif tok == ")":
                 depth -= 1
                 if not depth:
+                    if bare_call:
+                        toks.append(")")  # close the bare function call
                     break
             toks.append(tok)
         # pure !BOUND(?v), possibly inside redundant parens
@@ -550,6 +602,27 @@ class _Parser:
                 vars_used.add(v)
                 out.append(f"({v[1:]} IS NOT NULL)")
                 i += 4
+                continue
+            elif tok.upper() == "REGEX" and toks[i + 1 : i + 2] == ["("]:
+                # SPARQL regex(?v, "pat") — partial match, like RLIKE.
+                v = toks[i + 2] if len(toks) > i + 2 else ""
+                if not v.startswith("?"):
+                    raise SparqlUnsupportedError(
+                        "REGEX's first argument must be a ?variable"
+                    )
+                if toks[i + 3 : i + 4] != [","]:
+                    raise SparqlSyntaxError("REGEX(?v, \"pattern\") expected")
+                pat = toks[i + 4] if len(toks) > i + 4 else ""
+                if pat[:1] not in "\"'":
+                    raise SparqlUnsupportedError("REGEX pattern must be a literal")
+                if toks[i + 5 : i + 6] == [","]:
+                    raise SparqlUnsupportedError("REGEX flags unsupported")
+                if toks[i + 5 : i + 6] != [")"]:
+                    raise SparqlSyntaxError("unterminated REGEX(...)")
+                lit = pat[1:-1].replace("\\" + pat[0], pat[0]).replace("'", "''")
+                vars_used.add(v)
+                out.append(f"({v[1:]} RLIKE '{lit}')")
+                i += 6
                 continue
             elif tok == "&&":
                 out.append("AND")

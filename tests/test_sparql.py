@@ -392,3 +392,76 @@ def test_comment_and_whitespace_tolerance(spark, sf_dir):
     )
     want = rows(entrymod.queries()["rdf_broadcast_lookup"](spark, sf_dir))
     assert got == want
+
+
+def test_prefix_and_pnames_equal_bare_iris(spark, sf_dir):
+    """PREFIX declarations + prefixed names (the published benchmark
+    query form) compile identically to bare <iri> syntax — pnames work
+    in patterns, paths, type constraints, and CONSTRUCT templates."""
+    got = rows(
+        S.sparql(
+            spark,
+            sf_dir,
+            """PREFIX ub: <>
+               SELECT ?c ?nname WHERE {
+                 ?c a ub:customer ;
+                    ub:nation/ub:name ?nname .
+               }""",
+        )
+    )
+    want = rows(
+        S.sparql(
+            spark,
+            sf_dir,
+            "SELECT ?c ?nname WHERE { ?c a <customer> ; <nation>/<name> ?nname . }",
+        )
+    )
+    assert got == want and got
+
+
+def test_default_prefix_and_construct_template_pnames(spark, sf_dir):
+    got = rows(
+        S.sparql(
+            spark,
+            sf_dir,
+            """PREFIX : <>
+               CONSTRUCT { ?n :inRegion ?r }
+               WHERE { ?n :region ?r . }""",
+        )
+    )
+    want = rows(
+        S.sparql(
+            spark,
+            sf_dir,
+            "CONSTRUCT { ?n <inRegion> ?r } WHERE { ?n <region> ?r . }",
+        )
+    )
+    assert got == want and got
+
+
+def test_undeclared_prefix_rejected():
+    with pytest.raises(ValueError, match="undeclared prefix"):
+        S.parse_sparql("SELECT ?x WHERE { ?x ub:name ?n . }")
+
+
+def test_filter_regex_compiles_to_rlike(spark, sf_dir):
+    got = rows(
+        S.sparql(
+            spark,
+            sf_dir,
+            """SELECT ?n ?nm WHERE {
+                 ?n <region> ?r . ?n <name> ?nm .
+                 FILTER regex(?nm, "^NATION_1")
+               }""",
+        )
+    )
+    # NATION_1 and NATION_10..19 at sf0.001 (25 nations)
+    names = sorted(nm for _, nm in got)
+    assert names == ["NATION_1"] + [f"NATION_1{i}" for i in range(10)]
+
+
+def test_filter_regex_flags_rejected():
+    with pytest.raises(ValueError, match="flags"):
+        S.parse_sparql(
+            'SELECT ?x WHERE { ?x <name> ?n . FILTER regex(?n, "a", "i") }'
+        )
