@@ -39,6 +39,16 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with norms precomputed per SIDE (one l2_norm per row in
+    the pre-join projection) instead of per PAIR — identical arithmetic
+    and operation order to :func:`cosine` (so results are bitwise
+    equal), but a pairwise join evaluates one array fold per pair
+    instead of three."""
+    denom = na * nb
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
 def lit_vector(values: list[float]) -> Column:
     """A query vector as a literal array<double> column."""
     return F.array(*[F.lit(float(v)) for v in values])
@@ -299,17 +309,23 @@ def cosine_pairs(
     and never goes cartesian across the corpus. (At 100 TB the block
     would be a learned cluster id; here the ``label`` column plays that
     role.)"""
+    dbl = as_double_array(vec_col)
     left = embeddings.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id1"),
-        as_double_array(vec_col).alias("v1"),
+        dbl.alias("v1"),
+        l2_norm(dbl).alias("n1"),
     )
     right = embeddings.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id2"),
-        as_double_array(vec_col).alias("v2"),
+        dbl.alias("v2"),
+        l2_norm(dbl).alias("n2"),
     )
-    sim = F.round(cosine(F.col("v1"), F.col("v2")), round_digits)
+    sim = F.round(
+        cosine_prenormed(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2")),
+        round_digits,
+    )
     return (
         left.join(right, on="blk")
         .filter(F.col("id1") < F.col("id2"))
@@ -347,9 +363,14 @@ def knn_join_brute(
     with an id tiebreak so it is reproducible across engines."""
     from pyspark.sql import Window
 
-    b = base.select(F.col(id_col), as_double_array(vec_col).alias("_bv"))
-    q = queries.select(F.col(q_id_col), as_double_array(q_vec_col).alias("_qv"))
-    sim = F.round(cosine(F.col("_bv"), F.col("_qv")), round_digits)
+    bdbl = as_double_array(vec_col)
+    qdbl = as_double_array(q_vec_col)
+    b = base.select(F.col(id_col), bdbl.alias("_bv"), l2_norm(bdbl).alias("_bn"))
+    q = queries.select(F.col(q_id_col), qdbl.alias("_qv"), l2_norm(qdbl).alias("_qn"))
+    sim = F.round(
+        cosine_prenormed(F.col("_bv"), F.col("_qv"), F.col("_bn"), F.col("_qn")),
+        round_digits,
+    )
     w = Window.partitionBy(q_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
     return (
         b.join(F.broadcast(q), F.col(id_col) != F.col(q_id_col))
@@ -407,15 +428,22 @@ def knn_join_ivf(
     centroids = ivf_train(base, n_centroids, n_iter, id_col, vec_col)
     bdbl = as_double_array(vec_col)
     assigned = base.select(
-        F.col(id_col), bdbl.alias("_bv"), _assign_expr(bdbl, centroids).alias("_cid")
+        F.col(id_col),
+        bdbl.alias("_bv"),
+        l2_norm(bdbl).alias("_bn"),
+        _assign_expr(bdbl, centroids).alias("_cid"),
     )
     qdbl = as_double_array(q_vec_col)
     probes = queries.select(
         F.col(q_id_col),
         qdbl.alias("_qv"),
+        l2_norm(qdbl).alias("_qn"),
         F.explode(_probe_expr(qdbl, centroids, nprobe)).alias("_cid"),
     )
-    sim = F.round(cosine(F.col("_bv"), F.col("_qv")), round_digits)
+    sim = F.round(
+        cosine_prenormed(F.col("_bv"), F.col("_qv"), F.col("_bn"), F.col("_qn")),
+        round_digits,
+    )
     w = Window.partitionBy(q_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
     return (
         assigned.join(F.broadcast(probes), on="_cid")
