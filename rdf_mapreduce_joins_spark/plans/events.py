@@ -160,3 +160,75 @@ def events_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "events_funnel_steps",
+    oracle="""
+    WITH es AS (
+      SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events
+    ),
+    v AS (SELECT user_id, MIN(ts_s) AS t_view FROM es
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT es.user_id, MIN(ts_s) AS t_click
+          FROM es JOIN v ON v.user_id = es.user_id
+          WHERE event_type = 'click' AND ts_s >= t_view
+          GROUP BY es.user_id),
+    p AS (SELECT es.user_id, MIN(ts_s) AS t_purchase
+          FROM es JOIN c ON c.user_id = es.user_id
+          WHERE event_type = 'purchase' AND ts_s >= t_click
+          GROUP BY es.user_id)
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_view_click_purchase
+    """,
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (event-analytics staple the reference's
+    fixed join pipelines cannot express): users who viewed, then
+    clicked AT OR AFTER their first view, then purchased at or after
+    that first qualifying click — each stage anchored on the previous
+    stage's FIRST qualifying event.
+
+    One pass computes every user's per-stage candidate times with
+    conditional aggregation; stage gating is sequential min-finding:
+    t_click = min ts over clicks >= t_view requires t_view first, so
+    the plan is two grouped aggregations joined on user_id — same
+    shuffle key, so the second aggregation reuses the first's
+    partitioning (no extra exchange beyond the joins). Scale: state is
+    one row per user per stage; no window over the full event stream,
+    no explode."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts_s")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, on="user_id")
+        .filter(F.col("ts_s") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, on="user_id")
+        .filter(F.col("ts_s") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("t_purchase"))
+    )
+    # One global aggregation over stage-tagged rows (a cross join of
+    # the three 1-row counts would plan a nested-loop join — banned by
+    # the plan gates even when trivially bounded).
+    stages = (
+        v.select(F.lit("v").alias("st"))
+        .unionByName(c.select(F.lit("c").alias("st")))
+        .unionByName(p.select(F.lit("p").alias("st")))
+    )
+    return stages.agg(
+        F.sum(F.when(F.col("st") == "v", 1).otherwise(0)).alias("n_view"),
+        F.sum(F.when(F.col("st") == "c", 1).otherwise(0)).alias("n_view_click"),
+        F.sum(F.when(F.col("st") == "p", 1).otherwise(0)).alias("n_view_click_purchase"),
+    )

@@ -983,3 +983,61 @@ def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(price * (1 - disc)).cast("double").alias("revenue"))
     )
+
+
+@query(
+    "window_rank_variants",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment AS seg,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking-window family (W1 completion): ntile
+    quartiles, percent_rank, cume_dist over one shared window — one
+    shuffle on the partition key serves all three functions. The
+    (c_acctbal, c_custkey) ordering carries a unique tiebreak so
+    ranks are engine-stable."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "agg_stats_funcs",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+           ROUND(var_samp(l_discount), 6) AS var_disc,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family (A3 completion): sample
+    stddev/variance, correlation, covariance per group — all partial-
+    aggregatable built-ins (each carries O(1) state per group through
+    the map-side combine: count/mean/M2 moments). Rounded on both
+    engines: float merge order differs between Spark's partial
+    aggregation tree and DuckDB's, which perturbs ~1e-12 relative —
+    far below the rounded digits."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("covar_qty_disc"),
+    )
