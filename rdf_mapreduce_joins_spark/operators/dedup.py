@@ -319,3 +319,46 @@ def connected_components(
             break
     edges.unpersist()
     return labels
+
+
+# --------------------------------------------------------------------------
+# Per-row SimHash (streaming-safe form)
+# --------------------------------------------------------------------------
+
+
+def with_simhash_bands(
+    df: DataFrame, text_col: str = "text", out_col: str = "bands"
+) -> DataFrame:
+    """Append the 4×16-bit SimHash band array computed PER ROW with
+    array higher-order functions — no explode, no groupBy, no shuffle.
+
+    Produces bit-identical values to :func:`simhash_signatures` (the
+    explode+aggregate batch form; equality is pinned by
+    test_simhash_per_row_equals_batch). The per-row form is the one a
+    STREAM can evaluate: stateless projection, so it composes with any
+    streaming source without an aggregation state store. Cost is the
+    same O(tokens × 64) bit votes, just folded inside the row."""
+    if not text_col.isidentifier():
+        raise ValueError(f"text_col must be a simple column name, got {text_col!r}")
+    # SQL-text form: the SQL shiftright/shiftleft accept a COLUMN shift
+    # amount (the Python wrappers only take a literal int).
+    votes = F.expr(
+        f"""aggregate(
+              filter(split({text_col}, ' '), t -> t != ''),
+              array_repeat(0L, {_SIMHASH_BITS}),
+              (acc, t) -> zip_with(
+                acc,
+                transform(sequence(0, {_SIMHASH_BITS - 1}),
+                          j -> (shiftright(xxhash64(t), j) & 1L) * 2 - 1),
+                (a, b) -> a + b))"""
+    )
+    with_votes = df.withColumn("_votes", votes)
+    band_cols = [
+        F.expr(
+            f"""cast(aggregate(sequence(0, {_BAND_BITS - 1}), 0,
+                  (acc, j) -> acc + if(element_at(_votes, {b * _BAND_BITS} + j + 1) > 0,
+                                       shiftleft(1, j), 0)) as int)"""
+        )
+        for b in range(_N_BANDS)
+    ]
+    return with_votes.withColumn(out_col, F.array(*band_cols)).drop("_votes")

@@ -1,0 +1,110 @@
+"""Streaming near-dup detection tests: per-row SimHash parity with the
+batch form, and cross-micro-batch candidate detection with bounded
+bucket state."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_mapreduce_joins_spark.operators import dedup
+from rdf_mapreduce_joins_spark.sources.tables import load_table
+from rdf_mapreduce_joins_spark.streaming import docs_stream as ds
+from rdf_mapreduce_joins_spark.streaming.events_stream import run_to_memory
+
+DOCS_SCHEMA = "doc_id bigint, text string"
+
+
+def test_simhash_per_row_equals_batch(spark, sf_dir):
+    """with_simhash_bands (stateless per-row fold — the streaming form)
+    must be bit-identical to simhash_signatures (explode + groupBy
+    aggregation — the batch form) on the real corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    batch = {r.doc_id: list(r.bands) for r in dedup.simhash_signatures(d).collect()}
+    perrow = {
+        r.doc_id: list(r.bands)
+        for r in dedup.with_simhash_bands(d).select("doc_id", "bands").collect()
+    }
+    assert perrow == batch and batch
+
+
+@pytest.fixture(scope="module")
+def doc_batches_dir(spark, tmp_path_factory):
+    """Two micro-batches: batch 1 has two near-identical docs (1, 2)
+    and one unrelated (3); batch 2 re-sends doc 1's text as doc 4 —
+    detecting it requires state SURVIVING across batches."""
+    base = "spark shuffle join partition filter sort aggregate window broadcast"
+    near = base + " extra"
+    other = "completely different words about nothing in particular here yes"
+    flat = tmp_path_factory.mktemp("docs_flat")
+    raw = tmp_path_factory.mktemp("docs_raw")
+
+    def write(name, rows, mtime_off):
+        spark.createDataFrame(rows, DOCS_SCHEMA).coalesce(1).write.parquet(
+            str(raw / name)
+        )
+        src = glob.glob(str(raw / name / "*.parquet"))[0]
+        dst = str(flat / f"{name}.parquet")
+        shutil.copy(src, dst)
+        t = time.time() + mtime_off
+        os.utime(dst, (t, t))
+
+    write("b1", [(1, base), (2, near), (3, other)], 0)
+    write("b2", [(4, base)], 10)
+    return str(flat)
+
+
+def test_candidates_detected_across_batches(spark, doc_batches_dir):
+    stream = ds.read_docs_stream(spark, doc_batches_dir, max_files_per_trigger=1)
+    out = run_to_memory(
+        ds.simhash_candidates_stream(stream), "t_docdedup", "append"
+    ).collect()
+    pairs = {(r.doc_id, r.first_doc_id) for r in out}
+    # doc 2 collides with doc 1 within batch 1 (near-identical text)
+    assert (2, 1) in pairs
+    # doc 4 (batch 2) collides with doc 1 (batch 1): cross-batch state
+    assert (4, 1) in pairs
+    # the unrelated doc never appears as a candidate
+    assert all(d != 3 and f != 3 for d, f in pairs)
+    # identical docs collide on ALL 4 bands
+    assert sum(1 for d, f in [(r.doc_id, r.first_doc_id) for r in out] if (d, f) == (4, 1)) == 4
+
+
+def test_stream_candidates_agree_with_batch_pairs(spark, doc_batches_dir):
+    """Candidate coverage parity: every batch simhash_pairs pair over
+    the same corpus must be witnessed by at least one streaming
+    candidate row linking the two docs through a shared bucket (possibly
+    transitively via the bucket's first member)."""
+    corpus = spark.read.parquet(doc_batches_dir)
+    sigs = dedup.simhash_signatures(corpus)
+    batch_pairs = {
+        (r.d1, r.d2) for r in dedup.simhash_pairs(sigs, max_hamming=8).collect()
+    }
+    stream = ds.read_docs_stream(spark, doc_batches_dir, max_files_per_trigger=1)
+    out = run_to_memory(
+        ds.simhash_candidates_stream(stream), "t_docdedup2", "append"
+    ).collect()
+    # union-find over (doc -> bucket-first) links
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for r in out:
+        union(r.doc_id, r.first_doc_id)
+    for d1, d2 in batch_pairs:
+        assert find(d1) == find(d2), f"batch pair ({d1},{d2}) not linked in stream"
