@@ -176,3 +176,37 @@ def upsert_parquet(
     )
     merged.write.mode("overwrite").parquet(out)
     return out
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    out_path: str | None = None,
+) -> str:
+    """Small-file compaction (pipeline hygiene at scale): rewrite a
+    parquet directory into files of roughly ``target_file_mb`` each.
+    A streaming sink or over-parallel writer leaves thousands of tiny
+    files; every later scan then pays per-file open/footer cost and
+    the driver pays listing cost — compaction amortizes that once.
+
+    File count = ceil(on-disk bytes / target); round-robin repartition
+    (no keys — compaction must not imply a semantic shuffle order).
+    Output goes to a fresh sibling directory (write-new-then-repoint,
+    as in :func:`upsert_parquet`); returns the path."""
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    out = out_path or os.path.join(
+        os.path.dirname(path.rstrip("/")),
+        os.path.basename(path.rstrip("/")) + "__compacted",
+    )
+    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(out)
+    return out

@@ -329,3 +329,30 @@ def test_multimodal_frame_sample_matches_python_reference(spark):
         for r in entrymod.queries()["multimodal_frame_sample"](spark, SF).collect()
     }
     assert got == want
+
+
+def test_approx_distinct_within_declared_error(spark):
+    """agg_approx_distinct is a sketch (HLL++, rsd=0.02) — exact
+    equality is undefined by design, but the estimate must sit within
+    a conservative multiple of the declared relative error of the true
+    per-group distinct count (5 sigma ≈ 10%), and n_rows is exact."""
+    from pyspark.sql import functions as F
+
+    got = {
+        r.l_returnflag: (r.approx_orders, r.n_rows)
+        for r in entrymod.queries()["agg_approx_distinct"](spark, SF).collect()
+    }
+    exact_df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("d"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    exact = {r.l_returnflag: (r.d, r.n) for r in exact_df.collect()}
+    assert set(got) == set(exact)
+    for k, (approx, n_rows) in got.items():
+        d, n = exact[k]
+        assert n_rows == n
+        assert abs(approx - d) / d <= 0.10, f"{k}: approx {approx} vs exact {d}"

@@ -157,3 +157,23 @@ def test_upsert_parquet_merges_and_inserts(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError):
         sinks.upsert_parquet(spark, target_path, bad, ["n_nationkey"])
+
+
+def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
+    """compact_parquet: a many-tiny-file directory rewrites into the
+    computed file count with identical rows."""
+    import glob
+
+    from rdf_mapreduce_joins_spark.sources import sinks
+    from rdf_mapreduce_joins_spark.sources.tables import load_table
+
+    frag = str(tmp_path / "fragmented")
+    load_table(spark, sf_dir, "orders").repartition(64).write.parquet(frag)
+    assert len(glob.glob(f"{frag}/*.parquet")) == 64
+    out = sinks.compact_parquet(spark, frag, target_file_mb=128)
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) == 1  # tiny table -> one target-size file
+    assert spark.read.parquet(out).count() == spark.read.parquet(frag).count()
+    got = sorted(r.o_orderkey for r in spark.read.parquet(out).collect())
+    want = sorted(r.o_orderkey for r in spark.read.parquet(frag).collect())
+    assert got == want
