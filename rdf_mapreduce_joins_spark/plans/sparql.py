@@ -50,6 +50,11 @@ need, SURVEY.md §2.3 J1-J9):
   (bag union of the predicates' edge sets),
 * ``SELECT [DISTINCT]``, ``ORDER BY [ASC()/DESC()]``, ``LIMIT``,
   ``OFFSET``,
+* **SPARQL 1.1 aggregation**: ``(COUNT([DISTINCT] ?v | *) AS ?a)``,
+  ``MIN``/``MAX`` over literal variables, ``GROUP BY ?v...``,
+  ``HAVING(expr)`` over aliases/group keys — compiled to one
+  DataFrame aggregation over the encoded solution frame, group keys
+  decoded post-aggregation,
 * the other two benchmark query forms: ``ASK { }`` (1-row boolean
   frame; LIMIT-1-bounded existence probe — SP2Bench Q12a/b/c are ASK)
   and ``CONSTRUCT { template } WHERE { }`` (template instantiated per
@@ -59,8 +64,9 @@ need, SURVEY.md §2.3 J1-J9):
 Out of scope, rejected with errors (as in the reference, SURVEY §2.3):
 variable predicates, ``|`` after a ``/`` sequence without parentheses
 (precedence trap — the error names the rewrite), mixed forward/inverse
-alternation, subqueries, aggregates (the relational layer covers
-aggregation), named graphs.
+alternation, subqueries, SUM/AVG aggregates (no numeric literal
+predicates in this vocabulary — the relational layer covers numeric
+aggregation), MIN/MAX over IRI-valued variables, named graphs.
 
 Execution inherits the BGP compiler's posture: dictionary-encoded int64
 joins with decode-on-projection (automatically falling back to the
@@ -81,6 +87,7 @@ from pyspark.sql import functions as F
 from rdf_mapreduce_joins_spark.plans.rdf import (
     PRED_SPECS,
     Pattern,
+    _decode_id,
     _var_kinds,
     bgp,
 )
@@ -105,6 +112,9 @@ _KEYWORDS = {
     "OFFSET",
     "BOUND",
     "PREFIX",
+    "GROUP",
+    "HAVING",
+    "AS",
 }
 
 _TOKEN_RE = re.compile(
@@ -175,7 +185,7 @@ class _Group:
 @dataclass
 class ParsedQuery:
     distinct: bool
-    select: list[str]
+    select: list[str]  # projection order: plain ?vars and agg ?aliases
     where: _Group
     types: dict[str, str]  # ?var -> table constraint
     order_by: list[tuple[str, bool]]  # (var, ascending)
@@ -184,6 +194,12 @@ class ParsedQuery:
     form: str = "select"  # select | ask | construct
     # CONSTRUCT template triples; terms are ?vars, <iri> text, or literals
     template: list[tuple[str, str, str]] | None = None
+    # SPARQL 1.1 aggregation: (fn, ?var or None for COUNT(*), distinct,
+    # ?alias) per aggregate select item; GROUP BY variables; HAVING as a
+    # parsed filter tuple over output columns.
+    aggs: list[tuple[str, str | None, bool, str]] = field(default_factory=list)
+    group_by: list[str] = field(default_factory=list)
+    having: tuple | None = None
 
 
 _KNOWN_PREDS = {s.pred for s in PRED_SPECS}
@@ -279,19 +295,40 @@ class _Parser:
             raise SparqlSyntaxError(f"expected 'SELECT', got {form_tok!r}")
         distinct = self.accept("DISTINCT")
         select: list[str] = []
+        aggs: list[tuple[str, str | None, bool, str]] = []
         if self.peek() == "*":
             raise SparqlUnsupportedError("SELECT * unsupported; list variables")
-        while self.peek() and self.peek().startswith("?"):
-            select.append(self.next())
+        while True:
+            p = self.peek()
+            if p is not None and p.startswith("?"):
+                select.append(self.next())
+            elif p == "(":
+                fn, arg, dist, alias = self.parse_agg_item()
+                aggs.append((fn, arg, dist, alias))
+                select.append(alias)
+            else:
+                break
         if not select:
             raise SparqlSyntaxError("SELECT needs at least one ?variable")
         self.expect("WHERE")
         where = self.parse_group()
         order_by: list[tuple[str, bool]] = []
+        group_by: list[str] = []
+        having: tuple | None = None
         limit = offset = None
         while self.peek() is not None:
             tok = self.next()
-            if tok == "ORDER":
+            if tok == "GROUP":
+                self.expect("BY")
+                while self.peek() is not None and self.peek().startswith("?"):
+                    group_by.append(self.next())
+                if not group_by:
+                    raise SparqlSyntaxError("empty GROUP BY")
+            elif tok == "HAVING":
+                having = self.parse_filter()
+                if having[0] != "sql":
+                    raise SparqlUnsupportedError("HAVING(!BOUND(...)) unsupported")
+            elif tok == "ORDER":
                 self.expect("BY")
                 while True:
                     p = self.peek()
@@ -312,9 +349,61 @@ class _Parser:
                 offset = int(self.next())
             else:
                 raise SparqlSyntaxError(f"unexpected trailing token {tok!r}")
+        if aggs:
+            aliases = {a for _, _, _, a in aggs}
+            bad = [v for v in select if v not in aliases and v not in group_by]
+            if bad:
+                raise SparqlUnsupportedError(
+                    f"non-grouped variables {bad} in an aggregate SELECT — "
+                    "add them to GROUP BY"
+                )
+        elif group_by:
+            raise SparqlUnsupportedError(
+                "GROUP BY without aggregates — use SELECT DISTINCT"
+            )
+        elif having is not None:
+            raise SparqlUnsupportedError("HAVING requires aggregates")
         return ParsedQuery(
-            distinct, select, where, self.types, order_by, limit, offset
+            distinct,
+            select,
+            where,
+            self.types,
+            order_by,
+            limit,
+            offset,
+            aggs=aggs,
+            group_by=group_by,
+            having=having,
         )
+
+    _AGG_FNS = ("COUNT", "MIN", "MAX")
+
+    def parse_agg_item(self) -> tuple[str, str | None, bool, str]:
+        """``( AGG([DISTINCT] ?v | *) AS ?alias )`` select item."""
+        self.expect("(")
+        fn = self.next().upper()
+        if fn in ("SUM", "AVG", "SAMPLE", "GROUP_CONCAT"):
+            raise SparqlUnsupportedError(
+                f"{fn} unsupported: the triples vocabulary has no numeric "
+                "literal predicates (use the relational layer for numeric "
+                "aggregation)"
+            )
+        if fn not in self._AGG_FNS:
+            raise SparqlSyntaxError(f"unknown aggregate {fn!r}")
+        self.expect("(")
+        dist = self.accept("DISTINCT")
+        if self.peek() == "*":
+            self.next()
+            if fn != "COUNT":
+                raise SparqlSyntaxError("'*' is only valid in COUNT(*)")
+            arg: str | None = None
+        else:
+            arg = self._var()
+        self.expect(")")
+        self.expect("AS")
+        alias = self._var()
+        self.expect(")")
+        return (fn, arg, dist, alias)
 
     def _var(self) -> str:
         tok = self.next()
@@ -693,6 +782,20 @@ def _rewrite_notbound(q: ParsedQuery) -> None:
 def _compile_group(
     spark: SparkSession, sf_dir: str, q: ParsedQuery, g: _Group
 ) -> DataFrame:
+    df, _kinds, _encoded = _compile_group_inner(
+        spark, sf_dir, q, g, select=q.select, distinct=q.distinct
+    )
+    return df
+
+
+def _compile_group_inner(
+    spark: SparkSession,
+    sf_dir: str,
+    q: ParsedQuery,
+    g: _Group,
+    select: list[str] | None,
+    distinct: bool,
+) -> tuple[DataFrame, dict, bool]:
     pats = _patterns(g, q.types)
     if not pats:
         raise SparqlUnsupportedError("group needs at least one triple pattern")
@@ -726,7 +829,7 @@ def _compile_group(
         for _, _sql, vs in sql_filters
         for v in vs
     )
-    return bgp(
+    df = bgp(
         spark,
         sf_dir,
         pats,
@@ -734,10 +837,80 @@ def _compile_group(
         negation=neg or None,
         exists=exi or None,
         filters=[f[1] for f in sql_filters] or None,
-        select=q.select,
-        distinct=q.distinct,
+        select=select,
+        distinct=distinct,
         encoded=encoded,
     )
+    return df, kinds, encoded
+
+
+def _execute_aggregate(
+    spark: SparkSession, sf_dir: str, q: ParsedQuery
+) -> DataFrame:
+    """SPARQL 1.1 aggregation: GROUP BY variables + COUNT/MIN/MAX
+    select items + HAVING, compiled to one DataFrame aggregation over
+    the solution frame.
+
+    Aggregation runs on the ENCODED frame (the default path): COUNT /
+    COUNT(DISTINCT) over dictionary ids count exactly the IRIs (the
+    encoding is bijective), and id-typed GROUP BY keys aggregate as
+    int64 — decode happens after the aggregation, on one row per
+    group. MIN/MAX are restricted to literal-valued variables: over an
+    id-typed variable they would order by internal id, not IRI text —
+    rejected loudly rather than silently wrong. SUM/AVG are rejected
+    at parse (no numeric literal predicates in this vocabulary)."""
+    if q.where.unions:
+        raise SparqlUnsupportedError("aggregates over UNION are unsupported")
+    sol, kinds, encoded = _compile_group_inner(
+        spark, sf_dir, q, q.where, select=None, distinct=False
+    )
+    gvars = [v[1:] for v in q.group_by]
+    agg_exprs = []
+    for fn, var, dist, alias in q.aggs:
+        a = alias[1:]
+        if var is None:  # COUNT(*)
+            agg_exprs.append(F.count(F.lit(1)).alias(a))
+            continue
+        name = var[1:]
+        if name not in sol.columns:
+            raise SparqlUnsupportedError(f"aggregate over unbound variable {var}")
+        if fn == "COUNT":
+            e = F.countDistinct(name) if dist else F.count(name)
+        else:
+            if kinds.get(name, ("str",))[0] == "id":
+                raise SparqlUnsupportedError(
+                    f"{fn}({var}) over an IRI-valued variable is unsupported "
+                    "(ordering would be over internal ids, not IRI text)"
+                )
+            e = F.min(name) if fn == "MIN" else F.max(name)
+        agg_exprs.append(e.alias(a))
+    out = sol.groupBy(*gvars).agg(*agg_exprs) if gvars else sol.agg(*agg_exprs)
+    if encoded:
+        for v in gvars:
+            if kinds.get(v, ("str",))[0] == "id":
+                out = out.withColumn(v, _decode_id(F.col(v), kinds[v][1]))
+    if q.having is not None:
+        _tag, sql, vs = q.having
+        known = set(out.columns)
+        bad = [v for v in vs if v[1:] not in known]
+        if bad:
+            raise SparqlUnsupportedError(
+                f"HAVING references {bad} — only GROUP BY variables and "
+                "aggregate aliases are in scope"
+            )
+        out = out.filter(F.expr(sql))
+    out = out.select(*[v[1:] for v in q.select])
+    if q.order_by:
+        cols = [
+            F.col(v[1:]).asc_nulls_last() if asc else F.col(v[1:]).desc_nulls_last()
+            for v, asc in q.order_by
+        ]
+        out = out.orderBy(*cols)
+    if q.offset is not None:
+        out = out.offset(q.offset)
+    if q.limit is not None:
+        out = out.limit(q.limit)
+    return out
 
 
 def sparql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
@@ -749,6 +922,8 @@ def sparql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
     (SURVEY.md §3.1) has no analog here because it is not needed."""
     q = parse_sparql(text)
     _rewrite_notbound(q)
+    if q.aggs:
+        return _execute_aggregate(spark, sf_dir, q)
     if q.form == "ask":
         # Existence as a 1-row boolean frame, fully lazy: LIMIT 1 stops
         # the scan at the first solution, and a global aggregate over
@@ -1071,4 +1246,45 @@ def rdf_path_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "SELECT ?c ?v WHERE { ?c a <customer> ; (<name>|<mktsegment>) ?v . }",
+    )
+
+
+@query(
+    "rdf_sparql_aggregate",
+    oracle="""
+    SELECT r_name AS rname,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(COUNT(DISTINCT n_nationkey) AS BIGINT) AS n_nations,
+           MIN(c_name) AS first_name
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY r_name
+    HAVING COUNT(*) > 10
+    """,
+)
+def rdf_sparql_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 aggregation end-to-end from query TEXT: GROUP BY +
+    COUNT(*) / COUNT(DISTINCT id-var) / MIN(literal) + HAVING over an
+    alias. Aggregation runs on the dictionary-ENCODED solution frame
+    (counting ids counts IRIs exactly); group keys decode after the
+    aggregation — one decode per group, not per row. The reference has
+    no aggregate surface at all (its thesis checks result counts via
+    job counters [K]); this is the query its users would write for
+    that."""
+    return sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?rname (COUNT(*) AS ?n_cust)
+               (COUNT(DISTINCT ?n) AS ?n_nations)
+               (MIN(?cname) AS ?first_name)
+        WHERE {
+          ?c a <customer> ; <name> ?cname ; <nation> ?n .
+          ?n <region> ?r . ?r <name> ?rname .
+        }
+        GROUP BY ?rname
+        HAVING(?n_cust > 10)
+        ORDER BY ?rname
+        """,
     )

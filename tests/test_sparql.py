@@ -6,6 +6,7 @@ out-of-subset constructs."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
 from rdf_mapreduce_joins_spark.plans import sparql as S
@@ -465,3 +466,63 @@ def test_filter_regex_flags_rejected():
         S.parse_sparql(
             'SELECT ?x WHERE { ?x <name> ?n . FILTER regex(?n, "a", "i") }'
         )
+
+
+def test_aggregate_count_equals_dataframe_count(spark, sf_dir):
+    """(COUNT(*) AS ?n) with no GROUP BY = a 1-row global count equal
+    to the plain query's row count."""
+    n = S.sparql(
+        spark, sf_dir, "SELECT ?c ?n WHERE { ?c <nation> ?n . }"
+    ).count()
+    got = S.sparql(
+        spark,
+        sf_dir,
+        "SELECT (COUNT(*) AS ?n) WHERE { ?c <nation> ?n2 . }",
+    ).collect()
+    assert [r.n for r in got] == [n]
+
+
+def test_aggregate_group_by_decodes_id_keys(spark, sf_dir):
+    """GROUP BY over an id-typed variable: keys aggregate encoded and
+    decode to IRIs post-agg; counts match a manual groupBy."""
+    got = {
+        r.n: r.cnt
+        for r in S.sparql(
+            spark,
+            sf_dir,
+            """SELECT ?n (COUNT(?c) AS ?cnt)
+               WHERE { ?c a <customer> ; <nation> ?n . }
+               GROUP BY ?n""",
+        ).collect()
+    }
+    want = {
+        r.n: r.cnt
+        for r in S.sparql(
+            spark, sf_dir, "SELECT ?c ?n WHERE { ?c a <customer> ; <nation> ?n . }"
+        )
+        .groupBy("n")
+        .agg(F.count("c").alias("cnt"))
+        .collect()
+    }
+    assert got == want and got
+    assert all(k.startswith("nation/") for k in got)
+
+
+AGG_ERRORS = [
+    # SUM is out of scope in this vocabulary
+    ("SELECT (SUM(?x) AS ?s) WHERE { ?c <name> ?x . }", "SUM"),
+    # MIN over an IRI-valued variable
+    ("SELECT (MIN(?n) AS ?m) WHERE { ?c <nation> ?n . }", "IRI-valued"),
+    # ungrouped plain variable next to an aggregate
+    ("SELECT ?c (COUNT(*) AS ?n) WHERE { ?c <nation> ?x . }", "GROUP BY"),
+    # GROUP BY without aggregates
+    ("SELECT ?c WHERE { ?c <nation> ?x . } GROUP BY ?c", "DISTINCT"),
+    # HAVING without aggregates
+    ("SELECT ?c WHERE { ?c <nation> ?x . } HAVING(?c > 1)", "aggregates"),
+]
+
+
+@pytest.mark.parametrize("text,why", AGG_ERRORS)
+def test_aggregate_rejections(spark, sf_dir, text, why):
+    with pytest.raises(ValueError, match=why):
+        S.sparql(spark, sf_dir, text)
