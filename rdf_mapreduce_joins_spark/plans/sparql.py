@@ -38,6 +38,10 @@ need, SURVEY.md §2.3 J1-J9):
   left-join-then-filter) so the plan never carries the optional
   columns,
 * ``{ } UNION { }`` at the top level of WHERE,
+* ``VALUES ?v { t1 t2 ... }`` inline bindings (single-variable form)
+  — compiled to an IN-list over the variable's native representation
+  (int64 ids for IRI variables on the encoded path, so the list
+  constant-folds toward the scan),
 * **property paths** in predicate position: sequence ``<p1>/<p2>``
   (lowered to chained patterns through fresh variables), inverse
   ``^<p>`` (endpoint swap), transitive ``<p>+`` (compiled to the
@@ -87,6 +91,7 @@ from pyspark.sql import functions as F
 from rdf_mapreduce_joins_spark.plans.rdf import (
     PRED_SPECS,
     Pattern,
+    _const_to_id,
     _decode_id,
     _var_kinds,
     bgp,
@@ -115,6 +120,7 @@ _KEYWORDS = {
     "GROUP",
     "HAVING",
     "AS",
+    "VALUES",
 }
 
 _TOKEN_RE = re.compile(
@@ -171,6 +177,8 @@ class _Group:
     # ('sql', text, referenced-vars) | ('notbound', var)
     filters: list[tuple] = field(default_factory=list)
     unions: list["_Group"] = field(default_factory=list)
+    # VALUES ?v { t1 t2 ... } inline bindings (single-variable form)
+    values: list[tuple[str, list[str]]] = field(default_factory=list)
 
     def all_vars_bound_here(self) -> set[str]:
         vs = set()
@@ -429,6 +437,27 @@ class _Parser:
             if tok == "OPTIONAL":
                 self.next()
                 g.optionals.append(self.parse_group())
+            elif tok == "VALUES":
+                self.next()
+                if self.peek() == "(":
+                    raise SparqlUnsupportedError(
+                        "multi-variable VALUES (?a ?b) { ... } unsupported — "
+                        "use the single-variable form per variable"
+                    )
+                var = self._var()
+                self.expect("{")
+                terms: list[str] = []
+                while self.peek() != "}":
+                    if self.peek() is None:
+                        raise SparqlSyntaxError("unterminated VALUES block")
+                    t = self.parse_term(position="VALUES")
+                    if t.startswith("?"):
+                        raise SparqlSyntaxError("VALUES terms must be constants")
+                    terms.append(t)
+                self.expect("}")
+                if not terms:
+                    raise SparqlSyntaxError("empty VALUES block")
+                g.values.append((var, terms))
             elif tok == "MINUS":
                 self.next()
                 g.negations.append(self.parse_group())
@@ -805,12 +834,19 @@ def _compile_group_inner(
             "unsupported — make UNION the whole WHERE body"
         )
     for sub in (*g.optionals, *g.negations, *g.exists):
-        if sub.optionals or sub.negations or sub.exists or sub.unions or sub.filters:
+        if (
+            sub.optionals
+            or sub.negations
+            or sub.exists
+            or sub.unions
+            or sub.filters
+            or sub.values
+        ):
             # Silently ignoring a FILTER or nested OPTIONAL inside a
             # sub-group would change semantics — refuse loudly instead.
             raise SparqlUnsupportedError(
-                "nested structure (FILTER/OPTIONAL/negation/UNION) inside "
-                "an OPTIONAL/MINUS/EXISTS group is unsupported"
+                "nested structure (FILTER/OPTIONAL/negation/UNION/VALUES) "
+                "inside an OPTIONAL/MINUS/EXISTS group is unsupported"
             )
     opt = [_patterns(og, q.types) for og in g.optionals]
     neg = [_patterns(ng, q.types) for ng in g.negations]
@@ -829,6 +865,25 @@ def _compile_group_inner(
         for _, _sql, vs in sql_filters
         for v in vs
     )
+    # VALUES inline bindings → IN-list filters, rendered in whichever
+    # representation the frame carries: encoded id vars compare as
+    # int64 literals (the IN list constant-folds into the scan), string
+    # paths as quoted text. Adapting here (after the encoded decision)
+    # means VALUES over an id variable never forces the slow decoded
+    # path the way a general FILTER on one does.
+    values_filters: list[str] = []
+    for var, terms in g.values:
+        name = var[1:]
+        if name not in kinds:
+            raise SparqlUnsupportedError(
+                f"VALUES {var} over a variable no pattern binds"
+            )
+        kind, _tabs = kinds[name]
+        if kind == "id" and encoded:
+            rendered = ", ".join(str(_const_to_id(t)) for t in terms)
+        else:
+            rendered = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+        values_filters.append(f"{name} IN ({rendered})")
     df = bgp(
         spark,
         sf_dir,
@@ -836,7 +891,7 @@ def _compile_group_inner(
         optional=opt or None,
         negation=neg or None,
         exists=exi or None,
-        filters=[f[1] for f in sql_filters] or None,
+        filters=([f[1] for f in sql_filters] + values_filters) or None,
         select=select,
         distinct=distinct,
         encoded=encoded,
@@ -941,6 +996,7 @@ def sparql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
             or q.where.negations
             or q.where.exists
             or q.where.filters
+            or q.where.values
         ):
             raise SparqlUnsupportedError(
                 "mixing UNION with other top-level patterns is unsupported "

@@ -526,3 +526,56 @@ AGG_ERRORS = [
 def test_aggregate_rejections(spark, sf_dir, text, why):
     with pytest.raises(ValueError, match=why):
         S.sparql(spark, sf_dir, text)
+
+
+def test_values_over_id_var_equals_union_of_constants(spark, sf_dir):
+    got = rows(
+        S.sparql(
+            spark,
+            sf_dir,
+            """SELECT ?n ?nname WHERE {
+                 ?n <region> ?r ; <name> ?nname .
+                 VALUES ?r { <region/0> <region/2> }
+               }""",
+        )
+    )
+    want = rows(
+        S.sparql(
+            spark,
+            sf_dir,
+            """SELECT ?n ?nname WHERE {
+                 { ?n <region> <region/0> ; <name> ?nname . }
+                 UNION
+                 { ?n <region> <region/2> ; <name> ?nname . }
+               }""",
+        )
+    )
+    assert got == want and got
+
+
+def test_values_over_literal_var(spark, sf_dir):
+    got = rows(
+        S.sparql(
+            spark,
+            sf_dir,
+            """SELECT ?c ?seg WHERE {
+                 ?c <mktsegment> ?seg .
+                 VALUES ?seg { "BUILDING" "AUTOMOBILE" }
+               }""",
+        )
+    )
+    assert got
+    assert {seg for _, seg in got} == {"BUILDING", "AUTOMOBILE"}
+
+
+@pytest.mark.parametrize(
+    "text,why",
+    [
+        ("SELECT ?x WHERE { ?x <name> ?y . VALUES (?x ?y) { } }", "multi-variable"),
+        ("SELECT ?x WHERE { ?x <name> ?y . VALUES ?z { <region/0> } }", "no pattern binds"),
+        ("SELECT ?x WHERE { ?x <name> ?y . VALUES ?x { } }", "empty VALUES"),
+    ],
+)
+def test_values_rejections(spark, sf_dir, text, why):
+    with pytest.raises(ValueError, match=why):
+        S.sparql(spark, sf_dir, text)
