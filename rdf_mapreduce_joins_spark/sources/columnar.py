@@ -59,3 +59,27 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
             "org.apache.spark:spark-avro_2.13:<spark-version>"
         )
     return spark.read.format("avro").load(path)
+
+
+def read_parquet_evolving(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """Read a parquet directory whose files were written under an
+    EVOLVING schema (columns added over time — the normal life of a
+    long-lived pipeline dataset).
+
+    Two modes, matching the two scale postures:
+
+    * ``schema=None`` — ``mergeSchema=true``: Spark reconciles every
+      file footer into the union schema. Correct, but the footer merge
+      lists and reads every footer up front — pay it for ad-hoc
+      exploration, not in a production job over millions of files.
+    * ``schema="ddl string"`` — the declared-contract form: the caller
+      states the current schema; older files simply yield NULL for
+      columns they predate. No footer sweep, constant planning cost —
+      the 100 TB answer (the contract lives in code review, where
+      schema changes belong).
+    """
+    if schema is None:
+        return spark.read.option("mergeSchema", "true").parquet(path)
+    return spark.read.schema(schema).parquet(path)

@@ -87,3 +87,27 @@ def test_avro_gated_with_clear_error(spark):
 
     with _pytest.raises(NotImplementedError, match="spark-avro"):
         columnar.read_avro(spark, "/nonexistent")
+
+
+def test_parquet_schema_evolution_reads(spark, tmp_path):
+    """Files written before a column existed read as NULL for it —
+    both via mergeSchema discovery and via a declared schema."""
+    from rdf_mapreduce_joins_spark.sources.columnar import read_parquet_evolving
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id bigint, name string").write.parquet(
+        f"{p}/part=old"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, name string, score double"
+    ).write.parquet(f"{p}/part=new")
+
+    merged = read_parquet_evolving(spark, p)
+    rows = {r.id: (r.name, r.score) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+    declared = read_parquet_evolving(
+        spark, p, schema="id bigint, name string, score double"
+    )
+    rows2 = {r.id: (r.name, r.score) for r in declared.collect()}
+    assert rows2 == rows
