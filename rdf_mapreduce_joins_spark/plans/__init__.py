@@ -4,7 +4,14 @@ Importing this package populates the registry with every declared
 query + its DuckDB oracle SQL.
 """
 
-from rdf_mapreduce_joins_spark.plans import events, llm, rdf, relational, sparql  # noqa: F401
+from rdf_mapreduce_joins_spark.plans import (  # noqa: F401
+    events,
+    generic_rdf,
+    llm,
+    rdf,
+    relational,
+    sparql,
+)
 from rdf_mapreduce_joins_spark.plans.registry import ORACLES, QUERIES
 
 __all__ = ["QUERIES", "ORACLES"]

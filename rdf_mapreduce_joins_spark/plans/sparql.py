@@ -215,8 +215,9 @@ _KNOWN_TABLES = {s.table for s in PRED_SPECS}
 
 
 class _Parser:
-    def __init__(self, toks: list[str]):
+    def __init__(self, toks: list[str], validate_vocab: bool = True):
         self.toks = toks
+        self.validate_vocab = validate_vocab
         self.i = 0
         self.types: dict[str, str] = {}
         self.prefixes: dict[str, str] = {}
@@ -558,7 +559,7 @@ class _Parser:
     def _record_type(self, s: str, o: str) -> None:
         if not s.startswith("?"):
             raise SparqlUnsupportedError("type constraint needs a ?variable subject")
-        if o not in _KNOWN_TABLES:
+        if self.validate_vocab and o not in _KNOWN_TABLES:
             raise SparqlUnsupportedError(
                 f"unknown class <{o}>; known: {sorted(_KNOWN_TABLES)}"
             )
@@ -650,7 +651,7 @@ class _Parser:
             pred = self._expand_pname(tok)
         else:
             raise SparqlSyntaxError(f"expected predicate <iri> or 'a', got {tok!r}")
-        if pred not in _KNOWN_PREDS:
+        if self.validate_vocab and pred not in _KNOWN_PREDS:
             raise SparqlUnsupportedError(
                 f"unknown predicate <{pred}>; known: {sorted(_KNOWN_PREDS)}"
             )
@@ -759,9 +760,14 @@ class _Parser:
         return ("sql", " ".join(out), vars_used)
 
 
-def parse_sparql(text: str) -> ParsedQuery:
-    """Parse SPARQL text (supported subset) to a :class:`ParsedQuery`."""
-    return _Parser(_tokenize(text)).parse_query()
+def parse_sparql(text: str, validate_vocab: bool = True) -> ParsedQuery:
+    """Parse SPARQL text (supported subset) to a :class:`ParsedQuery`.
+
+    ``validate_vocab=False`` skips the star-schema vocabulary checks
+    (unknown predicate / unknown class) — the generic-triples executor
+    (plans/generic_rdf.py) accepts ANY IRI; an unknown predicate there
+    is an empty match, not an error."""
+    return _Parser(_tokenize(text), validate_vocab=validate_vocab).parse_query()
 
 
 # --------------------------------------------------------------------------
