@@ -133,3 +133,18 @@ def test_generic_transitive_any_predicate(spark):
     assert star == sorted(
         plus + [("a", "a"), ("b", "b"), ("c", "c"), ("x", "x"), ("y", "y")]
     )
+
+
+def test_generic_pattern_prunes_predicate_partitions(spark, tmp_path):
+    """Stored partitioned-by-predicate (the layout the module docstring
+    prescribes), a single-predicate pattern must hit PartitionFilters —
+    unmatched predicate directories are pruned at file listing, which
+    is the generic path's scan-reduction story at 100 TB."""
+    p = str(tmp_path / "triples_by_pred")
+    triples(spark, "/root/testdata/sf0.001").write.partitionBy("predicate").parquet(p)
+    t = spark.read.parquet(p).select("subject", "predicate", "object")
+    df = sparql_triples(t, "SELECT ?c ?seg WHERE { ?c <mktsegment> ?seg . }")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "mktsegment" in plan
+    # the pruned scan still answers correctly
+    assert df.count() == 150
