@@ -107,6 +107,21 @@ SHOWCASE = [
         "compare) — no shuffle at any scale, and the split is stable under "
         "corpus growth because it depends on the row alone.",
     ),
+    (
+        "rdf_sparql_aggregate",
+        "SPARQL 1.1 aggregation from text: one hash aggregation over the "
+        "dictionary-encoded solution frame (partial+final), group keys "
+        "decoded AFTER the aggregation — decode cost is per group, and "
+        "the HAVING filter runs on the aggregated row counts.",
+    ),
+    (
+        "rdf_generic_triples_sparql",
+        "Generic-vocabulary SPARQL over a raw (s,p,o) frame: one filtered "
+        "projection of the triples scan per pattern, string equi-joins, "
+        "AQE picking broadcast for the small sides — the no-schema path "
+        "an N-Triples user runs; store partitioned by predicate and the "
+        "per-pattern filters become partition pruning (plan-tested).",
+    ),
 ]
 
 
