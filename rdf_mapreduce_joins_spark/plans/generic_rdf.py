@@ -47,15 +47,30 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 
 def _pattern_frame(
-    triples: DataFrame, s: str, preds: tuple[str, ...], o: str, mod: str
+    triples: DataFrame,
+    s: str,
+    preds: tuple[str, ...],
+    o: str,
+    mod: str,
+    encoded: bool = False,
 ) -> DataFrame:
     """One triple pattern over the raw frame: predicate IN-filter,
-    endpoint constant filters, closure/identity for path modifiers."""
+    endpoint constant filters, closure/identity for path modifiers.
+
+    ``encoded``: terms become ``xxhash64`` int64 ids right after the
+    predicate filter — closures, joins, and distincts then run on
+    longs; constants compare as ``xxhash64(lit)`` (constant-folded).
+    See :func:`term_dictionary` for decode and the collision story."""
     df = triples.filter(
         F.col("predicate").isin(*preds)
         if len(preds) > 1
         else (F.col("predicate") == preds[0])
     ).select("subject", "object")
+    if encoded:
+        df = df.select(
+            F.xxhash64("subject").alias("subject"),
+            F.xxhash64("object").alias("object"),
+        )
     if mod:
         from rdf_mapreduce_joins_spark.operators.graph import transitive_closure
 
@@ -71,10 +86,13 @@ def _pattern_frame(
             )
             ident = nodes.select("subject", F.col("subject").alias("object"))
             df = (closed if mod == "*" else df).unionByName(ident).distinct()
+    def const(term: str) -> F.Column:
+        return F.xxhash64(F.lit(term)) if encoded else F.lit(term)
+
     if not s.startswith("?"):
-        df = df.filter(F.col("subject") == F.lit(s))
+        df = df.filter(F.col("subject") == const(s))
     if not o.startswith("?"):
-        df = df.filter(F.col("object") == F.lit(o))
+        df = df.filter(F.col("object") == const(o))
     cols = []
     if s.startswith("?"):
         cols.append(F.col("subject").alias(s[1:]))
@@ -85,7 +103,9 @@ def _pattern_frame(
     return df.select(*cols)
 
 
-def _join_group(triples: DataFrame, g: _Group, types: dict[str, str]) -> DataFrame:
+def _join_group(
+    triples: DataFrame, g: _Group, types: dict[str, str], encoded: bool = False
+) -> DataFrame:
     pats = list(g.triples)
     # ?x a <C> type constraints become rdf:type patterns at data level
     for var, cls in types.items():
@@ -94,7 +114,7 @@ def _join_group(triples: DataFrame, g: _Group, types: dict[str, str]) -> DataFra
         raise SparqlUnsupportedError("group needs at least one triple pattern")
     out: DataFrame | None = None
     for s, preds, o, mod in pats:
-        df = _pattern_frame(triples, s, preds, o, mod)
+        df = _pattern_frame(triples, s, preds, o, mod, encoded=encoded)
         if out is None:
             out = df
         else:
@@ -108,7 +128,9 @@ def _join_group(triples: DataFrame, g: _Group, types: dict[str, str]) -> DataFra
     return out
 
 
-def _compile(triples: DataFrame, q: ParsedQuery, g: _Group) -> DataFrame:
+def _compile(
+    triples: DataFrame, q: ParsedQuery, g: _Group, encoded: bool = False
+) -> DataFrame:
     if g.unions:
         raise SparqlUnsupportedError(
             "UNION inside a group that also has other structure is unsupported"
@@ -125,13 +147,13 @@ def _compile(triples: DataFrame, q: ParsedQuery, g: _Group) -> DataFrame:
             raise SparqlUnsupportedError(
                 "nested structure inside an OPTIONAL/MINUS/EXISTS group is unsupported"
             )
-    out = _join_group(triples, g, q.types)
+    out = _join_group(triples, g, q.types, encoded=encoded)
     for sub, how in (
         *[(x, "left") for x in g.optionals],
         *[(x, "left_anti") for x in g.negations],
         *[(x, "left_semi") for x in g.exists],
     ):
-        sdf = _join_group(triples, sub, {})
+        sdf = _join_group(triples, sub, {}, encoded=encoded)
         shared = [c for c in sdf.columns if c in out.columns]
         if not shared:
             raise SparqlUnsupportedError("sub-group shares no variable")
@@ -148,18 +170,83 @@ def _compile(triples: DataFrame, q: ParsedQuery, g: _Group) -> DataFrame:
     return out
 
 
-def sparql_triples(triples: DataFrame, text: str) -> DataFrame:
+def term_dictionary(triples: DataFrame) -> DataFrame:
+    """(id, term) for every distinct term: id = ``xxhash64(term)``.
+
+    Hash ids need no coordination (any executor derives them locally —
+    unlike dense ids, which cost a global sort or a stateful service at
+    ingest). The price is a collision chance: ~n²/2⁶⁵, ≈3% at 10⁹
+    distinct terms — run :func:`dictionary_collisions` at ingest to
+    verify zero (a collision would silently merge two terms); corpora
+    beyond that scale want dense-id ingest instead."""
+    terms = (
+        triples.select(F.col("subject").alias("term"))
+        .unionByName(triples.select(F.col("object").alias("term")))
+        .distinct()
+    )
+    return terms.select(F.xxhash64("term").alias("id"), "term")
+
+
+def dictionary_collisions(dictionary: DataFrame) -> int:
+    """Number of hash ids shared by more than one term (must be 0)."""
+    return (
+        dictionary.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+
+
+def _needs_strings(q: ParsedQuery) -> bool:
+    """True when the query touches term VALUES as strings mid-plan —
+    FILTER/VALUES anywhere, or MIN/MAX aggregates — forcing the
+    string path (COUNT and pure join/closure shapes stay encoded)."""
+    def group_needs(g: _Group) -> bool:
+        return bool(
+            g.filters
+            or g.values
+            or any(map(group_needs, (*g.optionals, *g.negations, *g.exists, *g.unions)))
+        )
+
+    return group_needs(q.where) or any(fn in ("MIN", "MAX") for fn, *_ in q.aggs)
+
+
+def _decode_cols(out: DataFrame, dictionary: DataFrame, cols: list[str]) -> DataFrame:
+    """id columns → term strings via per-column dictionary joins (the
+    decode-on-projection step; runs on the final row set, not the
+    intermediate joins)."""
+    for c in cols:
+        d = dictionary.select(F.col("id").alias(c), F.col("term").alias(f"__{c}"))
+        out = out.join(d, on=c, how="left").drop(c).withColumnRenamed(f"__{c}", c)
+    return out
+
+
+def sparql_triples(triples: DataFrame, text: str, encoded: bool = False) -> DataFrame:
     """Run SPARQL text over a raw (subject, predicate, object) frame —
     the generic-vocabulary twin of :func:`plans.sparql.sparql`. Shares
     the parser (and therefore the full grammar: paths, PREFIX, FILTER,
     UNION, VALUES, ASK/CONSTRUCT, aggregates); strings join as given,
-    MIN/MAX apply to anything (one term universe)."""
+    MIN/MAX apply to anything (one term universe).
+
+    ``encoded=True`` runs joins/closures/distincts on ``xxhash64``
+    int64 term ids instead of strings (the S2RDF-style surrogate-id
+    design, hash-derived so ingest needs no id service), decoding via
+    :func:`term_dictionary` only on the final projection. Queries that
+    need term STRINGS mid-plan (FILTER/VALUES/MIN/MAX) fall back to
+    the string path automatically — results are identical either way
+    (equivalence-tested)."""
     q = parse_sparql(text, validate_vocab=False)
     _rewrite_notbound(q)
+    enc = encoded and not _needs_strings(q)
+    dictionary = term_dictionary(triples) if enc else None
+
+    def decode(df: DataFrame, cols: list[str]) -> DataFrame:
+        return _decode_cols(df, dictionary, cols) if enc else df
+
     if q.aggs:
         if q.where.unions:
             raise SparqlUnsupportedError("aggregates over UNION are unsupported")
-        sol = _compile(triples, q, q.where)
+        sol = _compile(triples, q, q.where, encoded=enc)
         gvars = [v[1:] for v in q.group_by]
         aggs = []
         for fn, var, dist, alias in q.aggs:
@@ -178,23 +265,30 @@ def sparql_triples(triples: DataFrame, text: str) -> DataFrame:
                 e = F.max(name)
             aggs.append(e.alias(a))
         out = sol.groupBy(*gvars).agg(*aggs) if gvars else sol.agg(*aggs)
+        out = decode(out, gvars)  # group keys decode once per group
         if q.having is not None:
             out = out.filter(F.expr(q.having[1]))
         out = out.select(*[v[1:] for v in q.select])
     elif q.form == "ask":
-        sol = _compile(triples, q, q.where)
+        sol = _compile(triples, q, q.where, encoded=enc)
         return sol.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
     elif q.where.unions:
-        parts = [_compile(triples, q, b) for b in q.where.unions]
+        parts = [_compile(triples, q, b, encoded=enc) for b in q.where.unions]
         out = parts[0].select(*[v[1:] for v in q.select])
         for p in parts[1:]:
             out = out.unionByName(p.select(*[v[1:] for v in q.select]))
         if q.distinct:
-            out = out.distinct()
+            out = out.distinct()  # distinct over ids when encoded
+        out = decode(out, [v[1:] for v in q.select])
+        out = out.select(*[v[1:] for v in q.select])
     else:
-        out = _compile(triples, q, q.where).select(*[v[1:] for v in q.select])
+        out = _compile(triples, q, q.where, encoded=enc).select(
+            *[v[1:] for v in q.select]
+        )
         if q.distinct:
             out = out.distinct()
+        out = decode(out, [v[1:] for v in q.select])
+        out = out.select(*[v[1:] for v in q.select])
     if q.form == "construct":
         def term(t: str) -> F.Column:
             return F.col(t[1:]) if t.startswith("?") else F.lit(t)

@@ -148,3 +148,43 @@ def test_generic_pattern_prunes_predicate_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan and "mktsegment" in plan
     # the pruned scan still answers correctly
     assert df.count() == 150
+
+
+ENC_ELIGIBLE = [
+    EQUIV_TEXTS[0],  # chain join
+    EQUIV_TEXTS[1],  # OPTIONAL/!BOUND anti (notbound rewrites pre-compile)
+    EQUIV_TEXTS[3],  # sequence path
+    EQUIV_TEXTS[4],  # transitive +
+    EQUIV_TEXTS[5],  # reflexive-transitive *
+]
+
+
+@pytest.mark.parametrize("text", ENC_ELIGIBLE, ids=range(len(ENC_ELIGIBLE)))
+def test_encoded_generic_equals_string_path(spark, nt_triples, text):
+    """encoded=True (xxhash64 surrogate-id joins + dictionary decode)
+    must produce exactly the string path's rows."""
+    got = rows(sparql_triples(nt_triples, text, encoded=True))
+    want = rows(sparql_triples(nt_triples, text))
+    assert got == want and got
+
+
+def test_encoded_falls_back_on_filters(spark, nt_triples):
+    """A FILTER forces the string path; encoded=True must still be
+    correct (automatic fallback), not wrong or erroring."""
+    text = """SELECT ?c ?seg WHERE {
+                ?c <mktsegment> ?seg . FILTER(?seg = "BUILDING") }"""
+    got = rows(sparql_triples(nt_triples, text, encoded=True))
+    want = rows(sparql_triples(nt_triples, text))
+    assert got == want and got
+
+
+def test_term_dictionary_collision_free_here(spark, nt_triples):
+    from rdf_mapreduce_joins_spark.plans.generic_rdf import (
+        dictionary_collisions,
+        term_dictionary,
+    )
+
+    d = term_dictionary(nt_triples)
+    assert dictionary_collisions(d) == 0
+    # ids are deterministic: same term always hashes the same
+    assert d.count() == d.select("id").distinct().count()
