@@ -147,3 +147,48 @@ def test_rollup_cube_rowcount_identities(spark, rows):
     n_cube = df.cube("a", "b").count().count()
     assert n_rollup == g_ab + g_a + 1
     assert n_cube == g_ab + g_a + g_b + 1
+
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rkey=st.integers(min_value=0, max_value=4),
+    seg=st.sampled_from(_SEGMENTS),
+)
+def test_sparql_oracle_parity_random_constants(spark, rkey, seg):
+    """The benchmark-corpus check generalized: for RANDOM constants,
+    SPARQL text through the full parser+compiler must match a DuckDB
+    oracle computed independently from the base tables — parity is a
+    property of the compiler, not of the handful of constants the
+    fixed corpus happens to pin."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r)
+        for r in __import__("rdf_mapreduce_joins_spark.plans.sparql", fromlist=["sparql"])
+        .sparql(
+            spark,
+            sf,
+            f"""SELECT ?c ?nname WHERE {{
+                  ?c <mktsegment> "{seg}" ; <nation> ?n .
+                  ?n <name> ?nname ; <region> <region/{rkey}> .
+                }}""",
+        )
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM '{sf}/customer.parquet'")
+    con.execute(f"CREATE VIEW nation AS SELECT * FROM '{sf}/nation.parquet'")
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""SELECT 'customer/' || c_custkey, n_name
+                FROM customer JOIN nation ON n_nationkey = c_nationkey
+                WHERE c_mktsegment = '{seg}' AND n_regionkey = {rkey}"""
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
