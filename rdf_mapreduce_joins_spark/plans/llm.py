@@ -1026,3 +1026,44 @@ def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", sim.alias("sim"))
         .filter(F.col("sim") >= RANGE_SIM_THRESHOLD)
     )
+
+
+@query(
+    "dataset_contamination",
+    oracle=f"""
+    WITH {_JACCARD_PAIRS_CTES},
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5('split2:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       < '{_SPLIT_T80}' THEN 'train'
+                  WHEN substr(md5('split2:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       < '{_SPLIT_T90}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT p.d1, s1.split AS split1, p.d2, s2.split AS split2, p.jaccard
+    FROM pairs p
+    JOIN sp s1 ON s1.doc_id = p.d1
+    JOIN sp s2 ON s2.doc_id = p.d2
+    WHERE s1.split <> s2.split
+    """,
+)
+def dataset_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check (eval-hygiene staple): near-dup
+    pairs (exact n-gram Jaccard ≥ threshold) whose two members landed
+    in DIFFERENT splits of the deterministic hash split — each row is
+    an eval document whose near-duplicate sits in training data, i.e.
+    a leaked answer. Composes the oracle-checked near-dup pair
+    generator with the oracle-checked split assignment; the split
+    lookup joins are on the pair frame (tiny), never re-joining the
+    corpus."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    splits = dataset_split_assign(spark, sf_dir).select("doc_id", "split")
+    s1 = splits.select(F.col("doc_id").alias("d1"), F.col("split").alias("split1"))
+    s2 = splits.select(F.col("doc_id").alias("d2"), F.col("split").alias("split2"))
+    return (
+        pairs.join(s1, on="d1")
+        .join(s2, on="d2")
+        .filter(F.col("split1") != F.col("split2"))
+        .select("d1", "split1", "d2", "split2", "jaccard")
+    )
