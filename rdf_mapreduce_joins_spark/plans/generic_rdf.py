@@ -135,25 +135,23 @@ def _compile(
         raise SparqlUnsupportedError(
             "UNION inside a group that also has other structure is unsupported"
         )
-    for sub in (*g.optionals, *g.negations, *g.exists):
-        if (
-            sub.optionals
-            or sub.negations
-            or sub.exists
-            or sub.unions
-            or sub.filters
-            or sub.values
-        ):
-            raise SparqlUnsupportedError(
-                "nested structure inside an OPTIONAL/MINUS/EXISTS group is unsupported"
-            )
+    from rdf_mapreduce_joins_spark.plans.sparql import _sub_group_filters
+
     out = _join_group(triples, g, q.types, encoded=encoded)
     for sub, how in (
         *[(x, "left") for x in g.optionals],
         *[(x, "left_anti") for x in g.negations],
         *[(x, "left_semi") for x in g.exists],
     ):
+        sub_filters = _sub_group_filters(sub)  # local-vars-only, validated
+        if sub_filters and encoded:
+            raise SparqlUnsupportedError(
+                "sub-group FILTER needs term strings — encoded path should "
+                "have fallen back (see _needs_strings)"
+            )
         sdf = _join_group(triples, sub, {}, encoded=encoded)
+        for f in sub_filters:
+            sdf = sdf.filter(F.expr(f[1]))
         shared = [c for c in sdf.columns if c in out.columns]
         if not shared:
             raise SparqlUnsupportedError("sub-group shares no variable")

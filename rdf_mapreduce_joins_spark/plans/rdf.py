@@ -611,24 +611,42 @@ def bgp(
       strings, so outputs are bit-identical to the string path.
       Filters referencing id variables are not supported encoded (all
       declared queries filter literal variables only).
+
+    Each optional/negation/exists group is either a plain pattern list
+    or a ``(patterns, filters)`` tuple — group filters apply to the
+    sub-group's frame BEFORE its join (the SPARQL semantics of a
+    FILTER referencing only group-local variables; filters that see
+    outer variables are the caller's job to reject).
     """
-    n_opt = len(optional or [])
-    n_neg = len(negation or [])
+
+    def _norm(groups):
+        out_: list[tuple[list[Pattern], list[str]]] = []
+        for g in groups or []:
+            if isinstance(g, tuple):
+                out_.append((list(g[0]), list(g[1])))
+            else:
+                out_.append((list(g), []))
+        return out_
+
+    opt_g, neg_g, exi_g = _norm(optional), _norm(negation), _norm(exists)
+    n_opt, n_neg = len(opt_g), len(neg_g)
     refined = _infer_s_tables(
-        [patterns, *(optional or []), *(negation or []), *(exists or [])]
+        [patterns, *(p for p, _ in opt_g), *(p for p, _ in neg_g), *(p for p, _ in exi_g)]
     )
     patterns = refined[0]
-    optional = refined[1 : 1 + n_opt]
-    negation = refined[1 + n_opt : 1 + n_opt + n_neg]
-    exists = refined[1 + n_opt + n_neg :]
+    opt_g = [(refined[1 + i], f) for i, (_, f) in enumerate(opt_g)]
+    neg_g = [(refined[1 + n_opt + i], f) for i, (_, f) in enumerate(neg_g)]
+    exi_g = [(refined[1 + n_opt + n_neg + i], f) for i, (_, f) in enumerate(exi_g)]
     out = _join_chain(spark, sf_dir, patterns, broadcast_idx or set(), encoded=encoded)
-    all_groups = [patterns, *optional, *negation, *exists]
-    for group, how in (
-        *[(g, "left") for g in optional or []],
-        *[(g, "left_anti") for g in negation or []],
-        *[(g, "left_semi") for g in exists or []],
+    all_groups = [patterns, *(p for p, _ in opt_g + neg_g + exi_g)]
+    for (group, gfilters), how in (
+        *[(g, "left") for g in opt_g],
+        *[(g, "left_anti") for g in neg_g],
+        *[(g, "left_semi") for g in exi_g],
     ):
         gdf = _join_chain(spark, sf_dir, group, set(), encoded=encoded)
+        for f in gfilters:
+            gdf = gdf.filter(F.expr(f))
         shared = [c for c in gdf.columns if c in out.columns]
         if not shared:
             raise ValueError("group shares no variable with required patterns")

@@ -32,7 +32,10 @@ need, SURVEY.md §2.3 J1-J9):
   regex semantics),
 * ``OPTIONAL { }`` (left join), ``MINUS { }`` and
   ``FILTER NOT EXISTS { }`` (anti join), ``FILTER EXISTS { }``
-  (semi join),
+  (semi join) — each may carry FILTERs over its OWN variables
+  (applied to the group frame before the join, the SP2Bench Q6/Q7
+  shape); filters seeing outer variables are rejected (they need
+  join-condition placement),
 * the SP2Bench Q6/Q7 idiom ``OPTIONAL { P } FILTER(!BOUND(?v))`` is
   recognized structurally and compiled to an ANTI join (not a
   left-join-then-filter) so the plan never carries the optional
@@ -814,6 +817,38 @@ def _rewrite_notbound(q: ParsedQuery) -> None:
     g.filters = keep
 
 
+def _sub_group_filters(sub: _Group) -> list[tuple]:
+    """Validate an OPTIONAL/MINUS/EXISTS sub-group's extra structure.
+
+    Filters referencing only sub-group-local variables apply to the
+    group frame BEFORE its join (standard SPARQL semantics — SP2Bench
+    Q6/Q7's shape). A filter that sees OUTER variables would need
+    join-condition placement (neither pre- nor post-filter is correct)
+    — rejected loudly. Deeper nesting stays rejected."""
+    if sub.optionals or sub.negations or sub.exists or sub.unions or sub.values:
+        raise SparqlUnsupportedError(
+            "nested structure (OPTIONAL/negation/UNION/VALUES) inside an "
+            "OPTIONAL/MINUS/EXISTS group is unsupported"
+        )
+    out: list[tuple] = []
+    bound = {v[1:] for v in sub.all_vars_bound_here()}
+    for f in sub.filters:
+        if f[0] == "notbound":
+            raise SparqlUnsupportedError(
+                "FILTER(!BOUND(...)) inside a sub-group is unsupported"
+            )
+        _tag, _sql, vs = f
+        outer = sorted(v for v in vs if v[1:] not in bound)
+        if outer:
+            raise SparqlUnsupportedError(
+                f"FILTER inside OPTIONAL/MINUS/EXISTS referencing outer "
+                f"variables {outer} is unsupported (needs join-condition "
+                "placement)"
+            )
+        out.append(f)
+    return out
+
+
 def _compile_group(
     spark: SparkSession, sf_dir: str, q: ParsedQuery, g: _Group
 ) -> DataFrame:
@@ -839,36 +874,31 @@ def _compile_group_inner(
             "UNION inside a group that also has other structure is "
             "unsupported — make UNION the whole WHERE body"
         )
-    for sub in (*g.optionals, *g.negations, *g.exists):
-        if (
-            sub.optionals
-            or sub.negations
-            or sub.exists
-            or sub.unions
-            or sub.filters
-            or sub.values
-        ):
-            # Silently ignoring a FILTER or nested OPTIONAL inside a
-            # sub-group would change semantics — refuse loudly instead.
-            raise SparqlUnsupportedError(
-                "nested structure (FILTER/OPTIONAL/negation/UNION/VALUES) "
-                "inside an OPTIONAL/MINUS/EXISTS group is unsupported"
-            )
-    opt = [_patterns(og, q.types) for og in g.optionals]
-    neg = [_patterns(ng, q.types) for ng in g.negations]
-    exi = [_patterns(eg, q.types) for eg in g.exists]
-    for sub, name in ((opt, "OPTIONAL"), (neg, "MINUS/NOT EXISTS"), (exi, "EXISTS")):
-        if any(not p for p in sub):
+    opt_pairs = [(_patterns(og, q.types), _sub_group_filters(og)) for og in g.optionals]
+    neg_pairs = [(_patterns(ng, q.types), _sub_group_filters(ng)) for ng in g.negations]
+    exi_pairs = [(_patterns(eg, q.types), _sub_group_filters(eg)) for eg in g.exists]
+    for pairs, name in (
+        (opt_pairs, "OPTIONAL"),
+        (neg_pairs, "MINUS/NOT EXISTS"),
+        (exi_pairs, "EXISTS"),
+    ):
+        if any(not p for p, _f in pairs):
             raise SparqlUnsupportedError(f"{name} group needs triple patterns")
     sql_filters = [f for f in g.filters if f[0] == "sql"]
     # id-typed variables hold dictionary ids pre-projection; a filter
-    # comparing one must run on the decoded string path. BOUND-only
-    # (IS [NOT] NULL) use is id-safe but folded into the general rule
-    # for simplicity — the declared queries only filter literals.
+    # comparing one must run on the decoded string path (sub-group
+    # filters included). BOUND-only (IS [NOT] NULL) use is id-safe but
+    # folded into the general rule for simplicity.
+    opt = [p for p, _f in opt_pairs]
+    neg = [p for p, _f in neg_pairs]
+    exi = [p for p, _f in exi_pairs]
     kinds = _var_kinds([pats, *opt, *neg, *exi])
+    all_filter_tuples = sql_filters + [
+        f for _p, fs in (*opt_pairs, *neg_pairs, *exi_pairs) for f in fs
+    ]
     encoded = not any(
         kinds.get(v[1:], ("str",))[0] == "id"
-        for _, _sql, vs in sql_filters
+        for _, _sql, vs in all_filter_tuples
         for v in vs
     )
     # VALUES inline bindings → IN-list filters, rendered in whichever
@@ -894,9 +924,9 @@ def _compile_group_inner(
         spark,
         sf_dir,
         pats,
-        optional=opt or None,
-        negation=neg or None,
-        exists=exi or None,
+        optional=[(p, [f[1] for f in fs]) for p, fs in opt_pairs] or None,
+        negation=[(p, [f[1] for f in fs]) for p, fs in neg_pairs] or None,
+        exists=[(p, [f[1] for f in fs]) for p, fs in exi_pairs] or None,
         filters=([f[1] for f in sql_filters] + values_filters) or None,
         select=select,
         distinct=distinct,

@@ -579,3 +579,74 @@ def test_values_over_literal_var(spark, sf_dir):
 def test_values_rejections(spark, sf_dir, text, why):
     with pytest.raises(ValueError, match=why):
         S.sparql(spark, sf_dir, text)
+
+
+def test_filter_inside_not_exists_equals_constant_form(spark, sf_dir):
+    """A local-variable FILTER inside NOT EXISTS restricts the anti
+    side exactly like binding the constant in the pattern."""
+    filtered = rows(
+        S.sparql(
+            spark,
+            sf_dir,
+            """SELECT ?c WHERE {
+                 ?c <mktsegment> ?seg .
+                 FILTER NOT EXISTS { ?o <customer> ?c ; <status> ?st .
+                                     FILTER(?st = "P") } }""",
+        )
+    )
+    constant = rows(
+        S.sparql(
+            spark,
+            sf_dir,
+            """SELECT ?c WHERE {
+                 ?c <mktsegment> ?seg .
+                 FILTER NOT EXISTS { ?o <customer> ?c ; <status> "P" . } }""",
+        )
+    )
+    assert filtered == constant and filtered
+
+
+def test_filter_inside_optional_matches_duckdb(spark, sf_dir):
+    """OPTIONAL with a local FILTER = left join against the
+    pre-filtered right side — checked against an independent DuckDB
+    left join."""
+    import duckdb
+
+    got = rows(
+        S.sparql(
+            spark,
+            sf_dir,
+            """SELECT ?c ?o ?st WHERE {
+                 ?c a <customer> ; <mktsegment> ?seg .
+                 OPTIONAL { ?o <customer> ?c ; <status> ?st .
+                            FILTER(?st != "F") } }""",
+        )
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM '{sf_dir}/customer.parquet'")
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'")
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """SELECT 'customer/' || c_custkey,
+                      CASE WHEN o_orderkey IS NULL THEN NULL
+                           ELSE 'orders/' || o_orderkey END,
+                      o_orderstatus
+               FROM customer
+               LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus <> 'F') o
+                 ON o.o_custkey = c_custkey"""
+        ).fetchall()
+    )
+    con.close()
+    assert got == want and got
+
+
+def test_filter_referencing_outer_var_in_subgroup_rejected(spark, sf_dir):
+    with pytest.raises(ValueError, match="outer"):
+        S.sparql(
+            spark,
+            sf_dir,
+            """SELECT ?c WHERE {
+                 ?c <mktsegment> ?seg .
+                 OPTIONAL { ?o <customer> ?c . FILTER(?seg = "BUILDING") } }""",
+        )
