@@ -1041,3 +1041,42 @@ def agg_stats_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("covar_qty_disc"),
     )
+
+
+@query(
+    "unpivot_lineitem_metrics",
+    oracle="""
+    SELECT metric,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(val), 2) AS total
+    FROM (
+      SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', l_tax FROM lineitem
+    )
+    GROUP BY metric
+    """,
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational reshape (melt/UNPIVOT — the inverse of the property-
+    table pivot): wide measure columns to (metric, value) rows, then a
+    per-metric aggregate. Spark's native ``unpivot`` generates an
+    Expand node — one scan fans out to k rows per input row with no
+    join and no shuffle before the aggregation's own exchange. Sums
+    rounded on both engines (float merge order)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.unpivot(
+            ids=[],
+            values=["l_quantity", "l_discount", "l_tax"],
+            variableColumnName="metric",
+            valueColumnName="val",
+        )
+        .groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("val"), 2).alias("total"),
+        )
+    )
