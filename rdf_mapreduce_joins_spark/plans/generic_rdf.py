@@ -165,6 +165,20 @@ def _compile(
         if name not in out.columns:
             raise SparqlUnsupportedError(f"VALUES {var} over a variable no pattern binds")
         out = out.filter(F.col(name).isin(*terms))
+    for vars_, rows_ in g.values_multi:
+        for v in vars_:
+            if v[1:] not in out.columns:
+                raise SparqlUnsupportedError(
+                    f"VALUES {v} over a variable no pattern binds"
+                )
+        cond = None
+        for row in rows_:
+            conj = None
+            for v, t in zip(vars_, row):
+                c = F.col(v[1:]) == F.lit(t)
+                conj = c if conj is None else (conj & c)
+            cond = conj if cond is None else (cond | conj)
+        out = out.filter(cond)
     return out
 
 
@@ -203,6 +217,7 @@ def _needs_strings(q: ParsedQuery) -> bool:
         return bool(
             g.filters
             or g.values
+            or g.values_multi
             or any(map(group_needs, (*g.optionals, *g.negations, *g.exists, *g.unions)))
         )
 

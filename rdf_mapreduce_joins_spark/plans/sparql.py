@@ -41,10 +41,12 @@ need, SURVEY.md §2.3 J1-J9):
   left-join-then-filter) so the plan never carries the optional
   columns,
 * ``{ } UNION { }`` at the top level of WHERE,
-* ``VALUES ?v { t1 t2 ... }`` inline bindings (single-variable form)
-  — compiled to an IN-list over the variable's native representation
+* ``VALUES`` inline bindings: single-variable ``VALUES ?v { t... }``
+  compiles to an IN-list over the variable's native representation
   (int64 ids for IRI variables on the encoded path, so the list
-  constant-folds toward the scan),
+  constant-folds toward the scan); multi-variable
+  ``VALUES (?a ?b) { (t t) ... }`` rows lower to OR-of-ANDs tuple
+  constraints,
 * **property paths** in predicate position: sequence ``<p1>/<p2>``
   (lowered to chained patterns through fresh variables), inverse
   ``^<p>`` (endpoint swap), transitive ``<p>+`` (compiled to the
@@ -182,6 +184,8 @@ class _Group:
     unions: list["_Group"] = field(default_factory=list)
     # VALUES ?v { t1 t2 ... } inline bindings (single-variable form)
     values: list[tuple[str, list[str]]] = field(default_factory=list)
+    # VALUES (?a ?b) { (t1 t2) ... } multi-variable rows
+    values_multi: list[tuple[list[str], list[list[str]]]] = field(default_factory=list)
 
     def all_vars_bound_here(self) -> set[str]:
         vs = set()
@@ -444,10 +448,37 @@ class _Parser:
             elif tok == "VALUES":
                 self.next()
                 if self.peek() == "(":
-                    raise SparqlUnsupportedError(
-                        "multi-variable VALUES (?a ?b) { ... } unsupported — "
-                        "use the single-variable form per variable"
-                    )
+                    self.next()
+                    vars_: list[str] = []
+                    while self.peek() != ")":
+                        vars_.append(self._var())
+                    self.expect(")")
+                    if not vars_:
+                        raise SparqlSyntaxError("empty VALUES variable list")
+                    self.expect("{")
+                    rows_: list[list[str]] = []
+                    while self.peek() != "}":
+                        if self.peek() is None:
+                            raise SparqlSyntaxError("unterminated VALUES block")
+                        self.expect("(")
+                        row: list[str] = []
+                        while self.peek() != ")":
+                            t = self.parse_term(position="VALUES")
+                            if t.startswith("?"):
+                                raise SparqlSyntaxError("VALUES terms must be constants")
+                            row.append(t)
+                        self.expect(")")
+                        if len(row) != len(vars_):
+                            raise SparqlSyntaxError(
+                                f"VALUES row arity {len(row)} != {len(vars_)} variables"
+                            )
+                        rows_.append(row)
+                    self.expect("}")
+                    if not rows_:
+                        raise SparqlSyntaxError("empty VALUES block")
+                    g.values_multi.append((vars_, rows_))
+                    self.accept(".")
+                    continue
                 var = self._var()
                 self.expect("{")
                 terms: list[str] = []
@@ -825,7 +856,14 @@ def _sub_group_filters(sub: _Group) -> list[tuple]:
     Q6/Q7's shape). A filter that sees OUTER variables would need
     join-condition placement (neither pre- nor post-filter is correct)
     — rejected loudly. Deeper nesting stays rejected."""
-    if sub.optionals or sub.negations or sub.exists or sub.unions or sub.values:
+    if (
+        sub.optionals
+        or sub.negations
+        or sub.exists
+        or sub.unions
+        or sub.values
+        or sub.values_multi
+    ):
         raise SparqlUnsupportedError(
             "nested structure (OPTIONAL/negation/UNION/VALUES) inside an "
             "OPTIONAL/MINUS/EXISTS group is unsupported"
@@ -920,6 +958,28 @@ def _compile_group_inner(
         else:
             rendered = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
         values_filters.append(f"{name} IN ({rendered})")
+    for vars_, rows_ in g.values_multi:
+        for v in vars_:
+            if v[1:] not in kinds:
+                raise SparqlUnsupportedError(
+                    f"VALUES {v} over a variable no pattern binds"
+                )
+
+        def render(v: str, t: str) -> str:
+            kind, _tabs = kinds[v[1:]]
+            if kind == "id" and encoded:
+                return f"{v[1:]} = {_const_to_id(t)}"
+            lit = t.replace("'", "''")
+            return f"{v[1:]} = '{lit}'"
+
+        # Multi-var rows lower to OR-of-ANDs (VALUES blocks are small
+        # by construction; a join against an inline frame would buy
+        # nothing at these cardinalities).
+        disj = " OR ".join(
+            "(" + " AND ".join(render(v, t) for v, t in zip(vars_, row)) + ")"
+            for row in rows_
+        )
+        values_filters.append(f"({disj})")
     df = bgp(
         spark,
         sf_dir,
@@ -1033,6 +1093,7 @@ def sparql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
             or q.where.exists
             or q.where.filters
             or q.where.values
+            or q.where.values_multi
         ):
             raise SparqlUnsupportedError(
                 "mixing UNION with other top-level patterns is unsupported "

@@ -571,7 +571,7 @@ def test_values_over_literal_var(spark, sf_dir):
 @pytest.mark.parametrize(
     "text,why",
     [
-        ("SELECT ?x WHERE { ?x <name> ?y . VALUES (?x ?y) { } }", "multi-variable"),
+        ("SELECT ?x WHERE { ?x <name> ?y . VALUES (?x ?y) { } }", "empty VALUES"),
         ("SELECT ?x WHERE { ?x <name> ?y . VALUES ?z { <region/0> } }", "no pattern binds"),
         ("SELECT ?x WHERE { ?x <name> ?y . VALUES ?x { } }", "empty VALUES"),
     ],
@@ -649,4 +649,46 @@ def test_filter_referencing_outer_var_in_subgroup_rejected(spark, sf_dir):
             """SELECT ?c WHERE {
                  ?c <mktsegment> ?seg .
                  OPTIONAL { ?o <customer> ?c . FILTER(?seg = "BUILDING") } }""",
+        )
+
+
+def test_values_multi_var_rows(spark, sf_dir):
+    """Multi-variable VALUES rows constrain variable TUPLES — only the
+    listed (nation, region) combinations survive, unlike independent
+    per-variable IN-lists."""
+    got = rows(
+        S.sparql(
+            spark,
+            sf_dir,
+            """SELECT ?n ?r WHERE {
+                 ?n <region> ?r .
+                 VALUES (?n ?r) { (<nation/0> <region/0>)
+                                  (<nation/1> <region/1>) }
+               }""",
+        )
+    )
+    # nation/0 is in region 0 and nation/1 in region 1 (FIXTURES), so
+    # both listed tuples match; a mismatched tuple like
+    # (nation/0, region/1) would not.
+    assert got == [("nation/0", "region/0"), ("nation/1", "region/1")]
+    mismatch = rows(
+        S.sparql(
+            spark,
+            sf_dir,
+            """SELECT ?n ?r WHERE {
+                 ?n <region> ?r .
+                 VALUES (?n ?r) { (<nation/0> <region/1>) }
+               }""",
+        )
+    )
+    assert mismatch == []
+
+
+def test_values_multi_arity_mismatch_rejected():
+    with pytest.raises(ValueError, match="arity"):
+        S.parse_sparql(
+            """SELECT ?n ?r WHERE {
+                 ?n <region> ?r .
+                 VALUES (?n ?r) { (<nation/0>) }
+               }"""
         )
