@@ -179,6 +179,16 @@ def _compile(
                 conj = c if conj is None else (conj & c)
             cond = conj if cond is None else (cond | conj)
         out = out.filter(cond)
+    for alias, (_tag, sql, vs) in g.binds:
+        a = alias[1:]
+        if a in out.columns:
+            raise SparqlUnsupportedError(f"BIND alias {alias} already bound")
+        for v in vs:
+            if v[1:] not in out.columns:
+                raise SparqlUnsupportedError(
+                    f"BIND references unbound variable {v}"
+                )
+        out = out.withColumn(a, F.expr(sql))
     return out
 
 
@@ -218,6 +228,7 @@ def _needs_strings(q: ParsedQuery) -> bool:
             g.filters
             or g.values
             or g.values_multi
+            or g.binds
             or any(map(group_needs, (*g.optionals, *g.negations, *g.exists, *g.unions)))
         )
 

@@ -593,6 +593,7 @@ def bgp(
     negation: list[list[Pattern]] | None = None,
     exists: list[list[Pattern]] | None = None,
     filters: list[str] | None = None,
+    binds: list[tuple[str, str]] | None = None,
     select: list[str] | None = None,
     distinct: bool = False,
     broadcast_idx: set[int] | None = None,
@@ -653,6 +654,11 @@ def bgp(
         out = out.join(gdf, on=shared, how=how)
     for f in filters or []:
         out = out.filter(F.expr(f))
+    for alias, sql in binds or []:
+        # BIND introduces a NEW variable (SPARQL forbids rebinding)
+        if alias in out.columns:
+            raise ValueError(f"BIND alias ?{alias} already bound")
+        out = out.withColumn(alias, F.expr(sql))
     if select:
         names = [v[1:] if v.startswith("?") else v for v in select]
         out = out.select(*names)

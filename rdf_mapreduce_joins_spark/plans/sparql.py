@@ -57,6 +57,9 @@ need, SURVEY.md §2.3 J1-J9):
   ``subOrganizationOf*`` means), optional hop ``<p>?`` (edges ∪
   identity), and alternation ``<p1>|<p2>`` / ``(<p1>|<p2>)mod``
   (bag union of the predicates' edge sets),
+* ``BIND(expr AS ?v)`` computed columns (expression subset shared
+  with FILTER; evaluated over the assembled group, referenced
+  variables decide the encoded-vs-string path like filters do),
 * ``SELECT [DISTINCT]``, ``ORDER BY [ASC()/DESC()]``, ``LIMIT``,
   ``OFFSET``,
 * **SPARQL 1.1 aggregation**: ``(COUNT([DISTINCT] ?v | *) AS ?a)``,
@@ -126,6 +129,7 @@ _KEYWORDS = {
     "HAVING",
     "AS",
     "VALUES",
+    "BIND",
 }
 
 _TOKEN_RE = re.compile(
@@ -186,6 +190,8 @@ class _Group:
     values: list[tuple[str, list[str]]] = field(default_factory=list)
     # VALUES (?a ?b) { (t1 t2) ... } multi-variable rows
     values_multi: list[tuple[list[str], list[list[str]]]] = field(default_factory=list)
+    # BIND(expr AS ?v): (alias var, ('sql', text, referenced-vars))
+    binds: list[tuple[str, tuple]] = field(default_factory=list)
 
     def all_vars_bound_here(self) -> set[str]:
         vs = set()
@@ -493,6 +499,23 @@ class _Parser:
                 if not terms:
                     raise SparqlSyntaxError("empty VALUES block")
                 g.values.append((var, terms))
+            elif tok == "BIND":
+                self.next()
+                self.expect("(")
+                depth, toks = 1, []
+                while depth:
+                    t = self.next()
+                    if t == "(":
+                        depth += 1
+                    elif t == ")":
+                        depth -= 1
+                        if not depth:
+                            break
+                    toks.append(t)
+                if len(toks) < 3 or toks[-2] != "AS" or not toks[-1].startswith("?"):
+                    raise SparqlSyntaxError("BIND(expr AS ?var) expected")
+                alias, expr_toks = toks[-1], toks[:-2]
+                g.binds.append((alias, self._filter_sql(expr_toks)))
             elif tok == "MINUS":
                 self.next()
                 g.negations.append(self.parse_group())
@@ -863,10 +886,11 @@ def _sub_group_filters(sub: _Group) -> list[tuple]:
         or sub.unions
         or sub.values
         or sub.values_multi
+        or sub.binds
     ):
         raise SparqlUnsupportedError(
-            "nested structure (OPTIONAL/negation/UNION/VALUES) inside an "
-            "OPTIONAL/MINUS/EXISTS group is unsupported"
+            "nested structure (OPTIONAL/negation/UNION/VALUES/BIND) inside "
+            "an OPTIONAL/MINUS/EXISTS group is unsupported"
         )
     out: list[tuple] = []
     bound = {v[1:] for v in sub.all_vars_bound_here()}
@@ -931,9 +955,11 @@ def _compile_group_inner(
     neg = [p for p, _f in neg_pairs]
     exi = [p for p, _f in exi_pairs]
     kinds = _var_kinds([pats, *opt, *neg, *exi])
-    all_filter_tuples = sql_filters + [
-        f for _p, fs in (*opt_pairs, *neg_pairs, *exi_pairs) for f in fs
-    ]
+    all_filter_tuples = (
+        sql_filters
+        + [f for _p, fs in (*opt_pairs, *neg_pairs, *exi_pairs) for f in fs]
+        + [b for _a, b in g.binds]
+    )
     encoded = not any(
         kinds.get(v[1:], ("str",))[0] == "id"
         for _, _sql, vs in all_filter_tuples
@@ -988,6 +1014,7 @@ def _compile_group_inner(
         negation=[(p, [f[1] for f in fs]) for p, fs in neg_pairs] or None,
         exists=[(p, [f[1] for f in fs]) for p, fs in exi_pairs] or None,
         filters=([f[1] for f in sql_filters] + values_filters) or None,
+        binds=[(a[1:], b[1]) for a, b in g.binds] or None,
         select=select,
         distinct=distinct,
         encoded=encoded,
@@ -1094,6 +1121,7 @@ def sparql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
             or q.where.filters
             or q.where.values
             or q.where.values_multi
+            or q.where.binds
         ):
             raise SparqlUnsupportedError(
                 "mixing UNION with other top-level patterns is unsupported "

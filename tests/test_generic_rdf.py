@@ -188,3 +188,16 @@ def test_term_dictionary_collision_free_here(spark, nt_triples):
     assert dictionary_collisions(d) == 0
     # ids are deterministic: same term always hashes the same
     assert d.count() == d.select("id").distinct().count()
+
+
+def test_generic_bind(spark, nt_triples):
+    got = rows(
+        sparql_triples(
+            nt_triples,
+            """SELECT ?r ?label WHERE {
+                 ?r <name> ?nm . ?n <region> ?r .
+                 BIND(concat("region:", ?nm) AS ?label)
+               }""",
+        )
+    )
+    assert got and all(lbl.startswith("region:") for _, lbl in got)

@@ -692,3 +692,54 @@ def test_values_multi_arity_mismatch_rejected():
                  VALUES (?n ?r) { (<nation/0>) }
                }"""
         )
+
+
+def test_bind_computed_column(spark, sf_dir):
+    """BIND introduces a computed variable usable in SELECT/ORDER."""
+    got = rows(
+        S.sparql(
+            spark,
+            sf_dir,
+            """SELECT ?n ?label WHERE {
+                 ?n <region> <region/0> ; <name> ?nname .
+                 BIND(concat(?nname, "!") AS ?label)
+               } ORDER BY ?label""",
+        )
+    )
+    want = rows(
+        S.sparql(
+            spark,
+            sf_dir,
+            "SELECT ?n ?nname WHERE { ?n <region> <region/0> ; <name> ?nname . }",
+        )
+    )
+    assert sorted(lbl for _, lbl in got) == sorted(nm + "!" for _, nm in want)
+    assert got
+
+
+def test_bind_over_id_var_uses_decoded_strings(spark, sf_dir):
+    """A BIND referencing an IRI variable forces the string path: the
+    expression sees the IRI text, not an internal id."""
+    got = rows(
+        S.sparql(
+            spark,
+            sf_dir,
+            """SELECT ?c ?tag WHERE {
+                 ?c <mktsegment> "BUILDING" .
+                 BIND(upper(?c) AS ?tag)
+               }""",
+        )
+    )
+    assert got
+    assert all(tag == c.upper() and c.startswith("customer/") for c, tag in got)
+
+
+def test_bind_alias_collision_rejected(spark, sf_dir):
+    with pytest.raises(ValueError, match="already bound"):
+        S.sparql(
+            spark,
+            sf_dir,
+            """SELECT ?n WHERE {
+                 ?n <name> ?nname . BIND(upper(?nname) AS ?nname)
+               }""",
+        ).collect()
