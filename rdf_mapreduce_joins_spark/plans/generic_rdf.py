@@ -232,7 +232,9 @@ def _needs_strings(q: ParsedQuery) -> bool:
             or any(map(group_needs, (*g.optionals, *g.negations, *g.exists, *g.unions)))
         )
 
-    return group_needs(q.where) or any(fn in ("MIN", "MAX") for fn, *_ in q.aggs)
+    return group_needs(q.where) or any(
+        fn in ("MIN", "MAX", "SAMPLE", "GROUP_CONCAT") for fn, *_ in q.aggs
+    )
 
 
 def _decode_cols(out: DataFrame, dictionary: DataFrame, cols: list[str]) -> DataFrame:
@@ -288,8 +290,10 @@ def sparql_triples(
             raise SparqlUnsupportedError("aggregates over UNION are unsupported")
         sol = _compile(triples, q, q.where, encoded=enc)
         gvars = [v[1:] for v in q.group_by]
+        from rdf_mapreduce_joins_spark.plans.sparql import _literal_agg
+
         aggs = []
-        for fn, var, dist, alias in q.aggs:
+        for fn, var, dist, alias, sep in q.aggs:
             a = alias[1:]
             if var is None:
                 aggs.append(F.count(F.lit(1)).alias(a))
@@ -299,10 +303,8 @@ def sparql_triples(
                 raise SparqlUnsupportedError(f"aggregate over unbound variable {var}")
             if fn == "COUNT":
                 e = F.countDistinct(name) if dist else F.count(name)
-            elif fn == "MIN":
-                e = F.min(name)
             else:
-                e = F.max(name)
+                e = _literal_agg(fn, name, dist, sep)
             aggs.append(e.alias(a))
         out = sol.groupBy(*gvars).agg(*aggs) if gvars else sol.agg(*aggs)
         out = decode(out, gvars)  # group keys decode once per group

@@ -63,7 +63,10 @@ need, SURVEY.md §2.3 J1-J9):
 * ``SELECT [DISTINCT]``, ``ORDER BY [ASC()/DESC()]``, ``LIMIT``,
   ``OFFSET``,
 * **SPARQL 1.1 aggregation**: ``(COUNT([DISTINCT] ?v | *) AS ?a)``,
-  ``MIN``/``MAX`` over literal variables, ``GROUP BY ?v...``,
+  ``MIN``/``MAX``/``SAMPLE``/``GROUP_CONCAT(...; SEPARATOR="s")``
+  over literal variables (SAMPLE pins MIN and GROUP_CONCAT sorts —
+  the spec leaves both implementation-defined; this engine chooses
+  deterministically), ``GROUP BY ?v...``,
   ``HAVING(expr)`` over aliases/group keys — compiled to one
   DataFrame aggregation over the encoded solution frame, group keys
   decoded post-aggregation,
@@ -216,9 +219,9 @@ class ParsedQuery:
     # CONSTRUCT template triples; terms are ?vars, <iri> text, or literals
     template: list[tuple[str, str, str]] | None = None
     # SPARQL 1.1 aggregation: (fn, ?var or None for COUNT(*), distinct,
-    # ?alias) per aggregate select item; GROUP BY variables; HAVING as a
-    # parsed filter tuple over output columns.
-    aggs: list[tuple[str, str | None, bool, str]] = field(default_factory=list)
+    # ?alias, separator) per aggregate select item; GROUP BY variables;
+    # HAVING as a parsed filter tuple over output columns.
+    aggs: list[tuple[str, str | None, bool, str, str]] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
     having: tuple | None = None
 
@@ -317,7 +320,7 @@ class _Parser:
             raise SparqlSyntaxError(f"expected 'SELECT', got {form_tok!r}")
         distinct = self.accept("DISTINCT")
         select: list[str] = []
-        aggs: list[tuple[str, str | None, bool, str]] = []
+        aggs: list[tuple[str, str | None, bool, str, str]] = []
         if self.peek() == "*":
             raise SparqlUnsupportedError("SELECT * unsupported; list variables")
         while True:
@@ -325,9 +328,9 @@ class _Parser:
             if p is not None and p.startswith("?"):
                 select.append(self.next())
             elif p == "(":
-                fn, arg, dist, alias = self.parse_agg_item()
-                aggs.append((fn, arg, dist, alias))
-                select.append(alias)
+                agg_item = self.parse_agg_item()
+                aggs.append(agg_item)
+                select.append(agg_item[3])
             else:
                 break
         if not select:
@@ -372,7 +375,7 @@ class _Parser:
             else:
                 raise SparqlSyntaxError(f"unexpected trailing token {tok!r}")
         if aggs:
-            aliases = {a for _, _, _, a in aggs}
+            aliases = {item[3] for item in aggs}
             bad = [v for v in select if v not in aliases and v not in group_by]
             if bad:
                 raise SparqlUnsupportedError(
@@ -398,13 +401,14 @@ class _Parser:
             having=having,
         )
 
-    _AGG_FNS = ("COUNT", "MIN", "MAX")
+    _AGG_FNS = ("COUNT", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT")
 
-    def parse_agg_item(self) -> tuple[str, str | None, bool, str]:
-        """``( AGG([DISTINCT] ?v | *) AS ?alias )`` select item."""
+    def parse_agg_item(self) -> tuple[str, str | None, bool, str, str]:
+        """``( AGG([DISTINCT] ?v | *) [; SEPARATOR="s"] AS ?alias )``
+        select item. Returns (fn, var|None, distinct, alias, sep)."""
         self.expect("(")
         fn = self.next().upper()
-        if fn in ("SUM", "AVG", "SAMPLE", "GROUP_CONCAT"):
+        if fn in ("SUM", "AVG"):
             raise SparqlUnsupportedError(
                 f"{fn} unsupported: the triples vocabulary has no numeric "
                 "literal predicates (use the relational layer for numeric "
@@ -421,11 +425,22 @@ class _Parser:
             arg: str | None = None
         else:
             arg = self._var()
+        sep = " "
+        if self.accept(";"):
+            kw = self.next()
+            if kw.upper() != "SEPARATOR" or not self.accept("="):
+                raise SparqlSyntaxError('expected SEPARATOR="..." after ;')
+            st = self.next()
+            if st[:1] not in "\"'":
+                raise SparqlSyntaxError("SEPARATOR must be a string literal")
+            sep = st[1:-1].replace("\\" + st[0], st[0])
+            if fn != "GROUP_CONCAT":
+                raise SparqlSyntaxError("SEPARATOR is only valid in GROUP_CONCAT")
         self.expect(")")
         self.expect("AS")
         alias = self._var()
         self.expect(")")
-        return (fn, arg, dist, alias)
+        return (fn, arg, dist, alias, sep)
 
     def _var(self) -> str:
         tok = self.next()
@@ -1022,6 +1037,21 @@ def _compile_group_inner(
     return df, kinds, encoded
 
 
+def _literal_agg(fn: str, name: str, dist: bool, sep: str) -> F.Column:
+    """MIN/MAX/SAMPLE/GROUP_CONCAT over a literal-valued column.
+
+    SPARQL leaves SAMPLE's choice and GROUP_CONCAT's order
+    implementation-defined; this engine pins both deterministically
+    (SAMPLE = MIN; GROUP_CONCAT sorts its inputs) so results are
+    stable across runs, partitionings, and engines."""
+    if fn == "MIN" or fn == "SAMPLE":
+        return F.min(name)
+    if fn == "MAX":
+        return F.max(name)
+    collected = F.collect_set(name) if dist else F.collect_list(name)
+    return F.array_join(F.array_sort(collected), sep)
+
+
 def _execute_aggregate(
     spark: SparkSession, sf_dir: str, q: ParsedQuery
 ) -> DataFrame:
@@ -1044,7 +1074,7 @@ def _execute_aggregate(
     )
     gvars = [v[1:] for v in q.group_by]
     agg_exprs = []
-    for fn, var, dist, alias in q.aggs:
+    for fn, var, dist, alias, sep in q.aggs:
         a = alias[1:]
         if var is None:  # COUNT(*)
             agg_exprs.append(F.count(F.lit(1)).alias(a))
@@ -1060,7 +1090,7 @@ def _execute_aggregate(
                     f"{fn}({var}) over an IRI-valued variable is unsupported "
                     "(ordering would be over internal ids, not IRI text)"
                 )
-            e = F.min(name) if fn == "MIN" else F.max(name)
+            e = _literal_agg(fn, name, dist, sep)
         agg_exprs.append(e.alias(a))
     out = sol.groupBy(*gvars).agg(*agg_exprs) if gvars else sol.agg(*agg_exprs)
     if encoded:

@@ -743,3 +743,36 @@ def test_bind_alias_collision_rejected(spark, sf_dir):
                  ?n <name> ?nname . BIND(upper(?nname) AS ?nname)
                }""",
         ).collect()
+
+
+def test_group_concat_and_sample(spark, sf_dir):
+    """GROUP_CONCAT sorts its inputs (deterministic by design) and
+    SAMPLE pins MIN; both match the relational computation."""
+    got = {
+        r.r: (r.names, r.one)
+        for r in S.sparql(
+            spark,
+            sf_dir,
+            """SELECT ?r (GROUP_CONCAT(?nname; SEPARATOR="|") AS ?names)
+                      (SAMPLE(?nname) AS ?one)
+               WHERE { ?n <region> ?r ; <name> ?nname . }
+               GROUP BY ?r""",
+        ).collect()
+    }
+    base = S.sparql(
+        spark, sf_dir, "SELECT ?r ?nname WHERE { ?n <region> ?r ; <name> ?nname . }"
+    ).collect()
+    want: dict[str, list[str]] = {}
+    for r in base:
+        want.setdefault(r.r, []).append(r.nname)
+    assert set(got) == set(want)
+    for k, names in want.items():
+        assert got[k] == ("|".join(sorted(names)), min(names))
+
+
+def test_group_concat_separator_only_for_group_concat():
+    with pytest.raises(ValueError, match="SEPARATOR"):
+        S.parse_sparql(
+            """SELECT (MIN(?x; SEPARATOR=",") AS ?m)
+               WHERE { ?c <name> ?x . } """
+        )
