@@ -156,6 +156,14 @@ def _compile(
         if not shared:
             raise SparqlUnsupportedError("sub-group shares no variable")
         out = out.join(sdf, on=shared, how=how)
+    for sq in g.subqueries:
+        sdf = _run_parsed(triples, sq)
+        shared = [c for c in sdf.columns if c in out.columns]
+        if not shared:
+            raise SparqlUnsupportedError(
+                "subquery shares no variable with the outer group"
+            )
+        out = out.join(sdf, on=shared, how="inner")
     for f in g.filters:
         if f[0] != "sql":
             raise AssertionError("notbound filters are rewritten before compile")
@@ -229,6 +237,7 @@ def _needs_strings(q: ParsedQuery) -> bool:
             or g.values
             or g.values_multi
             or g.binds
+            or g.subqueries
             or any(map(group_needs, (*g.optionals, *g.negations, *g.exists, *g.unions)))
         )
 
@@ -277,6 +286,15 @@ def sparql_triples(
     the ~12 of these fixtures) where hash-compare beats string-compare
     in the join hot loop."""
     q = parse_sparql(text, validate_vocab=False)
+    return _run_parsed(triples, q, encoded=encoded, dictionary=dictionary)
+
+
+def _run_parsed(
+    triples: DataFrame,
+    q: ParsedQuery,
+    encoded: bool = False,
+    dictionary: DataFrame | None = None,
+) -> DataFrame:
     _rewrite_notbound(q)
     enc = encoded and not _needs_strings(q)
     if enc and dictionary is None:

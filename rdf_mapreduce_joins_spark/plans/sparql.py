@@ -70,6 +70,11 @@ need, SURVEY.md §2.3 J1-J9):
   ``HAVING(expr)`` over aliases/group keys — compiled to one
   DataFrame aggregation over the encoded solution frame, group keys
   decoded post-aggregation,
+* **subqueries** ``{ SELECT ... }`` inside WHERE — evaluated
+  bottom-up with their own projection/aggregation/ORDER/LIMIT, joined
+  to the outer group on shared variables (the aggregate-then-join
+  idiom; outer FILTERs see subquery columns). Subqueries force the
+  string path — their output is already decoded,
 * the other two benchmark query forms: ``ASK { }`` (1-row boolean
   frame; LIMIT-1-bounded existence probe — SP2Bench Q12a/b/c are ASK)
   and ``CONSTRUCT { template } WHERE { }`` (template instantiated per
@@ -79,9 +84,9 @@ need, SURVEY.md §2.3 J1-J9):
 Out of scope, rejected with errors (as in the reference, SURVEY §2.3):
 variable predicates, ``|`` after a ``/`` sequence without parentheses
 (precedence trap — the error names the rewrite), mixed forward/inverse
-alternation, subqueries, SUM/AVG aggregates (no numeric literal
-predicates in this vocabulary — the relational layer covers numeric
-aggregation), MIN/MAX over IRI-valued variables, named graphs.
+alternation, SUM/AVG aggregates (no numeric literal predicates in
+this vocabulary — the relational layer covers numeric aggregation),
+MIN/MAX over IRI-valued variables, named graphs.
 
 Execution inherits the BGP compiler's posture: dictionary-encoded int64
 joins with decode-on-projection (automatically falling back to the
@@ -195,6 +200,8 @@ class _Group:
     values_multi: list[tuple[list[str], list[list[str]]]] = field(default_factory=list)
     # BIND(expr AS ?v): (alias var, ('sql', text, referenced-vars))
     binds: list[tuple[str, tuple]] = field(default_factory=list)
+    # { SELECT ... } subqueries, joined on shared variables
+    subqueries: list["ParsedQuery"] = field(default_factory=list)
 
     def all_vars_bound_here(self) -> set[str]:
         vs = set()
@@ -318,6 +325,12 @@ class _Parser:
             )
         if form_tok != "SELECT":
             raise SparqlSyntaxError(f"expected 'SELECT', got {form_tok!r}")
+        return self.parse_select_query(stop_at_brace=False)
+
+    def parse_select_query(self, stop_at_brace: bool) -> ParsedQuery:
+        """The SELECT form after its ``SELECT`` keyword — top level
+        (``stop_at_brace=False``: must consume the whole stream) or as
+        a ``{ SELECT ... }`` subquery (stops at the closing brace)."""
         distinct = self.accept("DISTINCT")
         select: list[str] = []
         aggs: list[tuple[str, str | None, bool, str, str]] = []
@@ -341,7 +354,7 @@ class _Parser:
         group_by: list[str] = []
         having: tuple | None = None
         limit = offset = None
-        while self.peek() is not None:
+        while self.peek() is not None and not (stop_at_brace and self.peek() == "}"):
             tok = self.next()
             if tok == "GROUP":
                 self.expect("BY")
@@ -451,7 +464,8 @@ class _Parser:
     def parse_group(self) -> _Group:
         self.expect("{")
         g = _Group()
-        if self.peek() == "{":  # { g } UNION { g } [UNION { g }]...
+        if self.peek() == "{" and self.peek(1) != "SELECT":
+            # { g } UNION { g } [UNION { g }]...
             g.unions.append(self.parse_group())
             while self.accept("UNION"):
                 g.unions.append(self.parse_group())
@@ -463,7 +477,12 @@ class _Parser:
             tok = self.peek()
             if tok is None:
                 raise SparqlSyntaxError("unterminated group: missing }")
-            if tok == "OPTIONAL":
+            if tok == "{" and self.peek(1) == "SELECT":
+                self.next()  # {
+                self.next()  # SELECT
+                g.subqueries.append(self.parse_select_query(stop_at_brace=True))
+                self.expect("}")
+            elif tok == "OPTIONAL":
                 self.next()
                 g.optionals.append(self.parse_group())
             elif tok == "VALUES":
@@ -902,6 +921,7 @@ def _sub_group_filters(sub: _Group) -> list[tuple]:
         or sub.values
         or sub.values_multi
         or sub.binds
+        or sub.subqueries
     ):
         raise SparqlUnsupportedError(
             "nested structure (OPTIONAL/negation/UNION/VALUES/BIND) inside "
@@ -924,6 +944,30 @@ def _sub_group_filters(sub: _Group) -> list[tuple]:
             )
         out.append(f)
     return out
+
+
+def _execute_parsed_select(
+    spark: SparkSession, sf_dir: str, sq: ParsedQuery
+) -> DataFrame:
+    """Execute a ``{ SELECT ... }`` subquery to a decoded DataFrame —
+    its own projection, aggregation, and solution modifiers apply
+    before the outer group sees it (standard SPARQL bottom-up
+    subquery evaluation)."""
+    _rewrite_notbound(sq)
+    if sq.aggs:
+        return _execute_aggregate(spark, sf_dir, sq)
+    df = _compile_group(spark, sf_dir, sq, sq.where)
+    if sq.order_by:
+        cols = [
+            F.col(v[1:]).asc_nulls_last() if asc else F.col(v[1:]).desc_nulls_last()
+            for v, asc in sq.order_by
+        ]
+        df = df.orderBy(*cols)
+    if sq.offset is not None:
+        df = df.offset(sq.offset)
+    if sq.limit is not None:
+        df = df.limit(sq.limit)
+    return df
 
 
 def _compile_group(
@@ -980,6 +1024,16 @@ def _compile_group_inner(
         for _, _sql, vs in all_filter_tuples
         for v in vs
     )
+    # Subqueries produce DECODED string frames (each runs its own full
+    # projection), so the outer group joins them on strings.
+    sub_frames: list[DataFrame] = []
+    sub_cols: set[str] = set()
+    for sq in g.subqueries:
+        sdf = _execute_parsed_select(spark, sf_dir, sq)
+        sub_frames.append(sdf)
+        sub_cols |= set(sdf.columns)
+    if sub_frames:
+        encoded = False
     # VALUES inline bindings → IN-list filters, rendered in whichever
     # representation the frame carries: encoded id vars compare as
     # int64 literals (the IN list constant-folds into the scan), string
@@ -989,11 +1043,11 @@ def _compile_group_inner(
     values_filters: list[str] = []
     for var, terms in g.values:
         name = var[1:]
-        if name not in kinds:
+        if name not in kinds and name not in sub_cols:
             raise SparqlUnsupportedError(
                 f"VALUES {var} over a variable no pattern binds"
             )
-        kind, _tabs = kinds[name]
+        kind, _tabs = kinds.get(name, ("str", frozenset()))
         if kind == "id" and encoded:
             rendered = ", ".join(str(_const_to_id(t)) for t in terms)
         else:
@@ -1001,13 +1055,13 @@ def _compile_group_inner(
         values_filters.append(f"{name} IN ({rendered})")
     for vars_, rows_ in g.values_multi:
         for v in vars_:
-            if v[1:] not in kinds:
+            if v[1:] not in kinds and v[1:] not in sub_cols:
                 raise SparqlUnsupportedError(
                     f"VALUES {v} over a variable no pattern binds"
                 )
 
         def render(v: str, t: str) -> str:
-            kind, _tabs = kinds[v[1:]]
+            kind, _tabs = kinds.get(v[1:], ("str", frozenset()))
             if kind == "id" and encoded:
                 return f"{v[1:]} = {_const_to_id(t)}"
             lit = t.replace("'", "''")
@@ -1021,20 +1075,57 @@ def _compile_group_inner(
             for row in rows_
         )
         values_filters.append(f"({disj})")
-    df = bgp(
+    flt = [f[1] for f in sql_filters] + values_filters
+    bnd = [(a[1:], b[1]) for a, b in g.binds]
+    if not sub_frames:
+        df = bgp(
+            spark,
+            sf_dir,
+            pats,
+            optional=[(p, [f[1] for f in fs]) for p, fs in opt_pairs] or None,
+            negation=[(p, [f[1] for f in fs]) for p, fs in neg_pairs] or None,
+            exists=[(p, [f[1] for f in fs]) for p, fs in exi_pairs] or None,
+            filters=flt or None,
+            binds=bnd or None,
+            select=select,
+            distinct=distinct,
+            encoded=encoded,
+        )
+        return df, kinds, encoded
+    # Subquery path: the outer BGP assembles un-projected on the string
+    # path, derived frames join on shared variables (inner join — the
+    # SPARQL group join), then binds/filters/projection apply on top.
+    base = bgp(
         spark,
         sf_dir,
         pats,
         optional=[(p, [f[1] for f in fs]) for p, fs in opt_pairs] or None,
         negation=[(p, [f[1] for f in fs]) for p, fs in neg_pairs] or None,
         exists=[(p, [f[1] for f in fs]) for p, fs in exi_pairs] or None,
-        filters=([f[1] for f in sql_filters] + values_filters) or None,
-        binds=[(a[1:], b[1]) for a, b in g.binds] or None,
-        select=select,
-        distinct=distinct,
-        encoded=encoded,
+        filters=None,
+        binds=None,
+        select=None,
+        distinct=False,
+        encoded=False,
     )
-    return df, kinds, encoded
+    for sdf in sub_frames:
+        shared = [c for c in sdf.columns if c in base.columns]
+        if not shared:
+            raise SparqlUnsupportedError(
+                "subquery shares no variable with the outer group"
+            )
+        base = base.join(sdf, on=shared, how="inner")
+    for a, sql in bnd:
+        if a in base.columns:
+            raise SparqlUnsupportedError(f"BIND alias ?{a} already bound")
+        base = base.withColumn(a, F.expr(sql))
+    for fsql in flt:
+        base = base.filter(F.expr(fsql))
+    if select:
+        base = base.select(*[v[1:] if v.startswith("?") else v for v in select])
+    if distinct:
+        base = base.distinct()
+    return base, kinds, False
 
 
 def _literal_agg(fn: str, name: str, dist: bool, sep: str) -> F.Column:
@@ -1152,6 +1243,7 @@ def sparql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
             or q.where.values
             or q.where.values_multi
             or q.where.binds
+            or q.where.subqueries
         ):
             raise SparqlUnsupportedError(
                 "mixing UNION with other top-level patterns is unsupported "

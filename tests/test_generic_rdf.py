@@ -201,3 +201,19 @@ def test_generic_bind(spark, nt_triples):
         )
     )
     assert got and all(lbl.startswith("region:") for _, lbl in got)
+
+
+def test_generic_subquery(spark, nt_triples):
+    got = {
+        r.r: r.cnt
+        for r in sparql_triples(
+            nt_triples,
+            """SELECT ?r ?cnt WHERE {
+                 ?r <name> ?rname .
+                 { SELECT ?r (COUNT(?n) AS ?cnt)
+                   WHERE { ?n <region> ?r . } GROUP BY ?r }
+               }""",
+        ).collect()
+    }
+    # every region has exactly 5 nations in the 25-nation fixture
+    assert len(got) == 5 and set(got.values()) == {5}

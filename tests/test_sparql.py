@@ -776,3 +776,65 @@ def test_group_concat_separator_only_for_group_concat():
             """SELECT (MIN(?x; SEPARATOR=",") AS ?m)
                WHERE { ?c <name> ?x . } """
         )
+
+
+def test_subquery_aggregate_join(spark, sf_dir):
+    """{ SELECT ... GROUP BY } subquery joins the outer group on the
+    shared variable; the outer FILTER sees the aggregate column."""
+    got = {
+        r.nname: r.cnt
+        for r in S.sparql(
+            spark,
+            sf_dir,
+            """SELECT ?n ?nname ?cnt WHERE {
+                 ?n <name> ?nname ; <region> ?r .
+                 { SELECT ?n (COUNT(?c) AS ?cnt)
+                   WHERE { ?c a <customer> ; <nation> ?n . } GROUP BY ?n }
+                 FILTER(?cnt > 6)
+               }""",
+        ).collect()
+    }
+    want = {}
+    base = S.sparql(
+        spark, sf_dir,
+        "SELECT ?c ?nname WHERE { ?c a <customer> ; <nation> ?n . ?n <name> ?nname . }",
+    ).collect()
+    for r in base:
+        want[r.nname] = want.get(r.nname, 0) + 1
+    want = {k: v for k, v in want.items() if v > 6}
+    assert got == want and got
+
+
+def test_subquery_limit_restricts_outer(spark, sf_dir):
+    """A LIMITed ordered subquery acts as a top-k driving table."""
+    got = rows(
+        S.sparql(
+            spark,
+            sf_dir,
+            """SELECT ?n ?nname WHERE {
+                 ?n <name> ?nname .
+                 { SELECT ?n WHERE { ?n <region> <region/2> . }
+                   ORDER BY ?n LIMIT 2 }
+               }""",
+        )
+    )
+    inner = rows(
+        S.sparql(
+            spark, sf_dir,
+            "SELECT ?n WHERE { ?n <region> <region/2> . } ORDER BY ?n LIMIT 2",
+        )
+    )
+    assert len(got) == 2
+    assert {n for n, _ in got} == {n for (n,) in inner}
+
+
+def test_subquery_no_shared_var_rejected(spark, sf_dir):
+    with pytest.raises(ValueError, match="shares no variable"):
+        S.sparql(
+            spark,
+            sf_dir,
+            """SELECT ?c WHERE {
+                 ?c <mktsegment> ?seg .
+                 { SELECT ?s WHERE { ?s <manager> ?m . } }
+               }""",
+        )
