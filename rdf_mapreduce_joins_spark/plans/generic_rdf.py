@@ -296,6 +296,24 @@ def _run_parsed(
     dictionary: DataFrame | None = None,
 ) -> DataFrame:
     _rewrite_notbound(q)
+    if q.form == "describe":
+        consts = [t for t in q.describe_terms if not t.startswith("?")]
+        nodes = None
+        if consts:
+            nodes = triples.sparkSession.createDataFrame(
+                [(c,) for c in consts], "v string"
+            )
+        if q.select:
+            sol = _compile(triples, q, q.where)
+            for v in q.select:
+                nd = sol.select(F.col(v[1:]).alias("v"))
+                nodes = nd if nodes is None else nodes.unionByName(nd)
+        assert nodes is not None
+        nodes = nodes.distinct()
+        tri = triples.select("subject", "predicate", "object")
+        subj = tri.join(nodes, tri["subject"] == nodes["v"], "leftsemi")
+        obj = tri.join(nodes, tri["object"] == nodes["v"], "leftsemi")
+        return subj.unionByName(obj).distinct()
     enc = encoded and not _needs_strings(q)
     if enc and dictionary is None:
         dictionary = term_dictionary(triples)

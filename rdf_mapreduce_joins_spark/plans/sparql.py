@@ -75,7 +75,10 @@ need, SURVEY.md §2.3 J1-J9):
   to the outer group on shared variables (the aggregate-then-join
   idiom; outer FILTERs see subquery columns). Subqueries force the
   string path — their output is already decoded,
-* the other two benchmark query forms: ``ASK { }`` (1-row boolean
+* ALL FOUR query forms — besides SELECT: ``DESCRIBE <r>... [?v WHERE
+  {}]`` (every triple a described resource participates in, either
+  side — two semi-joins over the triples view against the node set),
+  plus ``ASK { }`` (1-row boolean
   frame; LIMIT-1-bounded existence probe — SP2Bench Q12a/b/c are ASK)
   and ``CONSTRUCT { template } WHERE { }`` (template instantiated per
   solution, unioned, deduped into a (subject, predicate, object)
@@ -138,6 +141,7 @@ _KEYWORDS = {
     "AS",
     "VALUES",
     "BIND",
+    "DESCRIBE",
 }
 
 _TOKEN_RE = re.compile(
@@ -231,6 +235,8 @@ class ParsedQuery:
     aggs: list[tuple[str, str | None, bool, str, str]] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
     having: tuple | None = None
+    # DESCRIBE terms: constant IRIs and/or ?vars (vars need a WHERE)
+    describe_terms: list[str] = field(default_factory=list)
 
 
 _KNOWN_PREDS = {s.pred for s in PRED_SPECS}
@@ -302,6 +308,32 @@ class _Parser:
                 raise SparqlSyntaxError(f"unexpected trailing token {self.peek()!r}")
             return ParsedQuery(
                 False, [], where, self.types, [], None, None, form="ask"
+            )
+        if form_tok == "DESCRIBE":
+            terms: list[str] = []
+            while self.peek() is not None and self.peek() != "WHERE":
+                terms.append(self.parse_term(position="DESCRIBE"))
+            if not terms:
+                raise SparqlSyntaxError("DESCRIBE needs at least one term")
+            dvars = [t for t in terms if t.startswith("?")]
+            where = _Group()
+            if self.peek() == "WHERE":
+                self.next()
+                where = self.parse_group()
+            elif dvars:
+                raise SparqlSyntaxError("DESCRIBE ?var needs a WHERE group")
+            if self.peek() is not None:
+                raise SparqlSyntaxError(f"unexpected trailing token {self.peek()!r}")
+            return ParsedQuery(
+                False,
+                dvars,
+                where,
+                self.types,
+                [],
+                None,
+                None,
+                form="describe",
+                describe_terms=terms,
             )
         if form_tok == "CONSTRUCT":
             template = self.parse_template()
@@ -1143,6 +1175,35 @@ def _literal_agg(fn: str, name: str, dist: bool, sep: str) -> F.Column:
     return F.array_join(F.array_sort(collected), sep)
 
 
+def _execute_describe(
+    spark: SparkSession, sf_dir: str, q: ParsedQuery
+) -> DataFrame:
+    """DESCRIBE — the fourth SPARQL query form: every triple whose
+    subject OR object is a described resource (the common concise
+    reading of the spec's implementation-defined semantics). Resources
+    come from constant terms and/or a WHERE group's variable bindings;
+    matching is two semi-joins against the (small, AQE-broadcast)
+    node set over the triples view, unioned and deduped — a graph
+    result like CONSTRUCT's, serializable by write_ntriples."""
+    from rdf_mapreduce_joins_spark.plans.rdf import triples as _triples_view
+
+    tri = _triples_view(spark, sf_dir)
+    consts = [t for t in q.describe_terms if not t.startswith("?")]
+    nodes: DataFrame | None = None
+    if consts:
+        nodes = spark.createDataFrame([(c,) for c in consts], "v string")
+    if q.select:
+        sol = _compile_group(spark, sf_dir, q, q.where)
+        for v in q.select:
+            nd = sol.select(F.col(v[1:]).alias("v"))
+            nodes = nd if nodes is None else nodes.unionByName(nd)
+    assert nodes is not None
+    nodes = nodes.distinct()
+    subj = tri.join(nodes, tri["subject"] == nodes["v"], "leftsemi")
+    obj = tri.join(nodes, tri["object"] == nodes["v"], "leftsemi")
+    return subj.unionByName(obj).distinct()
+
+
 def _execute_aggregate(
     spark: SparkSession, sf_dir: str, q: ParsedQuery
 ) -> DataFrame:
@@ -1221,6 +1282,8 @@ def sparql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
     (SURVEY.md §3.1) has no analog here because it is not needed."""
     q = parse_sparql(text)
     _rewrite_notbound(q)
+    if q.form == "describe":
+        return _execute_describe(spark, sf_dir, q)
     if q.aggs:
         return _execute_aggregate(spark, sf_dir, q)
     if q.form == "ask":
@@ -1591,3 +1654,23 @@ def rdf_sparql_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ?rname
         """,
     )
+
+
+from rdf_mapreduce_joins_spark.plans.rdf import triples_sql  # noqa: E402
+
+
+@query(
+    "rdf_sparql_describe",
+    oracle=f"""
+    WITH tri AS ({triples_sql()})
+    SELECT DISTINCT subject, predicate, object
+    FROM tri WHERE subject = 'nation/3' OR object = 'nation/3'
+    """,
+)
+def rdf_sparql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fourth SPARQL query form end-to-end: DESCRIBE a resource —
+    every triple it participates in, either side. With this the engine
+    answers all four published forms (SELECT / ASK / CONSTRUCT /
+    DESCRIBE) from query text. The oracle derives the same triple set
+    from the shared triples-view SQL rendering."""
+    return sparql(spark, sf_dir, "DESCRIBE <nation/3>")

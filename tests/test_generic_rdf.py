@@ -217,3 +217,12 @@ def test_generic_subquery(spark, nt_triples):
     }
     # every region has exactly 5 nations in the 25-nation fixture
     assert len(got) == 5 and set(got.values()) == {5}
+
+
+def test_generic_describe(spark, nt_triples):
+    got = rows(sparql_triples(nt_triples, "DESCRIBE <region/2>"))
+    assert got
+    assert all(s == "region/2" or o == "region/2" for s, _p, o in got)
+    # both directions present: region/2's name triple + nations pointing at it
+    assert any(s == "region/2" for s, _p, _o in got)
+    assert any(o == "region/2" for _s, _p, o in got)

@@ -190,7 +190,6 @@ PARSE_ERRORS = [
     ("SELECT * WHERE { ?x <name> ?y . }", "SELECT [*] unsupported"),
     ("SELECT ?x WHERE { ?x <name> ?y . ", "missing }"),
     ("SELECT ?x WHERE { ?x <name> ?y . } LIMIT", "end of query"),
-    ("DESCRIBE <customer/1>", "unsupported form"),
     ("ASK { ?x <name> ?y . } LIMIT 5", "ASK takes no modifiers"),
     ("CONSTRUCT { } WHERE { ?x <name> ?y . }", "empty template"),
 ]
@@ -838,3 +837,26 @@ def test_subquery_no_shared_var_rejected(spark, sf_dir):
                  { SELECT ?s WHERE { ?s <manager> ?m . } }
                }""",
         )
+
+
+def test_describe_var_form(spark, sf_dir):
+    """DESCRIBE ?v WHERE { ... }: describes every solution binding —
+    equals the union of per-constant DESCRIBEs."""
+    got = rows(
+        S.sparql(
+            spark, sf_dir, "DESCRIBE ?n WHERE { ?n <region> <region/1> . }"
+        )
+    )
+    nations = rows(
+        S.sparql(spark, sf_dir, "SELECT ?n WHERE { ?n <region> <region/1> . }")
+    )
+    want = set()
+    for (n,) in nations:
+        for t in S.sparql(spark, sf_dir, f"DESCRIBE <{n}>").collect():
+            want.add(tuple(t))
+    assert got == sorted(want) and got
+
+
+def test_describe_without_where_for_var_rejected():
+    with pytest.raises(ValueError, match="WHERE"):
+        S.parse_sparql("DESCRIBE ?x")
