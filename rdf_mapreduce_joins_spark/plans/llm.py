@@ -1067,3 +1067,35 @@ def dataset_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("split1") != F.col("split2"))
         .select("d1", "split1", "d2", "split2", "jaccard")
     )
+
+
+@query("dedup_retain_set_minhash")  # rows-only: MinHash pipeline not SQL-expressible
+def dedup_retain_set_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash pipeline's end-to-end DELIVERABLE (twin of
+    dedup_retain_set, which rides the exact-Jaccard pairs): LSH
+    candidate pairs → connected components → keep every singleton plus
+    the longest member per near-dup cluster. Rows-only for the driver
+    (MinHash isn't ANSI-SQL-expressible) but fully value-checked
+    against an independent Python union-find reference in
+    tests/test_rowsonly_references.py."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(d)
+    pairs = dedup.minhash_lsh_pairs(sigs, min_est_jaccard=0.5)
+    comp = dedup.connected_components(pairs, "d1", "d2")
+    ranked = comp.join(
+        d.select(F.col("doc_id").alias("node"), "n_chars"), on="node"
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("component").orderBy(
+                F.col("n_chars").desc(), F.col("node")
+            )
+        ),
+    )
+    reps = ranked.filter(F.col("rn") == 1).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    singles = d.join(
+        comp.select(F.col("node").alias("doc_id")), on="doc_id", how="left_anti"
+    ).select("doc_id", F.col("doc_id").alias("component"))
+    return singles.unionByName(reps)

@@ -30,6 +30,7 @@ def test_oracle_keys_subset_of_queries():
         "agg_approx_distinct",
         "similarity_topk_ivf",
         "similarity_knn_join_ivf",
+        "dedup_retain_set_minhash",
     }
 
 

@@ -356,3 +356,44 @@ def test_approx_distinct_within_declared_error(spark):
         d, n = exact[k]
         assert n_rows == n
         assert abs(approx - d) / d <= 0.10, f"{k}: approx {approx} vs exact {d}"
+
+
+def test_minhash_retain_set_matches_python_reference(spark):
+    """End-to-end MinHash deliverable: pairs (already reference-checked
+    above) → union-find components → longest-member representative +
+    singletons, all re-derived independently."""
+    got_pairs = [
+        (r.d1, r.d2)
+        for r in entrymod.queries()["dedup_near_minhash"](spark, SF).collect()
+    ]
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "n_chars"])
+    n_chars = dict(zip(t.column("doc_id").to_pylist(), t.column("n_chars").to_pylist()))
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in got_pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[int, list[int]] = {}
+    for node in parent:
+        comps.setdefault(find(node), []).append(node)
+    want = {}
+    clustered = set(parent)
+    for root, members in comps.items():
+        rep = min(members, key=lambda d: (-n_chars[d], d))  # longest, id tiebreak
+        want[rep] = root
+    for d in n_chars:
+        if d not in clustered:
+            want[d] = d
+    got = {
+        r.doc_id: r.component
+        for r in entrymod.queries()["dedup_retain_set_minhash"](spark, SF).collect()
+    }
+    assert got == want
