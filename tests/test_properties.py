@@ -192,3 +192,37 @@ def test_sparql_oracle_parity_random_constants(spark, rkey, seg):
     )
     con.close()
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)), min_size=1, max_size=14
+    )
+)
+def test_generic_closure_matches_python_reachability(spark, edges):
+    """<p>+ over arbitrary random graphs (cycles, self-loops, islands)
+    must equal plain Python transitive reachability."""
+    from rdf_mapreduce_joins_spark.plans.generic_rdf import sparql_triples
+
+    data = [(f"n{a}", "p", f"n{b}") for a, b in edges]
+    t = spark.createDataFrame(data, "subject string, predicate string, object string")
+    got = {
+        (r.s, r.o)
+        for r in sparql_triples(t, "SELECT ?s ?o WHERE { ?s <p>+ ?o . }").collect()
+    }
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        adj.setdefault(f"n{a}", set()).add(f"n{b}")
+    want = set()
+    for start in adj:
+        seen: set[str] = set()
+        stack = list(adj[start])
+        while stack:
+            n = stack.pop()
+            if n in seen:
+                continue
+            seen.add(n)
+            stack.extend(adj.get(n, ()))
+        want |= {(start, n) for n in seen}
+    assert got == want
