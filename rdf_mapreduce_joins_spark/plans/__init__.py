@@ -5,6 +5,7 @@ query + its DuckDB oracle SQL.
 """
 
 from rdf_mapreduce_joins_spark.plans import (  # noqa: F401
+    assembly,
     events,
     generic_rdf,
     llm,

@@ -242,7 +242,8 @@ def _needs_strings(q: ParsedQuery) -> bool:
         )
 
     return group_needs(q.where) or any(
-        fn in ("MIN", "MAX", "SAMPLE", "GROUP_CONCAT") for fn, *_ in q.aggs
+        fn in ("MIN", "MAX", "SAMPLE", "GROUP_CONCAT", "SUM", "AVG")
+        for fn, *_ in q.aggs
     )
 
 

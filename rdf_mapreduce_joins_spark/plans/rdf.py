@@ -102,7 +102,33 @@ PRED_SPECS: tuple[PredSpec, ...] = (
         obj_expr="CAST(FLOOR(s_suppkey / 2) AS BIGINT)",
         where="s_suppkey >= 1",
     ),
+    # Numeric literal predicates: account balances rendered with a
+    # PINNED decimal format (printf exists with identical %.2f
+    # semantics in Spark SQL and DuckDB — a raw double→string cast
+    # does NOT render identically across engines, e.g. scientific
+    # notation cutoffs). These exist so SPARQL SUM/AVG has something
+    # numeric to aggregate; the string→decimal cast in the aggregate
+    # path is exact.
+    PredSpec(
+        "acctbal",
+        "customer",
+        ("c_custkey",),
+        "c_acctbal",
+        obj_expr="printf('%.2f', c_acctbal)",
+    ),
+    PredSpec(
+        "acctbal",
+        "supplier",
+        ("s_suppkey",),
+        "s_acctbal",
+        obj_expr="printf('%.2f', s_acctbal)",
+    ),
 )
+
+# Predicates whose literal objects are numeric lexical forms (the only
+# ones SPARQL SUM/AVG accepts — summing <name> strings is a type error,
+# rejected at compile, not silently NULL).
+NUMERIC_PREDS = frozenset({"acctbal"})
 
 
 # --------------------------------------------------------------------------

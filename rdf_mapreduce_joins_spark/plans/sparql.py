@@ -87,9 +87,10 @@ need, SURVEY.md §2.3 J1-J9):
 Out of scope, rejected with errors (as in the reference, SURVEY §2.3):
 variable predicates, ``|`` after a ``/`` sequence without parentheses
 (precedence trap — the error names the rewrite), mixed forward/inverse
-alternation, SUM/AVG aggregates (no numeric literal predicates in
-this vocabulary — the relational layer covers numeric aggregation),
-MIN/MAX over IRI-valued variables, named graphs.
+alternation, MIN/MAX over IRI-valued variables, named graphs, negated
+property sets ``!(...)``. SUM/AVG aggregate the vocabulary's numeric
+literal predicates (acctbal, %.2f-pinned rendering) via an exact
+DECIMAL(18,2) parse — see ``_literal_agg``.
 
 Execution inherits the BGP compiler's posture: dictionary-encoded int64
 joins with decode-on-projection (automatically falling back to the
@@ -108,6 +109,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rdf_mapreduce_joins_spark.plans.rdf import (
+    NUMERIC_PREDS,
     PRED_SPECS,
     Pattern,
     _const_to_id,
@@ -446,19 +448,13 @@ class _Parser:
             having=having,
         )
 
-    _AGG_FNS = ("COUNT", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT")
+    _AGG_FNS = ("COUNT", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT", "SUM", "AVG")
 
     def parse_agg_item(self) -> tuple[str, str | None, bool, str, str]:
         """``( AGG([DISTINCT] ?v | *) [; SEPARATOR="s"] AS ?alias )``
         select item. Returns (fn, var|None, distinct, alias, sep)."""
         self.expect("(")
         fn = self.next().upper()
-        if fn in ("SUM", "AVG"):
-            raise SparqlUnsupportedError(
-                f"{fn} unsupported: the triples vocabulary has no numeric "
-                "literal predicates (use the relational layer for numeric "
-                "aggregation)"
-            )
         if fn not in self._AGG_FNS:
             raise SparqlSyntaxError(f"unknown aggregate {fn!r}")
         self.expect("(")
@@ -1161,16 +1157,28 @@ def _compile_group_inner(
 
 
 def _literal_agg(fn: str, name: str, dist: bool, sep: str) -> F.Column:
-    """MIN/MAX/SAMPLE/GROUP_CONCAT over a literal-valued column.
+    """MIN/MAX/SAMPLE/GROUP_CONCAT/SUM/AVG over a literal-valued column.
 
     SPARQL leaves SAMPLE's choice and GROUP_CONCAT's order
     implementation-defined; this engine pins both deterministically
     (SAMPLE = MIN; GROUP_CONCAT sorts its inputs) so results are
-    stable across runs, partitionings, and engines."""
+    stable across runs, partitionings, and engines.
+
+    SUM/AVG parse the lexical form to DECIMAL(18,2) — the vocabulary's
+    numeric predicates pin a %.2f rendering (plans/rdf.py acctbal
+    specs) — so the sum is exact whatever the merge order; AVG divides
+    the exact sum by the count and rounds, never averaging floats."""
     if fn == "MIN" or fn == "SAMPLE":
         return F.min(name)
     if fn == "MAX":
         return F.max(name)
+    if fn in ("SUM", "AVG"):
+        dec = F.col(name).cast("decimal(18,2)")
+        total = F.sum_distinct(dec) if dist else F.sum(dec)
+        if fn == "SUM":
+            return total.cast("double")
+        n = F.count_distinct(dec) if dist else F.count(name)
+        return F.round(total.cast("double") / n, 4)
     collected = F.collect_set(name) if dist else F.collect_list(name)
     return F.array_join(F.array_sort(collected), sep)
 
@@ -1215,10 +1223,11 @@ def _execute_aggregate(
     COUNT(DISTINCT) over dictionary ids count exactly the IRIs (the
     encoding is bijective), and id-typed GROUP BY keys aggregate as
     int64 — decode happens after the aggregation, on one row per
-    group. MIN/MAX are restricted to literal-valued variables: over an
-    id-typed variable they would order by internal id, not IRI text —
-    rejected loudly rather than silently wrong. SUM/AVG are rejected
-    at parse (no numeric literal predicates in this vocabulary)."""
+    group. MIN/MAX/SUM/AVG are restricted to literal-valued variables:
+    over an id-typed variable they would operate on internal ids, not
+    IRI terms — rejected loudly rather than silently wrong. SUM/AVG
+    parse the %.2f lexical forms to DECIMAL(18,2) (exact, merge-order
+    independent — see _literal_agg)."""
     if q.where.unions:
         raise SparqlUnsupportedError("aggregates over UNION are unsupported")
     sol, kinds, encoded = _compile_group_inner(
@@ -1242,6 +1251,19 @@ def _execute_aggregate(
                     f"{fn}({var}) over an IRI-valued variable is unsupported "
                     "(ordering would be over internal ids, not IRI text)"
                 )
+            if fn in ("SUM", "AVG"):
+                binding = [
+                    preds for s, preds, o, _m in q.where.triples if o == var
+                ]
+                if not binding or not all(
+                    set(ps) <= NUMERIC_PREDS for ps in binding
+                ):
+                    raise SparqlUnsupportedError(
+                        f"{fn}({var}) needs a numeric-literal variable — "
+                        f"{var} must be bound only by numeric predicates "
+                        f"({sorted(NUMERIC_PREDS)}); summing arbitrary "
+                        "strings is a SPARQL type error, not NULL"
+                    )
             e = _literal_agg(fn, name, dist, sep)
         agg_exprs.append(e.alias(a))
     out = sol.groupBy(*gvars).agg(*agg_exprs) if gvars else sol.agg(*agg_exprs)
@@ -1652,6 +1674,41 @@ def rdf_sparql_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ?rname
         HAVING(?n_cust > 10)
         ORDER BY ?rname
+        """,
+    )
+
+
+@query(
+    "rdf_sparql_sum_avg",
+    oracle="""
+    SELECT n_name AS nname,
+           CAST(SUM(CAST(printf('%.2f', c_acctbal) AS DECIMAL(18,2)))
+                AS DOUBLE) AS total_bal,
+           ROUND(CAST(SUM(CAST(printf('%.2f', c_acctbal) AS DECIMAL(18,2)))
+                      AS DOUBLE) / COUNT(c_acctbal), 4) AS avg_bal
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY n_name
+    """,
+)
+def rdf_sparql_sum_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 numeric aggregation from query TEXT: SUM/AVG over
+    the vocabulary's numeric literal predicate (acctbal, rendered
+    %.2f on both engines — plans/rdf.py). The lexical forms parse to
+    DECIMAL(18,2) before summing, so the result is exact under any
+    merge order; AVG divides the exact sum by the count (never a float
+    average). Joins still run dictionary-encoded; only the literal
+    column is parsed."""
+    return sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?nname (SUM(?b) AS ?total_bal) (AVG(?b) AS ?avg_bal)
+        WHERE {
+          ?c a <customer> ; <acctbal> ?b ; <nation> ?n .
+          ?n <name> ?nname .
+        }
+        GROUP BY ?nname
         """,
     )
 

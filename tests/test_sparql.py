@@ -508,7 +508,7 @@ def test_aggregate_group_by_decodes_id_keys(spark, sf_dir):
 
 
 AGG_ERRORS = [
-    # SUM is out of scope in this vocabulary
+    # SUM over a non-numeric literal predicate (only acctbal is numeric)
     ("SELECT (SUM(?x) AS ?s) WHERE { ?c <name> ?x . }", "SUM"),
     # MIN over an IRI-valued variable
     ("SELECT (MIN(?n) AS ?m) WHERE { ?c <nation> ?n . }", "IRI-valued"),
