@@ -65,12 +65,22 @@ def _pattern_frame(
         F.col("predicate").isin(*preds)
         if len(preds) > 1
         else (F.col("predicate") == preds[0])
-    ).select("subject", "object")
-    if encoded:
+    )
+    if encoded and "subject_id" in df.columns:
+        # pre-encoded store (build_triples_store): ids were computed
+        # once at ingest; column pruning drops the string columns so
+        # the scan reads only the two longs
+        df = df.select(
+            F.col("subject_id").alias("subject"),
+            F.col("object_id").alias("object"),
+        )
+    elif encoded:
         df = df.select(
             F.xxhash64("subject").alias("subject"),
             F.xxhash64("object").alias("object"),
         )
+    else:
+        df = df.select("subject", "object")
     if mod:
         from rdf_mapreduce_joins_spark.operators.graph import transitive_closure
 
@@ -399,6 +409,54 @@ def _run_parsed(
 
 
 # --------------------------------------------------------------------------
+# Persisted triples store: encode + dictionary ONCE at ingest
+# --------------------------------------------------------------------------
+
+
+def build_triples_store(triples: DataFrame, path: str) -> None:
+    """Persist a raw triples frame as the query-optimized on-disk
+    layout (the ingest step a production deployment runs once per
+    load, not per query):
+
+    * ``{path}/triples`` — hive-partitioned by PREDICATE, holding both
+      the term strings and their ``xxhash64`` ids. Per-pattern
+      predicate filters prune whole partition DIRECTORIES at file
+      listing (the same pruning the star schema gets from vertical
+      partitioning); parquet column pruning means the encoded path
+      reads only the two int64 columns and the string path only the
+      two string columns — one store serves both.
+    * ``{path}/dictionary`` — (id, term), built once; per-query decode
+      joins read this instead of re-distincting the corpus (the cost
+      that made the inline encoded path lose locally — see
+      :func:`sparql_triples`'s cost note).
+
+    Run :func:`dictionary_collisions` on the dictionary after ingest —
+    zero is required for the encoded path to be exact."""
+    enc = triples.select(
+        "predicate",
+        "subject",
+        "object",
+        F.xxhash64("subject").alias("subject_id"),
+        F.xxhash64("object").alias("object_id"),
+    )
+    enc.write.mode("overwrite").partitionBy("predicate").parquet(f"{path}/triples")
+    term_dictionary(triples).write.mode("overwrite").parquet(f"{path}/dictionary")
+
+
+def sparql_triples_indexed(spark, path: str, text: str) -> DataFrame:
+    """Run SPARQL text against a persisted triples store
+    (:func:`build_triples_store`): dictionary loaded from disk (no
+    per-query distinct), ids read pre-encoded from parquet (no
+    per-query hashing), predicate filters pruning partitions at file
+    listing. Queries that need term strings mid-plan automatically use
+    the store's string columns instead (same fallback rule as the
+    inline path)."""
+    tri = spark.read.parquet(f"{path}/triples")
+    dictionary = spark.read.parquet(f"{path}/dictionary")
+    return sparql_triples(tri, text, encoded=True, dictionary=dictionary)
+
+
+# --------------------------------------------------------------------------
 # Declared query: the generic executor under the driver's oracle gate
 # --------------------------------------------------------------------------
 
@@ -406,6 +464,62 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 from rdf_mapreduce_joins_spark.plans.rdf import triples  # noqa: E402
 from rdf_mapreduce_joins_spark.plans.registry import query  # noqa: E402
+
+
+_STORE_ROOT = "/root/repo/.scratch/triples_store"
+
+
+def _store_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-on-miss cached store for the fixtures' triples view,
+    keyed by sf dir and invalidated when the source parquet is newer
+    (driver fixture re-provisions must not serve a stale store)."""
+    import os
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_STORE_ROOT, name)
+    marker = os.path.join(path, "_BUILT")
+    src_mtime = max(
+        os.path.getmtime(os.path.join(sf_dir, f))
+        for f in os.listdir(sf_dir)
+        if f.endswith(".parquet")
+    )
+    if not os.path.exists(marker) or os.path.getmtime(marker) < src_mtime:
+        build_triples_store(triples(spark, sf_dir), path)
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    return path
+
+
+@query(
+    "rdf_generic_indexed_sparql",
+    oracle="""
+    SELECT 'customer/' || c_custkey AS c, n_name AS nname, r_name AS rname
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def rdf_generic_indexed_sparql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-store generic executor under the oracle gate:
+    same SPARQL text as rdf_generic_triples_sparql, but ids come
+    pre-encoded from the partitioned store and the decode dictionary
+    loads from disk (built once per fixture set, cached on mtime).
+    This is the deployment shape where the encoded design wins: the
+    per-query dictionary build — the measured cost that made inline
+    encoding lose locally — is amortized to zero."""
+    path = _store_path(spark, sf_dir)
+    return sparql_triples_indexed(
+        spark,
+        path,
+        """
+        SELECT ?c ?nname ?rname WHERE {
+          ?c <mktsegment> "BUILDING" ; <nation> ?n .
+          ?n <name> ?nname ; <region> ?r .
+          ?r <name> ?rname .
+        }
+        """,
+    )
 
 
 @query(
