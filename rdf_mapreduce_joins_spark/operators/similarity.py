@@ -557,3 +557,58 @@ def ivf_topk(
         .orderBy(F.col("sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def semantic_prune(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Semantic deduplication (the SemDeDup recipe): k-means-cluster
+    the corpus with the coarse quantizer, then inside each cluster
+    drop every vector that has a near-duplicate (cosine >= threshold)
+    with a smaller id — keeping one deterministic representative per
+    near-dup chain. Returns the KEPT (id, cid) rows.
+
+    Scale shape: candidate pairs are generated per CLUSTER (equi-join
+    on cid), never across the corpus — the learned twin of the
+    label-blocked cosine_pairs. The k x d centroid matrix is the only
+    driver-side state; the drop set is an anti join. At web scale the
+    cluster count grows with the corpus (n_centroids ~ sqrt(n)) to
+    bound per-cluster pair counts."""
+    centroids = ivf_train(embeddings, n_centroids, n_iter, id_col, vec_col)
+    dbl = as_double_array(vec_col)
+    assigned = embeddings.select(
+        F.col(id_col),
+        dbl.alias("_v"),
+        l2_norm(dbl).alias("_n"),
+        _assign_expr(dbl, centroids).alias("cid"),
+    )
+    a = assigned.select(
+        F.col(id_col).alias("_ida"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+        "cid",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_idb"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+        "cid",
+    )
+    sim = F.round(
+        cosine_prenormed(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")),
+        round_digits,
+    )
+    dropped = (
+        a.join(b, on="cid")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(sim >= threshold)
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return assigned.select(id_col, "cid").join(dropped, on=id_col, how="left_anti")

@@ -1099,3 +1099,39 @@ def dedup_retain_set_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp.select(F.col("node").alias("doc_id")), on="doc_id", how="left_anti"
     ).select("doc_id", F.col("doc_id").alias("component"))
     return singles.unionByName(reps)
+
+
+@query("dedup_semantic_prune")  # rows-only: k-means centroids not SQL-expressible
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup): learn k-means clusters over the
+    embedding corpus, then keep one representative per intra-cluster
+    near-duplicate chain (cosine >= threshold, smallest id wins).
+    Candidate pairs are cluster-blocked — the learned counterpart of
+    dedup_embedding_cosine's label blocking; at 100 TB the centroid
+    count scales with the corpus to bound per-cluster pair counts.
+    Rows-only check: the training loop's float averages make an exact
+    SQL oracle infeasible; tests pin determinism across partitionings
+    and the keep-set's no-smaller-near-neighbor invariant."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_prune(e, threshold=EMB_COSINE_THRESHOLD)
+
+
+@query("embedding_kmeans_clusters")  # rows-only: same centroid caveat
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding clustering as a first-class pipeline op: train the
+    deterministic k-means-lite quantizer, assign every vector, report
+    per-cluster sizes — the corpus-curation view (topic balance,
+    cluster-proportional sampling) of the same index IVF probes.
+    One distributed assign + one tiny aggregation; only the k x d
+    centroid matrix touches the driver."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_train(e)
+    from rdf_mapreduce_joins_spark.operators.similarity import (
+        _assign_expr,
+        as_double_array,
+    )
+
+    assigned = e.select(
+        _assign_expr(as_double_array("embedding"), cents).alias("cid")
+    )
+    return assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vectors"))

@@ -171,3 +171,52 @@ def test_sparql_sum_rejects_iri_variable(spark, sf_dir):
             sf_dir,
             "SELECT (SUM(?n) AS ?s) WHERE { ?c a <customer> ; <nation> ?n . }",
         ).collect()
+
+
+def test_semantic_prune_invariants(spark, sf_dir):
+    from rdf_mapreduce_joins_spark.operators import similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    kept = similarity.semantic_prune(e, threshold=0.3)
+    rows = kept.collect()
+    n_corpus = e.count()
+    assert 0 < len(rows) <= n_corpus
+    # deterministic across partitionings
+    again = similarity.semantic_prune(e.repartition(5), threshold=0.3)
+    assert {(r.vec_id, r.cid) for r in again.collect()} == {
+        (r.vec_id, r.cid) for r in rows
+    }
+    # every kept vector has NO kept smaller near-neighbor in its
+    # cluster (greedy keep rule), verified brute-force in python
+    import math
+
+    data = {
+        r.vec_id: (list(r.embedding), None) for r in e.collect()
+    }
+    cid_of = {}
+    for r in rows:
+        cid_of[r.vec_id] = r.cid
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 4)
+
+    kept_ids = sorted(cid_of)
+    by_cid: dict[int, list[int]] = {}
+    for v in kept_ids:
+        by_cid.setdefault(cid_of[v], []).append(v)
+    for cid, ids in by_cid.items():
+        for i, v in enumerate(ids):
+            for u in ids[:i]:
+                assert cos(data[u][0], data[v][0]) < 0.3, (u, v, cid)
+
+
+def test_kmeans_clusters_partition_corpus(spark, sf_dir):
+    from rdf_mapreduce_joins_spark.plans.llm import embedding_kmeans_clusters
+
+    out = embedding_kmeans_clusters(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "embeddings")
+    assert sum(r.n_vectors for r in out) == e.count()
+    assert {r.cid for r in out} <= set(range(8))
