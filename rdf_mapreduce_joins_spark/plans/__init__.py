@@ -12,6 +12,7 @@ from rdf_mapreduce_joins_spark.plans import (  # noqa: F401
     rdf,
     relational,
     sparql,
+    tpch,
 )
 from rdf_mapreduce_joins_spark.plans.registry import ORACLES, QUERIES
 

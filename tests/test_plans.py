@@ -26,12 +26,21 @@ def _plan(df) -> str:
 # but the operator semantics might tempt one (self-joins, theta joins).
 _NO_CARTESIAN = sorted(entrymod.queries())
 
-# The one sanctioned nested-loop shape: scoring the corpus against a
-# BROADCAST probe batch whose size is bounded by construction (a query
-# workload, never a second corpus). The corpus side streams once; the
-# per-row work is |Q|, not |corpus|. Anything else hitting BNLJ is
-# still a bug.
-_BOUNDED_BUILD_SIDE_OK = {"similarity_knn_join"}
+# The sanctioned nested-loop shapes, all with a build side bounded by
+# construction:
+# - similarity_knn_join: scoring the corpus against a BROADCAST probe
+#   batch (a query workload, never a second corpus). The corpus side
+#   streams once; the per-row work is |Q|, not |corpus|.
+# - tpch_q11/q22: scalar-subquery threshold — the broadcast side is a
+#   single-row (sum, count) aggregate joined under an inequality, the
+#   textbook plan for HAVING value > total * fraction. (q15's sibling
+#   crossJoin converts to a BroadcastHashJoin because its filter is an
+#   equality.) Anything else hitting BNLJ is still a bug.
+_BOUNDED_BUILD_SIDE_OK = {
+    "similarity_knn_join",
+    "tpch_q11_important_stock",
+    "tpch_q22_dormant_customers",
+}
 
 
 @pytest.mark.parametrize("name", _NO_CARTESIAN)
