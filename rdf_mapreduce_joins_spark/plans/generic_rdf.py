@@ -60,12 +60,22 @@ def _pattern_frame(
     ``encoded``: terms become ``xxhash64`` int64 ids right after the
     predicate filter — closures, joins, and distincts then run on
     longs; constants compare as ``xxhash64(lit)`` (constant-folded).
-    See :func:`term_dictionary` for decode and the collision story."""
-    df = triples.filter(
-        F.col("predicate").isin(*preds)
-        if len(preds) > 1
-        else (F.col("predicate") == preds[0])
-    )
+    See :func:`term_dictionary` for decode and the collision story.
+
+    A variable predicate (``?s ?p ?o``) skips the predicate filter and
+    binds the predicate NAME as a string column — predicates are
+    filter constants everywhere else, so they are never hash-encoded,
+    and a bound predicate var needs no dictionary decode."""
+    p_var = preds[0].startswith("?")
+    if p_var:
+        df = triples  # matches every predicate; nothing to filter
+    else:
+        df = triples.filter(
+            F.col("predicate").isin(*preds)
+            if len(preds) > 1
+            else (F.col("predicate") == preds[0])
+        )
+    pred_cols = [F.col("predicate")] if p_var else []
     if encoded and "subject_id" in df.columns:
         # pre-encoded store (build_triples_store): ids were computed
         # once at ingest; column pruning drops the string columns so
@@ -73,14 +83,16 @@ def _pattern_frame(
         df = df.select(
             F.col("subject_id").alias("subject"),
             F.col("object_id").alias("object"),
+            *pred_cols,
         )
     elif encoded:
         df = df.select(
             F.xxhash64("subject").alias("subject"),
             F.xxhash64("object").alias("object"),
+            *pred_cols,
         )
     else:
-        df = df.select("subject", "object")
+        df = df.select("subject", "object", *pred_cols)
     if mod:
         from rdf_mapreduce_joins_spark.operators.graph import transitive_closure
 
@@ -106,6 +118,8 @@ def _pattern_frame(
     cols = []
     if s.startswith("?"):
         cols.append(F.col("subject").alias(s[1:]))
+    if p_var:
+        cols.append(F.col("predicate").alias(preds[0][1:]))
     if o.startswith("?"):
         cols.append(F.col("object").alias(o[1:]))
     if not cols:
@@ -237,6 +251,24 @@ def dictionary_collisions(dictionary: DataFrame) -> int:
     )
 
 
+def _predicate_vars(q: ParsedQuery) -> set[str]:
+    """Column names bound by variable-predicate patterns anywhere in
+    the query (these carry predicate names, not term ids)."""
+    names: set[str] = set()
+
+    def walk(g: _Group) -> None:
+        for _s, preds, _o, _mod in g.triples:
+            if preds[0].startswith("?"):
+                names.add(preds[0][1:])
+        for sub in (*g.optionals, *g.negations, *g.exists, *g.unions):
+            walk(sub)
+        for sq in g.subqueries:
+            walk(sq.where)
+
+    walk(q.where)
+    return names
+
+
 def _needs_strings(q: ParsedQuery) -> bool:
     """True when the query touches term VALUES as strings mid-plan —
     FILTER/VALUES anywhere, or MIN/MAX aggregates — forcing the
@@ -328,8 +360,12 @@ def _run_parsed(
     enc = encoded and not _needs_strings(q)
     if enc and dictionary is None:
         dictionary = term_dictionary(triples)
+    pvars = _predicate_vars(q)
 
     def decode(df: DataFrame, cols: list[str]) -> DataFrame:
+        # predicate vars bind NAMES (strings) even on the encoded
+        # path — only endpoint id columns go through the dictionary
+        cols = [c for c in cols if c not in pvars]
         return _decode_cols(df, dictionary, cols) if enc else df
 
     if q.aggs:

@@ -353,8 +353,14 @@ def property_table(
 @dataclass(frozen=True)
 class Pattern:
     """A triple pattern: ``?var`` marks variables, anything else is a
-    constant. Predicate must be a constant (all reference queries bind
-    it — SPARQL variable predicates are out of scope, SURVEY.md §2.3).
+    constant. The predicate may itself be a variable (``?p``) — the
+    SP2Bench Q9 "predicate survey" shape: the pattern then matches
+    every unpivot branch (optionally pruned by ``s_table`` /
+    ``o_table``) and binds the predicate name. Variable-predicate
+    patterns run on the STRING path only (their object domain mixes
+    FK IRIs and literals, which can't share one int64 encoding), so
+    ``bgp()`` downgrades ``encoded`` when one appears; they cannot
+    carry path modifiers or alternation.
 
     ``s_table`` optionally restricts the subject to one unpivot branch
     (the SPARQL ``?x rdf:type <Class>`` analog). This prunes unrelated
@@ -390,14 +396,30 @@ class Pattern:
     s_table: str | None = None
     mod: str = ""
     alts: tuple[str, ...] = ()
+    # Object-type restriction, only meaningful on variable-predicate
+    # patterns (``?s ?p ?o . ?o a <table>``): prunes the branch union
+    # to FK predicates targeting that table at plan-build time. For
+    # constant predicates the object type is implied by the spec.
+    o_table: str | None = None
 
     @property
     def preds(self) -> tuple[str, ...]:
         return (self.p, *self.alts)
 
+    @property
+    def p_is_var(self) -> bool:
+        return self.p.startswith("?")
+
     def __post_init__(self) -> None:
         if self.mod not in ("", "+", "*", "?"):
             raise ValueError(f"unknown path modifier {self.mod!r}")
+        if self.p_is_var:
+            if self.mod or self.alts:
+                raise ValueError(
+                    "a variable predicate cannot carry path modifiers "
+                    "or alternation"
+                )
+            return
         if self.alts:
             kinds = {_obj_is_fk(p, None) for p in self.preds}
             if len(kinds) > 1:
@@ -427,9 +449,61 @@ def _is_var(term: str) -> bool:
     return term.startswith("?")
 
 
+def _varpred_specs(pat: Pattern) -> list[PredSpec]:
+    """The unpivot branches a variable-predicate pattern can match,
+    after plan-build-time pruning by subject type (``s_table``) and
+    object type (``o_table`` → only FK branches targeting that
+    table)."""
+    specs = [
+        sp
+        for sp in PRED_SPECS
+        if (pat.s_table is None or sp.table == pat.s_table)
+        and (
+            pat.o_table is None
+            or (sp.obj_prefix is not None and sp.obj_prefix.rstrip("/") == pat.o_table)
+        )
+    ]
+    if not specs:
+        raise ValueError(
+            f"variable predicate matches no branch for subject table "
+            f"{pat.s_table!r} / object table {pat.o_table!r}"
+        )
+    return specs
+
+
+def _varpred_df(spark: SparkSession, sf_dir: str, pat: Pattern) -> DataFrame:
+    """A variable-predicate pattern's frame: the (pruned) triples view
+    with the predicate name as a bindable column. String path — see
+    the Pattern docstring."""
+    specs = _varpred_specs(pat)
+    dfs = [
+        spec_df(spark, sf_dir, sp).select(
+            "subject", F.lit(sp.pred).alias("predicate"), "object"
+        )
+        for sp in specs
+    ]
+    df = dfs[0]
+    for d in dfs[1:]:
+        df = df.unionByName(d)
+    if not _is_var(pat.s):
+        df = df.filter(F.col("subject") == F.lit(pat.s))
+    if not _is_var(pat.o):
+        df = df.filter(F.col("object") == F.lit(pat.o))
+    cols = []
+    if _is_var(pat.s):
+        cols.append(F.col("subject").alias(pat.s[1:]))
+    cols.append(F.col("predicate").alias(pat.p[1:]))
+    if _is_var(pat.o):
+        cols.append(F.col("object").alias(pat.o[1:]))
+    return df.select(*cols)
+
+
 def _pattern_df(
     spark: SparkSession, sf_dir: str, pat: Pattern, encoded: bool = False
 ) -> DataFrame:
+    if pat.p_is_var:
+        assert not encoded, "variable predicates require the string path"
+        return _varpred_df(spark, sf_dir, pat)
     df = pred_df(spark, sf_dir, pat.p, table=pat.s_table, encoded=encoded)
     for alt in pat.alts:
         # p1|p2 alternation: bag union of the per-predicate edge sets —
@@ -480,9 +554,12 @@ def _pattern_df(
 def _var_kinds(
     groups: list[list[Pattern]],
 ) -> dict[str, tuple[str, frozenset[str]]]:
-    """Per variable: ('id'|'str', possible tables). Subjects are always
-    ids, objects per the predicate's spec; a variable must be one kind
-    everywhere it appears (asserted across all groups).
+    """Per variable: ('id'|'str'|'any', possible tables). Subjects are
+    always ids, objects per the predicate's spec; a variable must be
+    one kind everywhere it appears (asserted across all groups).
+    ``any`` is the object of a variable-predicate pattern (its domain
+    mixes FK IRIs and literals) — it unifies with either kind and
+    carries no table information.
 
     Table domains respect binding semantics. A variable bound in the
     required group (``groups[0]``) takes the intersection of its
@@ -507,14 +584,30 @@ def _var_kinds(
             name = var[1:]
             if name in g:
                 k0, t0 = g[name]
-                assert k0 == kind, f"variable ?{name} is both id and literal"
-                tables = t0 & tables if kind == "id" else t0
+                if k0 == kind:
+                    tables = t0 & tables if kind == "id" else t0
+                elif "any" in (k0, kind):
+                    # 'any' defers to the specific kind's info
+                    if kind == "any":
+                        kind, tables = k0, t0
+                else:
+                    raise AssertionError(
+                        f"variable ?{name} is both id and literal"
+                    )
                 assert (
-                    kind == "str" or tables
+                    kind != "id" or tables
                 ), f"variable ?{name} has no possible table"
             g[name] = (kind, tables)
 
         for pat in group:
+            if pat.p_is_var:
+                specs = _varpred_specs(pat)
+                if _is_var(pat.s):
+                    put(pat.s, "id", frozenset(s.table for s in specs))
+                put(pat.p, "str", frozenset())
+                if _is_var(pat.o):
+                    put(pat.o, "any", frozenset())
+                continue
             specs = [
                 s
                 for s in PRED_SPECS
@@ -541,8 +634,14 @@ def _var_kinds(
                 kinds[name] = (kind, tables)
                 continue
             k0, t0 = kinds[name]
-            assert k0 == kind, f"variable ?{name} is both id and literal"
-            if name in required or kind == "str":
+            if k0 != kind:
+                assert "any" in (k0, kind), (
+                    f"variable ?{name} is both id and literal"
+                )
+                if k0 == "any":  # upgrade to the specific kind
+                    kinds[name] = (kind, tables)
+                continue
+            if name in required or kind != "id":
                 continue  # required-group domain is authoritative
             t = t0 & tables
             assert t, f"variable ?{name} has no possible table"
@@ -573,11 +672,18 @@ def _infer_s_tables(groups: list[list[Pattern]]) -> list[list[Pattern]]:
                 _kind, tabs = kinds.get(p.s[1:], ("str", frozenset()))
                 if len(tabs) == 1:
                     (t,) = tabs
-                    if all(
+                    if p.p_is_var or all(
                         any(sp.table == t and sp.pred == pr for sp in PRED_SPECS)
                         for pr in p.preds
                     ):
                         p = replace(p, s_table=t)
+            if p.p_is_var and _is_var(p.o) and p.o_table is None:
+                # An id-typed object var pins the variable-predicate
+                # pattern to FK branches targeting its table — the
+                # object-side analog of subject-table inference.
+                kind, tabs = kinds.get(p.o[1:], ("str", frozenset()))
+                if kind == "id" and len(tabs) == 1:
+                    p = replace(p, o_table=next(iter(tabs)))
             out.append(p)
         return out
 
@@ -656,6 +762,15 @@ def bgp(
         return out_
 
     opt_g, neg_g, exi_g = _norm(optional), _norm(negation), _norm(exists)
+    if encoded and any(
+        p.p_is_var
+        for grp in [patterns, *(p for p, _ in opt_g + neg_g + exi_g)]
+        for p in grp
+    ):
+        # Variable predicates bind mixed FK-IRI/literal objects — no
+        # shared int64 representation exists, so the whole group runs
+        # on the string path (see Pattern docstring).
+        encoded = False
     n_opt, n_neg = len(opt_g), len(neg_g)
     refined = _infer_s_tables(
         [patterns, *(p for p, _ in opt_g), *(p for p, _ in neg_g), *(p for p, _ in exi_g)]

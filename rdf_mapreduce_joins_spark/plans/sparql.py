@@ -84,8 +84,15 @@ need, SURVEY.md §2.3 J1-J9):
   solution, unioned, deduped into a (subject, predicate, object)
   graph frame; free output vocabulary).
 
+* **variable predicates** ``?s ?p ?o`` (SP2Bench Q9/Q10's predicate
+  survey): the pattern matches every unpivot branch with the predicate
+  name bound; type constraints on the subject or object prune the
+  branch union at plan-build time. Forces the string path (the mixed
+  FK-IRI/literal object domain has no single int64 encoding); a
+  variable predicate cannot appear inside a property path.
+
 Out of scope, rejected with errors (as in the reference, SURVEY §2.3):
-variable predicates, ``|`` after a ``/`` sequence without parentheses
+``|`` after a ``/`` sequence without parentheses
 (precedence trap — the error names the rewrite), mixed forward/inverse
 alternation, MIN/MAX over IRI-valued variables, named graphs, negated
 property sets ``!(...)``. SUM/AVG aggregate the vocabulary's numeric
@@ -708,6 +715,17 @@ class _Parser:
         if self.peek() == "a" and not (self.peek(1) in ("/", "+", "*", "|")):
             self.next()
             return "a"
+        if self.peek().startswith("?"):
+            # Variable predicate (SP2Bench Q9 shape): a bare ?var in
+            # predicate position. It matches every predicate, so path
+            # operators on it are meaningless — reject composition.
+            var = self.next()
+            if self.peek() in ("/", "|", "+", "*", "?", "^"):
+                raise SparqlUnsupportedError(
+                    "a variable predicate cannot appear inside a "
+                    "property path"
+                )
+            return [((var,), False, "")]
         steps: list[tuple[tuple[str, ...], bool, str]] = []
         while True:
             steps.append(self._parse_path_step())
@@ -896,7 +914,18 @@ def parse_sparql(text: str, validate_vocab: bool = True) -> ParsedQuery:
 
 def _patterns(g: _Group, types: dict[str, str]) -> list[Pattern]:
     return [
-        Pattern(s, preds[0], o, s_table=types.get(s), mod=mod, alts=preds[1:])
+        Pattern(
+            s,
+            preds[0],
+            o,
+            s_table=types.get(s),
+            mod=mod,
+            alts=preds[1:],
+            # `?o a <t>` restricts a variable-predicate pattern's
+            # branches to FKs targeting t (constant predicates imply
+            # their object type already).
+            o_table=types.get(o) if preds[0].startswith("?") else None,
+        )
         for s, preds, o, mod in g.triples
     ]
 
@@ -1051,6 +1080,8 @@ def _compile_group_inner(
         kinds.get(v[1:], ("str",))[0] == "id"
         for _, _sql, vs in all_filter_tuples
         for v in vs
+    ) and not any(
+        p.p_is_var for grp in [pats, *opt, *neg, *exi] for p in grp
     )
     # Subqueries produce DECODED string frames (each runs its own full
     # projection), so the outer group joins them on strings.
@@ -1731,3 +1762,75 @@ def rdf_sparql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     DESCRIBE) from query text. The oracle derives the same triple set
     from the shared triples-view SQL rendering."""
     return sparql(spark, sf_dir, "DESCRIBE <nation/3>")
+
+
+@query(
+    "rdf_variable_predicate",
+    oracle="""
+    SELECT DISTINCT predicate FROM (
+        SELECT 'customer' AS predicate FROM orders
+        UNION ALL SELECT 'name' FROM customer
+        UNION ALL SELECT 'nation' FROM customer
+        UNION ALL SELECT 'mktsegment' FROM customer
+        UNION ALL SELECT 'acctbal' FROM customer
+    ) p
+    ORDER BY predicate
+    """,
+)
+def rdf_variable_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable predicates — the faithful SP2Bench Q9 shape ("which
+    predicates connect to persons?"): a UNION of incoming and outgoing
+    edges around a typed variable, with the PREDICATE itself bound and
+    projected. The type constraints prune the branch union at
+    plan-build time (incoming: only FK branches targeting customer —
+    one scan of orders; outgoing: only customer's four predicates), so
+    "match any predicate" never means "scan every table". The oracle
+    enumerates the star-schema's edges independently. Runs on the
+    string path — a variable predicate's object domain mixes FK IRIs
+    and literals, which no single int64 encoding covers."""
+    return sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT DISTINCT ?predicate WHERE {
+          { ?c a <customer> . ?s ?predicate ?c }
+          UNION
+          { ?c a <customer> . ?c ?predicate ?o }
+        }
+        ORDER BY ?predicate
+        """,
+    )
+
+
+@query(
+    "rdf_variable_predicate_star",
+    oracle="""
+    SELECT predicate, object FROM (
+        SELECT 'name' AS predicate, s_name AS object
+        FROM supplier WHERE s_suppkey = 5
+        UNION ALL
+        SELECT 'nation', 'nation/' || s_nationkey
+        FROM supplier WHERE s_suppkey = 5
+        UNION ALL
+        SELECT 'acctbal', printf('%.2f', s_acctbal)
+        FROM supplier WHERE s_suppkey = 5
+        UNION ALL
+        SELECT 'manager', 'supplier/' || CAST(FLOOR(s_suppkey / 2) AS BIGINT)
+        FROM supplier WHERE s_suppkey >= 1 AND s_suppkey = 5
+    ) t
+    ORDER BY predicate NULLS LAST, object NULLS LAST
+    """,
+)
+def rdf_variable_predicate_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource introspection: ``<iri> ?p ?o`` — every outgoing edge
+    of one constant subject with the predicate bound (the
+    variable-predicate analog of a subject-star fetch; SP2Bench Q10's
+    sibling shape). The constant subject filters every unpivot branch
+    down to one key lookup; the oracle re-derives supplier 5's edge
+    list predicate by predicate."""
+    return sparql(
+        spark,
+        sf_dir,
+        "SELECT ?predicate ?object WHERE { <supplier/5> ?predicate ?object . }"
+        " ORDER BY ?predicate ?object",
+    )

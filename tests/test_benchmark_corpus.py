@@ -279,15 +279,18 @@ CORPUS: list[tuple[str, str, str, str]] = [
     ),
     (
         "sp2b_q9",
-        "UNION over incoming/outgoing edges, DISTINCT (person predicate survey)",
-        """SELECT DISTINCT ?n WHERE {
-             { ?c <nation> ?n . ?c a <customer> }
+        "variable-predicate survey: UNION of incoming/outgoing edges, "
+        "DISTINCT (the faithful Q9 — ?s ?predicate ?person)",
+        """SELECT DISTINCT ?predicate WHERE {
+             { ?c a <customer> . ?s ?predicate ?c }
              UNION
-             { ?n <region> <region/1> } }""",
-        """SELECT DISTINCT n FROM (
-             SELECT 'nation/' || c_nationkey AS n FROM customer
-             UNION ALL
-             SELECT 'nation/' || n_nationkey FROM nation WHERE n_regionkey = 1)""",
+             { ?c a <customer> . ?c ?predicate ?o } }""",
+        """SELECT DISTINCT predicate FROM (
+             SELECT 'customer' AS predicate FROM orders
+             UNION ALL SELECT 'name' FROM customer
+             UNION ALL SELECT 'nation' FROM customer
+             UNION ALL SELECT 'mktsegment' FROM customer
+             UNION ALL SELECT 'acctbal' FROM customer)""",
     ),
     (
         "sp2b_q10",

@@ -226,3 +226,26 @@ def test_generic_describe(spark, nt_triples):
     # both directions present: region/2's name triple + nations pointing at it
     assert any(s == "region/2" for s, _p, _o in got)
     assert any(o == "region/2" for _s, _p, o in got)
+
+
+@pytest.mark.parametrize("encoded", [False, True])
+def test_variable_predicate_generic(spark, nt_triples, encoded):
+    """Variable predicates over the generic frame: the predicate NAME
+    binds as a string column on BOTH paths (it is never hash-encoded),
+    and endpoint ids still decode through the dictionary."""
+    got = sorted(
+        tuple(r)
+        for r in sparql_triples(
+            nt_triples,
+            "SELECT DISTINCT ?p ?s WHERE { ?s ?p <nation/3> . }",
+            encoded=encoded,
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in nt_triples.filter(F.col("object") == "nation/3")
+        .select(F.col("predicate").alias("p"), F.col("subject").alias("s"))
+        .distinct()
+        .collect()
+    )
+    assert got == want and got

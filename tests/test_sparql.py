@@ -184,7 +184,6 @@ def test_type_constraint_prunes_union_branches(spark, sf_dir):
 
 
 PARSE_ERRORS = [
-    ("SELECT ?x WHERE { ?x ?p ?y . }", "variable predicates"),
     ("SELECT ?x WHERE { ?x <nosuchpred> ?y . }", "unknown predicate"),
     ("SELECT ?x WHERE { ?x a <nosuchtable> . }", "unknown class"),
     ("SELECT * WHERE { ?x <name> ?y . }", "SELECT [*] unsupported"),
@@ -860,3 +859,74 @@ def test_describe_var_form(spark, sf_dir):
 def test_describe_without_where_for_var_rejected():
     with pytest.raises(ValueError, match="WHERE"):
         S.parse_sparql("DESCRIBE ?x")
+
+
+# ------------------------------------------------------------------
+# Variable predicates (SP2Bench Q9/Q10 shape)
+# ------------------------------------------------------------------
+
+
+def test_variable_predicate_join_matches_duckdb(spark, sf_dir):
+    """Join THROUGH a variable predicate: ?x ?p ?n restricted by the
+    object's type/constraint — both FK branches targeting nation must
+    contribute, with the predicate name bound."""
+    import duckdb
+
+    got = rows(
+        S.sparql(
+            spark,
+            sf_dir,
+            """SELECT ?x ?p WHERE {
+                 ?x ?p ?n . ?n <name> "NATION_3" . }""",
+        )
+    )
+    con = duckdb.connect()
+    for t in ("customer", "supplier", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """SELECT 'customer/' || c_custkey, 'nation'
+               FROM customer JOIN nation ON c_nationkey = n_nationkey
+               WHERE n_name = 'NATION_3'
+               UNION ALL
+               SELECT 'supplier/' || s_suppkey, 'nation'
+               FROM supplier JOIN nation ON s_nationkey = n_nationkey
+               WHERE n_name = 'NATION_3'"""
+        ).fetchall()
+    )
+    con.close()
+    assert got == want and got
+
+
+def test_variable_predicate_type_prunes_branches(spark, sf_dir):
+    """`?c a <customer> . ?c ?p ?o` must scan ONLY customer parquet —
+    the subject type prunes every other unpivot branch at plan-build
+    time (match-any-predicate must not mean scan-every-table)."""
+    df = S.sparql(
+        spark, sf_dir, "SELECT ?p ?o WHERE { ?c a <customer> . ?c ?p ?o . }"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scans and all("customer.parquet" in ln for ln in scans), plan
+
+
+def test_variable_predicate_in_path_rejected():
+    with pytest.raises(S.SparqlUnsupportedError, match="variable predicate"):
+        S.parse_sparql("SELECT ?o WHERE { ?s <nation>/?p ?o . }")
+    with pytest.raises(S.SparqlUnsupportedError, match="variable predicate"):
+        S.parse_sparql("SELECT ?o WHERE { ?s ?p+ ?o . }")
+
+
+def test_variable_predicate_constant_subject(spark, sf_dir):
+    """<iri> ?p ?o — full outgoing-edge introspection of one node."""
+    got = rows(
+        S.sparql(
+            spark,
+            sf_dir,
+            "SELECT ?p ?o WHERE { <nation/3> ?p ?o . }",
+        )
+    )
+    assert got == [("name", "NATION_3"), ("region", f"region/{3 % 5}")] or (
+        ("name", "NATION_3") in got and len(got) == 2
+    )
