@@ -69,6 +69,9 @@ def _pattern_frame(
     p_var = preds[0].startswith("?")
     if p_var:
         df = triples  # matches every predicate; nothing to filter
+    elif preds[0] == "!":
+        # negated property set: any predicate NOT listed (unbound)
+        df = triples.filter(~F.col("predicate").isin(*preds[1:]))
     else:
         df = triples.filter(
             F.col("predicate").isin(*preds)

@@ -401,6 +401,12 @@ class Pattern:
     # to FK predicates targeting that table at plan-build time. For
     # constant predicates the object type is implied by the spec.
     o_table: str | None = None
+    # Negated property set (SPARQL ``!(<p1>|<p2>)``): the pattern
+    # matches any predicate NOT listed. Only meaningful with a
+    # variable predicate — the parser lowers ``!(...)`` to a fresh
+    # unprojected predicate variable carrying this exclusion, and the
+    # excluded branches drop from the union at plan-build time.
+    not_preds: tuple[str, ...] = ()
 
     @property
     def preds(self) -> tuple[str, ...]:
@@ -413,6 +419,10 @@ class Pattern:
     def __post_init__(self) -> None:
         if self.mod not in ("", "+", "*", "?"):
             raise ValueError(f"unknown path modifier {self.mod!r}")
+        if self.not_preds and not self.p_is_var:
+            raise ValueError(
+                "a negated property set needs a variable predicate"
+            )
         if self.p_is_var:
             if self.mod or self.alts:
                 raise ValueError(
@@ -462,11 +472,13 @@ def _varpred_specs(pat: Pattern) -> list[PredSpec]:
             pat.o_table is None
             or (sp.obj_prefix is not None and sp.obj_prefix.rstrip("/") == pat.o_table)
         )
+        and sp.pred not in pat.not_preds
     ]
     if not specs:
         raise ValueError(
             f"variable predicate matches no branch for subject table "
-            f"{pat.s_table!r} / object table {pat.o_table!r}"
+            f"{pat.s_table!r} / object table {pat.o_table!r} "
+            f"excluding {pat.not_preds!r}"
         )
     return specs
 

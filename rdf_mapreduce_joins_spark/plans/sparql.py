@@ -89,13 +89,17 @@ need, SURVEY.md §2.3 J1-J9):
   name bound; type constraints on the subject or object prune the
   branch union at plan-build time. Forces the string path (the mixed
   FK-IRI/literal object domain has no single int64 encoding); a
-  variable predicate cannot appear inside a property path.
+  variable predicate cannot appear inside a property path,
+* **negated property sets** ``!<p>`` / ``!(<p1>|<p2>)``: any edge
+  whose predicate is NOT listed — lowered to a fresh unprojected
+  predicate variable carrying the exclusion, so excluded branches
+  drop from the union at plan-build time (no inverse atoms inside
+  the set; no composition with other path operators).
 
 Out of scope, rejected with errors (as in the reference, SURVEY §2.3):
 ``|`` after a ``/`` sequence without parentheses
 (precedence trap — the error names the rewrite), mixed forward/inverse
-alternation, MIN/MAX over IRI-valued variables, named graphs, negated
-property sets ``!(...)``. SUM/AVG aggregate the vocabulary's numeric
+alternation, MIN/MAX over IRI-valued variables, named graphs. SUM/AVG aggregate the vocabulary's numeric
 literal predicates (acctbal, %.2f-pinned rendering) via an exact
 DECIMAL(18,2) parse — see ``_literal_agg``.
 
@@ -109,6 +113,7 @@ logical plan a hand-written ``bgp()`` call would.
 
 from __future__ import annotations
 
+import itertools
 import re
 from dataclasses import dataclass, field
 
@@ -218,9 +223,11 @@ class _Group:
 
     def all_vars_bound_here(self) -> set[str]:
         vs = set()
-        for s, _p, o, _mod in self.triples:
+        for s, preds, o, _mod in self.triples:
             if s.startswith("?"):
                 vs.add(s)
+            if preds[0].startswith("?"):
+                vs.add(preds[0])
             if o.startswith("?"):
                 vs.add(o)
         return vs
@@ -717,7 +724,7 @@ class _Parser:
             return "a"
         if self.peek().startswith("?"):
             # Variable predicate (SP2Bench Q9 shape): a bare ?var in
-            # predicate position. It matches every predicate, so path
+            # predicate position. It matches any predicate, so path
             # operators on it are meaningless — reject composition.
             var = self.next()
             if self.peek() in ("/", "|", "+", "*", "?", "^"):
@@ -726,6 +733,31 @@ class _Parser:
                     "property path"
                 )
             return [((var,), False, "")]
+        if self.peek() == "!":
+            # Negated property set !<p> / !(<p1>|<p2>): any edge whose
+            # predicate is NOT listed. Lowered downstream to a fresh
+            # unprojected predicate variable with the exclusion set,
+            # so it shares the variable-predicate machinery (branch
+            # pruning happens at plan-build time).
+            self.next()
+            if self.accept("("):
+                atoms = [self._parse_path_atom()]
+                while self.accept("|"):
+                    atoms.append(self._parse_path_atom())
+                self.expect(")")
+            else:
+                atoms = [self._parse_path_atom()]
+            if any(inv for _, inv in atoms):
+                raise SparqlUnsupportedError(
+                    "inverse (^) steps inside a negated property set "
+                    "are unsupported — split into a UNION"
+                )
+            if self.peek() in ("/", "|", "+", "*", "?"):
+                raise SparqlUnsupportedError(
+                    "a negated property set cannot compose with other "
+                    "path operators"
+                )
+            return [(("!", *[p for p, _ in atoms]), False, "")]
         steps: list[tuple[tuple[str, ...], bool, str]] = []
         while True:
             steps.append(self._parse_path_step())
@@ -912,22 +944,41 @@ def parse_sparql(text: str, validate_vocab: bool = True) -> ParsedQuery:
 # --------------------------------------------------------------------------
 
 
+_NEG_COUNTER = itertools.count()
+
+
 def _patterns(g: _Group, types: dict[str, str]) -> list[Pattern]:
-    return [
-        Pattern(
-            s,
-            preds[0],
-            o,
-            s_table=types.get(s),
-            mod=mod,
-            alts=preds[1:],
-            # `?o a <t>` restricts a variable-predicate pattern's
-            # branches to FKs targeting t (constant predicates imply
-            # their object type already).
-            o_table=types.get(o) if preds[0].startswith("?") else None,
+    out = []
+    for s, preds, o, mod in g.triples:
+        if preds[0] == "!":
+            # negated property set: a fresh (never-projected) predicate
+            # variable carrying the exclusion list
+            out.append(
+                Pattern(
+                    s,
+                    f"?__negp{next(_NEG_COUNTER)}",
+                    o,
+                    s_table=types.get(s),
+                    o_table=types.get(o),
+                    not_preds=preds[1:],
+                )
+            )
+            continue
+        out.append(
+            Pattern(
+                s,
+                preds[0],
+                o,
+                s_table=types.get(s),
+                mod=mod,
+                alts=preds[1:],
+                # `?o a <t>` restricts a variable-predicate pattern's
+                # branches to FKs targeting t (constant predicates imply
+                # their object type already).
+                o_table=types.get(o) if preds[0].startswith("?") else None,
+            )
         )
-        for s, preds, o, mod in g.triples
-    ]
+    return out
 
 
 def _rewrite_notbound(q: ParsedQuery) -> None:
@@ -1833,4 +1884,40 @@ def rdf_variable_predicate_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "SELECT ?predicate ?object WHERE { <supplier/5> ?predicate ?object . }"
         " ORDER BY ?predicate ?object",
+    )
+
+
+@query(
+    "rdf_negated_property_set",
+    oracle="""
+    SELECT s, o FROM (
+        SELECT 'supplier/' || s_suppkey AS s,
+               'nation/' || s_nationkey AS o
+        FROM supplier
+        UNION ALL
+        SELECT 'supplier/' || s_suppkey,
+               'supplier/' || CAST(FLOOR(s_suppkey / 2) AS BIGINT)
+        FROM supplier WHERE s_suppkey >= 1
+    ) t
+    ORDER BY s NULLS LAST, o NULLS LAST
+    """,
+)
+def rdf_negated_property_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negated property sets — ``!(<name>|<acctbal>)`` matches every
+    edge whose predicate is NOT listed (SPARQL 1.1 path negation).
+    Lowered to a fresh unprojected predicate variable carrying the
+    exclusion, so the excluded branches drop from the union at
+    plan-build time: for a supplier subject this scans only the
+    nation and manager branches, never name/acctbal. The oracle
+    enumerates the two surviving edge sets independently."""
+    return sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?s ?o WHERE {
+          ?s a <supplier> .
+          ?s !(<name>|<acctbal>) ?o .
+        }
+        ORDER BY ?s ?o
+        """,
     )

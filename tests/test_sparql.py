@@ -930,3 +930,41 @@ def test_variable_predicate_constant_subject(spark, sf_dir):
     assert got == [("name", "NATION_3"), ("region", f"region/{3 % 5}")] or (
         ("name", "NATION_3") in got and len(got) == 2
     )
+
+
+def test_negated_property_set_complement(spark, sf_dir):
+    """!(<p>...) must be the exact complement of the positive set:
+    listed + negated edges of one subject = all its edges."""
+    allp = rows(
+        S.sparql(spark, sf_dir, "SELECT ?p ?o WHERE { <supplier/5> ?p ?o . }")
+    )
+    neg = rows(
+        S.sparql(
+            spark,
+            sf_dir,
+            "SELECT ?o WHERE { <supplier/5> !(<name>|<acctbal>) ?o . }",
+        )
+    )
+    pos = [(p, o) for p, o in allp if p in ("name", "acctbal")]
+    assert len(neg) + len(pos) == len(allp)
+    assert {o for (o,) in neg} == {o for p, o in allp if p not in ("name", "acctbal")}
+
+
+def test_negated_property_set_prunes_branches(spark, sf_dir):
+    """With a typed subject, the exclusion happens at plan-build time:
+    only the surviving branches' parquet files appear in the scan."""
+    df = S.sparql(
+        spark,
+        sf_dir,
+        "SELECT ?s ?o WHERE { ?s a <nation> . ?s !<region> ?o . }",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scans and all("nation.parquet" in ln for ln in scans), plan
+
+
+def test_negated_property_set_rejections():
+    with pytest.raises(S.SparqlUnsupportedError, match="inverse"):
+        S.parse_sparql("SELECT ?o WHERE { ?s !(^<name>) ?o . }")
+    with pytest.raises(S.SparqlUnsupportedError, match="compose"):
+        S.parse_sparql("SELECT ?o WHERE { ?s !<name>/<region> ?o . }")
