@@ -1135,3 +1135,151 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         _assign_expr(as_double_array("embedding"), cents).alias("cid")
     )
     return assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+@query(
+    "text_tfidf_topk",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents) t
+      WHERE token <> '' GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, token, score, rnk FROM (
+      SELECT tf.doc_id, tf.token,
+             ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6)
+                        DESC, tf.token
+             ) AS INTEGER) AS rnk
+      FROM tf JOIN df ON tf.token = df.token, n
+    ) s WHERE rnk <= 5
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term extraction (X4 family): top-5 characteristic terms
+    per document — the classic corpus-curation signal (document
+    keywords, topic drift detection). tf and df are exact integer
+    aggregates; N arrives as a 1-row broadcast; only the final
+    ``tf * ln(N/df)`` is float, rounded to 6 digits BEFORE ranking on
+    both engines so the top-k cut can't straddle a ULP.
+
+    Scale: the df join shuffles on token — stopword keys are hot, and
+    AQE skew-join splitting handles them (same posture as the n-gram
+    dedup family); the per-doc ranking reuses the doc_id partitioning
+    of the tf aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        spread(d)
+        .select("doc_id", F.explode(text.tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.round(
+        F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token"))
+    return (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "token", "score", "rnk")
+    )
+
+
+BM25_QUERY_TERMS = ("data", "model", "training")
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+@query(
+    "text_bm25_rank",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks WHERE token <> ''
+           GROUP BY doc_id),
+    stats AS (SELECT AVG(CAST(dl AS DOUBLE)) AS avgdl,
+                     COUNT(*) AS n_docs FROM dl),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks
+      WHERE token IN {BM25_QUERY_TERMS!r}
+      GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token)
+    SELECT doc_id, score FROM (
+      SELECT tf.doc_id,
+             ROUND(SUM(
+               ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                  + {BM25_B} * dl.dl / stats.avgdl))
+             ), 6) AS score
+      FROM tf
+      JOIN df ON tf.token = df.token
+      JOIN dl ON tf.doc_id = dl.doc_id, stats
+      GROUP BY tf.doc_id
+    ) s
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking (X4 family): score every document against
+    a fixed query-term set (k1=1.2, b=0.75) and return the top 20 —
+    the retrieval primitive behind dedup-aware data selection and
+    RAG-style corpus probes. Doc lengths and term/doc frequencies are
+    exact integers; avgdl and N ride one broadcast row; the only float
+    is the final per-(doc, term) BM25 contribution, summed per doc and
+    rounded to 6 before the (score desc, doc_id) cut.
+
+    Scale: the tf table is pre-filtered to the query terms at the
+    explode (tiny — |terms| keys), so the scoring join is a few hot
+    keys against the broadcast stats row and the per-doc length table;
+    TakeOrderedAndProject caps the output."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = spread(d).select(
+        "doc_id", F.explode(text.tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        F.log(
+            1
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * F.col("tf")
+        * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
