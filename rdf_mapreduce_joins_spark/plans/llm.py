@@ -1283,3 +1283,51 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(20)
     )
+
+
+SEARCH_TERMS = ("query", "window")
+
+
+@query(
+    "text_search_and",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS total_tf,
+           CAST(COUNT(DISTINCT token) AS BIGINT) AS n_terms
+    FROM (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents) t
+      WHERE token IN {SEARCH_TERMS!r}
+      GROUP BY doc_id, token
+    ) tf
+    GROUP BY doc_id
+    HAVING COUNT(DISTINCT token) = {len(SEARCH_TERMS)}
+    ORDER BY doc_id
+    """,
+)
+def text_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive keyword search: documents containing ALL the probe
+    terms, with total term frequency for ranking. AND-semantics is a
+    count-of-distinct-matched-terms equality over one aggregation —
+    no per-term self-joins. This inline form is the oracle-checked
+    semantics; operators/inverted_index.py persists the same posting
+    table bucket-partitioned so production probes prune partitions at
+    file listing (equivalence tested in test_operators.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        spread(d)
+        .select("doc_id", F.explode(text.tokens("text")).alias("token"))
+        .filter(F.col("token").isin(*SEARCH_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("total_tf"),
+            F.count_distinct("token").alias("n_terms"),
+        )
+        .filter(F.col("n_terms") == len(SEARCH_TERMS))
+        .orderBy("doc_id")
+    )

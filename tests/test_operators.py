@@ -442,3 +442,51 @@ def test_transitive_closure_long_chain_round_count(spark):
         [(i, i + 1) for i in range(100)], "src long, dst long"
     )
     assert transitive_closure(edges).count() == 101 * 100 // 2
+
+
+class TestInvertedIndex:
+    def test_indexed_matches_inline(self, spark, tmp_path):
+        from rdf_mapreduce_joins_spark.operators import inverted_index as ii
+        from rdf_mapreduce_joins_spark.sources.tables import load_table
+        import __spark_entry__ as entrymod
+
+        d = load_table(spark, "/root/testdata/sf0.001", "documents")
+        idx = str(tmp_path / "invidx")
+        ii.build_inverted_index(d, idx)
+        got = sorted(
+            tuple(r)
+            for r in ii.search_indexed(spark, idx, ["query", "window"]).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in entrymod.queries()["text_search_and"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        )
+        assert got == want and got
+
+    def test_or_mode_superset(self, spark, tmp_path):
+        from rdf_mapreduce_joins_spark.operators import inverted_index as ii
+        from rdf_mapreduce_joins_spark.sources.tables import load_table
+
+        d = load_table(spark, "/root/testdata/sf0.001", "documents")
+        idx = str(tmp_path / "invidx")
+        ii.build_inverted_index(d, idx)
+        both = {r.doc_id for r in ii.search_indexed(spark, idx, ["query", "window"]).collect()}
+        any_ = {r.doc_id for r in ii.search_indexed(spark, idx, ["query", "window"], mode="or").collect()}
+        assert both <= any_ and len(any_) > len(both)
+
+    def test_probe_prunes_partitions(self, spark, tmp_path):
+        """The probe must hit only the probe terms' bucket directories:
+        partition pruning at file listing, visible as PartitionFilters
+        in the scan and as a partition count < total buckets."""
+        from rdf_mapreduce_joins_spark.operators import inverted_index as ii
+        from rdf_mapreduce_joins_spark.sources.tables import load_table
+
+        d = load_table(spark, "/root/testdata/sf0.001", "documents")
+        idx = str(tmp_path / "invidx")
+        ii.build_inverted_index(d, idx)
+        df = ii.search_indexed(spark, idx, ["red"])
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        scan = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+        assert scan and "PartitionFilters" in scan[0] and "bucket" in scan[0], plan
