@@ -53,6 +53,7 @@ def _pattern_frame(
     o: str,
     mod: str,
     encoded: bool = False,
+    graph: str | None = None,
 ) -> DataFrame:
     """One triple pattern over the raw frame: predicate IN-filter,
     endpoint constant filters, closure/identity for path modifiers.
@@ -65,7 +66,29 @@ def _pattern_frame(
     A variable predicate (``?s ?p ?o``) skips the predicate filter and
     binds the predicate NAME as a string column — predicates are
     filter constants everywhere else, so they are never hash-encoded,
-    and a bound predicate var needs no dictionary decode."""
+    and a bound predicate var needs no dictionary decode.
+
+    ``graph`` scopes the pattern on a QUAD frame (a ``graph`` column):
+    ``None`` matches the default graph (rows with NULL graph — the RDF
+    dataset model's unnamed graph), a constant IRI filters to that
+    named graph, and a ``?var`` binds the graph name as a string
+    column (like predicate vars, graph names never hash-encode). On a
+    plain triples frame (no graph column) ``graph`` must be None."""
+    has_graph = "graph" in triples.columns
+    if graph is not None and not has_graph:
+        raise SparqlUnsupportedError(
+            "GRAPH needs a quad frame with a 'graph' column — this "
+            "frame has only (subject, predicate, object)"
+        )
+    g_var: str | None = None
+    if has_graph:
+        if graph is None:
+            triples = triples.filter(F.col("graph").isNull())
+        elif graph.startswith("?"):
+            g_var = graph[1:]
+            triples = triples.filter(F.col("graph").isNotNull())
+        else:
+            triples = triples.filter(F.col("graph") == graph)
     p_var = preds[0].startswith("?")
     if p_var:
         df = triples  # matches every predicate; nothing to filter
@@ -78,7 +101,9 @@ def _pattern_frame(
             if len(preds) > 1
             else (F.col("predicate") == preds[0])
         )
-    pred_cols = [F.col("predicate")] if p_var else []
+    extra_cols = ([F.col("predicate")] if p_var else []) + (
+        [F.col("graph")] if g_var else []
+    )
     if encoded and "subject_id" in df.columns:
         # pre-encoded store (build_triples_store): ids were computed
         # once at ingest; column pruning drops the string columns so
@@ -86,16 +111,22 @@ def _pattern_frame(
         df = df.select(
             F.col("subject_id").alias("subject"),
             F.col("object_id").alias("object"),
-            *pred_cols,
+            *extra_cols,
         )
     elif encoded:
         df = df.select(
             F.xxhash64("subject").alias("subject"),
             F.xxhash64("object").alias("object"),
-            *pred_cols,
+            *extra_cols,
         )
     else:
-        df = df.select("subject", "object", *pred_cols)
+        df = df.select("subject", "object", *extra_cols)
+    if mod and g_var:
+        raise SparqlUnsupportedError(
+            "path modifiers inside GRAPH ?var are unsupported — the "
+            "closure would need to run per graph; bind the graph "
+            "constant instead"
+        )
     if mod:
         from rdf_mapreduce_joins_spark.operators.graph import transitive_closure
 
@@ -125,13 +156,19 @@ def _pattern_frame(
         cols.append(F.col("predicate").alias(preds[0][1:]))
     if o.startswith("?"):
         cols.append(F.col("object").alias(o[1:]))
+    if g_var:
+        cols.append(F.col("graph").alias(g_var))
     if not cols:
         cols = [F.lit(1).alias("_exists")]
     return df.select(*cols)
 
 
 def _join_group(
-    triples: DataFrame, g: _Group, types: dict[str, str], encoded: bool = False
+    triples: DataFrame,
+    g: _Group,
+    types: dict[str, str],
+    encoded: bool = False,
+    graph: str | None = None,
 ) -> DataFrame:
     pats = list(g.triples)
     # ?x a <C> type constraints become rdf:type patterns at data level
@@ -141,7 +178,7 @@ def _join_group(
         raise SparqlUnsupportedError("group needs at least one triple pattern")
     out: DataFrame | None = None
     for s, preds, o, mod in pats:
-        df = _pattern_frame(triples, s, preds, o, mod, encoded=encoded)
+        df = _pattern_frame(triples, s, preds, o, mod, encoded=encoded, graph=graph)
         if out is None:
             out = df
         else:
@@ -164,7 +201,24 @@ def _compile(
         )
     from rdf_mapreduce_joins_spark.plans.sparql import _sub_group_filters
 
-    out = _join_group(triples, g, q.types, encoded=encoded)
+    # default-graph patterns (plus data-level rdf:type constraints),
+    # then one frame per GRAPH block, inner-joined on shared variables
+    # (a shared ?g graph variable joins blocks across the same graph).
+    frames: list[DataFrame] = []
+    if g.triples or q.types:
+        frames.append(_join_group(triples, g, q.types, encoded=encoded))
+    for gterm, sub in g.graphs:
+        frames.append(_join_group(triples, sub, {}, encoded=encoded, graph=gterm))
+    if not frames:
+        raise SparqlUnsupportedError("group needs at least one triple pattern")
+    out = frames[0]
+    for fdf in frames[1:]:
+        shared = [c for c in fdf.columns if c in out.columns]
+        if not shared:
+            raise SparqlUnsupportedError(
+                "GRAPH block shares no variable with the rest of the group"
+            )
+        out = out.join(fdf, on=shared, how="inner")
     for sub, how in (
         *[(x, "left") for x in g.optionals],
         *[(x, "left_anti") for x in g.negations],
@@ -255,14 +309,20 @@ def dictionary_collisions(dictionary: DataFrame) -> int:
 
 
 def _predicate_vars(q: ParsedQuery) -> set[str]:
-    """Column names bound by variable-predicate patterns anywhere in
-    the query (these carry predicate names, not term ids)."""
+    """Column names bound by variable-predicate patterns or GRAPH
+    variables anywhere in the query — these carry predicate/graph
+    NAMES (strings), never hash-encoded term ids, so they are excluded
+    from dictionary decode."""
     names: set[str] = set()
 
     def walk(g: _Group) -> None:
         for _s, preds, _o, _mod in g.triples:
             if preds[0].startswith("?"):
                 names.add(preds[0][1:])
+        for gterm, sub in g.graphs:
+            if gterm.startswith("?"):
+                names.add(gterm[1:])
+            walk(sub)
         for sub in (*g.optionals, *g.negations, *g.exists, *g.unions):
             walk(sub)
         for sq in g.subqueries:
@@ -333,6 +393,34 @@ def sparql_triples(
     in the join hot loop."""
     q = parse_sparql(text, validate_vocab=False)
     return _run_parsed(triples, q, encoded=encoded, dictionary=dictionary)
+
+
+def sparql_quads(
+    quads: DataFrame,
+    text: str,
+    encoded: bool = False,
+    dictionary: DataFrame | None = None,
+) -> DataFrame:
+    """SPARQL over an RDF DATASET: a quad frame with a ``graph``
+    column alongside (subject, predicate, object). Graph semantics
+    follow the SPARQL dataset model:
+
+    * patterns outside GRAPH match the default graph — rows whose
+      ``graph`` is NULL,
+    * ``GRAPH <iri> { ... }`` scopes its patterns to that named graph
+      (a partition-prunable filter when the store is written
+      partitioned by graph),
+    * ``GRAPH ?g { ... }`` iterates the named graphs, binding ?g — a
+      string column, shared across blocks to join within one graph.
+
+    Everything else (paths, FILTER, OPTIONAL/MINUS/EXISTS, aggregates,
+    the xxhash64-encoded join path) is inherited from
+    :func:`sparql_triples`; graph names, like predicate names, are
+    never hash-encoded."""
+    if "graph" not in quads.columns:
+        raise ValueError("sparql_quads needs a 'graph' column (nullable)")
+    q = parse_sparql(text, validate_vocab=False)
+    return _run_parsed(quads, q, encoded=encoded, dictionary=dictionary)
 
 
 def _run_parsed(

@@ -96,10 +96,17 @@ need, SURVEY.md §2.3 J1-J9):
   drop from the union at plan-build time (no inverse atoms inside
   the set; no composition with other path operators).
 
+* **named graphs** ``GRAPH <iri>/{?var} { triples }`` — on the
+  GENERIC executor only (``generic_rdf.sparql_quads`` over a quad
+  frame; the star-schema triples view has no graph dimension, so this
+  compiler rejects GRAPH with a pointer there). Default-group
+  patterns match the NULL-graph rows (the dataset model's default
+  graph); ``GRAPH ?g`` binds the graph name as a string column.
+
 Out of scope, rejected with errors (as in the reference, SURVEY §2.3):
 ``|`` after a ``/`` sequence without parentheses
 (precedence trap — the error names the rewrite), mixed forward/inverse
-alternation, MIN/MAX over IRI-valued variables, named graphs. SUM/AVG aggregate the vocabulary's numeric
+alternation, MIN/MAX over IRI-valued variables. SUM/AVG aggregate the vocabulary's numeric
 literal predicates (acctbal, %.2f-pinned rendering) via an exact
 DECIMAL(18,2) parse — see ``_literal_agg``.
 
@@ -220,6 +227,10 @@ class _Group:
     binds: list[tuple[str, tuple]] = field(default_factory=list)
     # { SELECT ... } subqueries, joined on shared variables
     subqueries: list["ParsedQuery"] = field(default_factory=list)
+    # GRAPH <iri>/{?var} { triples } blocks: (graph term, triples-only
+    # sub-group). Executable only over a quad frame (generic executor);
+    # the star-schema compiler rejects them (no graph dimension).
+    graphs: list[tuple[str, "_Group"]] = field(default_factory=list)
 
     def all_vars_bound_here(self) -> set[str]:
         vs = set()
@@ -230,6 +241,10 @@ class _Group:
                 vs.add(preds[0])
             if o.startswith("?"):
                 vs.add(o)
+        for gterm, sub in self.graphs:
+            if gterm.startswith("?"):
+                vs.add(gterm)
+            vs |= sub.all_vars_bound_here()
         return vs
 
 
@@ -267,6 +282,7 @@ class _Parser:
         self.types: dict[str, str] = {}
         self.prefixes: dict[str, str] = {}
         self._fresh = 0
+        self._graph_depth = 0
 
     def _expand_pname(self, tok: str) -> str:
         """``p:local`` → declared-base + local (SPARQL prefixed name).
@@ -595,6 +611,30 @@ class _Parser:
             elif tok == "MINUS":
                 self.next()
                 g.negations.append(self.parse_group())
+            elif tok == "GRAPH":
+                self.next()
+                gterm = self.parse_term(position="graph")
+                self._graph_depth += 1
+                try:
+                    sub = self.parse_group()
+                finally:
+                    self._graph_depth -= 1
+                if (
+                    sub.optionals or sub.negations or sub.exists
+                    or sub.unions or sub.values or sub.values_multi
+                    or sub.binds or sub.subqueries or sub.graphs
+                    or sub.filters
+                ):
+                    raise SparqlUnsupportedError(
+                        "GRAPH blocks may contain only triple patterns"
+                    )
+                if not sub.triples:
+                    raise SparqlUnsupportedError(
+                        "empty GRAPH block (type-only constraints are "
+                        "unsupported inside GRAPH — graph-scoped rdf:type "
+                        "should be written as an explicit triple)"
+                    )
+                g.graphs.append((gterm, sub))
             elif tok == "FILTER":
                 self.next()
                 if self.peek() == "NOT" and self.peek(1) == "EXISTS":
@@ -690,6 +730,11 @@ class _Parser:
             g.triples.append((a, preds, b, mod))
 
     def _record_type(self, s: str, o: str) -> None:
+        if self._graph_depth:
+            raise SparqlUnsupportedError(
+                "'a' type constraints are unsupported inside GRAPH blocks"
+                " — write the rdf:type triple explicitly"
+            )
         if not s.startswith("?"):
             raise SparqlUnsupportedError("type constraint needs a ?variable subject")
         if self.validate_vocab and o not in _KNOWN_TABLES:
@@ -1095,6 +1140,13 @@ def _compile_group_inner(
     select: list[str] | None,
     distinct: bool,
 ) -> tuple[DataFrame, dict, bool]:
+    if g.graphs:
+        raise SparqlUnsupportedError(
+            "GRAPH needs a quad frame — the star-schema triples view "
+            "has no graph dimension; run this query through "
+            "generic_rdf.sparql_quads over (graph, subject, predicate, "
+            "object) rows"
+        )
     pats = _patterns(g, q.types)
     if not pats:
         raise SparqlUnsupportedError("group needs at least one triple pattern")

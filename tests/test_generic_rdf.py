@@ -249,3 +249,91 @@ def test_variable_predicate_generic(spark, nt_triples, encoded):
         .collect()
     )
     assert got == want and got
+
+
+class TestNamedGraphs:
+    @pytest.fixture(scope="class")
+    def quads(self, spark):
+        """Quad frame: name triples → <g1>, nation triples → <g2>,
+        everything else in the default (NULL) graph."""
+        tri = triples(spark, "/root/testdata/sf0.001")
+        return tri.withColumn(
+            "graph",
+            F.when(F.col("predicate") == "name", "g1")
+            .when(F.col("predicate") == "nation", "g2")
+            .otherwise(F.lit(None)),
+        )
+
+    def test_constant_graph_scopes(self, quads):
+        from rdf_mapreduce_joins_spark.plans.generic_rdf import sparql_quads
+
+        in_g1 = sparql_quads(
+            quads, "SELECT ?s ?o WHERE { GRAPH <g1> { ?s <name> ?o . } }"
+        ).count()
+        in_g2 = sparql_quads(
+            quads, "SELECT ?s ?o WHERE { GRAPH <g2> { ?s <name> ?o . } }"
+        ).count()
+        assert in_g1 > 0 and in_g2 == 0
+
+    def test_default_graph_is_null_rows(self, quads):
+        from rdf_mapreduce_joins_spark.plans.generic_rdf import sparql_quads
+
+        # names live in g1, so the default graph has none
+        assert sparql_quads(quads, "SELECT ?s WHERE { ?s <name> ?o . }").count() == 0
+        n = sparql_quads(quads, "SELECT ?s WHERE { ?s <mktsegment> ?o . }").count()
+        assert n == quads.filter(
+            F.col("graph").isNull() & (F.col("predicate") == "mktsegment")
+        ).count()
+
+    def test_graph_variable_binds_and_joins(self, quads):
+        from rdf_mapreduce_joins_spark.plans.generic_rdf import sparql_quads
+
+        gs = sorted(
+            r.g
+            for r in sparql_quads(
+                quads, "SELECT DISTINCT ?g WHERE { GRAPH ?g { ?s ?p ?o . } }"
+            ).collect()
+        )
+        assert gs == ["g1", "g2"]
+        # default-group pattern joined with a graph block on ?s
+        joined = sparql_quads(
+            quads,
+            """SELECT ?s ?seg ?nm WHERE {
+                 ?s <mktsegment> ?seg . GRAPH <g1> { ?s <name> ?nm . } }""",
+        )
+        assert joined.count() == quads.filter(
+            F.col("predicate") == "mktsegment"
+        ).count()
+
+    def test_encoded_path_equivalence(self, quads):
+        from rdf_mapreduce_joins_spark.plans.generic_rdf import sparql_quads
+
+        q = "SELECT ?g ?s WHERE { GRAPH ?g { ?s <name> ?o . } }"
+        a = sorted(tuple(r) for r in sparql_quads(quads, q).collect())
+        b = sorted(tuple(r) for r in sparql_quads(quads, q, encoded=True).collect())
+        assert a == b and a
+
+    def test_star_compiler_rejects_graph(self, spark):
+        with pytest.raises(S.SparqlUnsupportedError, match="quad frame"):
+            S.sparql(
+                spark,
+                "/root/testdata/sf0.001",
+                "SELECT ?s WHERE { GRAPH <g> { ?s <name> ?o . } }",
+            )
+
+    def test_graph_block_structure_rejected(self):
+        with pytest.raises(S.SparqlUnsupportedError, match="triple patterns"):
+            S.parse_sparql(
+                "SELECT ?s WHERE { GRAPH <g> { ?s <name> ?o . FILTER(?o != \"x\") } }"
+            )
+        with pytest.raises(S.SparqlUnsupportedError, match="rdf:type"):
+            S.parse_sparql(
+                "SELECT ?s WHERE { GRAPH <g> { ?s a <customer> . } }"
+            )
+
+    def test_triples_frame_without_graph_rejected(self, spark):
+        from rdf_mapreduce_joins_spark.plans.generic_rdf import sparql_quads
+
+        tri = triples(spark, "/root/testdata/sf0.001")
+        with pytest.raises(ValueError, match="graph"):
+            sparql_quads(tri, "SELECT ?s WHERE { ?s <name> ?o . }")
