@@ -1,0 +1,207 @@
+"""N-Triples as a first-class Spark data source (SURVEY.md §2.1 S1/S3)
+via the PySpark 4 Python DataSource API:
+
+    spark.dataSource.register(NTriplesDataSource)
+    df = spark.read.format("ntriples").load("/data/dump.nt")
+    df.write.format("ntriples").mode("overwrite").save("/out")
+
+This is the INTEGRATION surface — the registered-format entry point a
+user expects of a real source, with source-level filter pushdown
+(``EqualTo`` on any of the three columns is applied while parsing, so
+non-matching lines never cross the Arrow boundary) and per-file read
+partitions. The PERFORMANCE path for bulk ingest remains
+``sources/ntriples.py::read_ntriples`` (JVM regex inside whole-stage
+codegen); this reader parses in Python and ships Arrow RecordBatches —
+measured fine for per-file streaming ingest, not for a 100 TB bulk
+scan, and the docstrings say so honestly.
+
+Scale posture: one InputPartition per file (a dump directory splits
+across executors; single giant files should be pre-split, as with any
+text format), batched Arrow transfer (no row-at-a-time pickling), and
+writer tasks emit one part-file each with driver-side commit.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import uuid
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    EqualTo,
+    Filter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+# Python mirror of sources/ntriples.py::_TRIPLE_RE (constructs chosen
+# to mean the same in Java and Python regex dialects).
+_TRIPLE_RE = re.compile(
+    r"^\s*"
+    r"(<[^>]*>|_:\S+)\s+"
+    r"(<[^>]*>)\s+"
+    r"(<[^>]*>|_:\S+|\"(?:[^\"\\]|\\.)*\"(?:@[A-Za-z0-9-]+|\^\^<[^>]*>)?)"
+    r"\s*\.\s*$"
+)
+_PLAIN_LITERAL_RE = re.compile(r'^"(?:[^"\\]|\\.)*"$')
+
+_COLS = ("subject", "predicate", "object")
+_BATCH_ROWS = 8192
+
+
+def _strip(term: str) -> str:
+    """`<x>` → x; plain `"lit"` → lit; blank nodes / suffixed literals
+    pass through (same semantics as ntriples.py::_strip_iri)."""
+    if term.startswith("<") and term.endswith(">"):
+        return term[1:-1]
+    if _PLAIN_LITERAL_RE.match(term):
+        return term[1:-1]
+    return term
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    path: str
+
+
+class NTriplesReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("ntriples source needs a path: .load('<path>')")
+        self.mode = options.get("mode", "permissive")
+        self.eq: dict[str, str] = {}
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Accept EqualTo on any triple column — applied during the
+        parse so filtered-out lines never reach Arrow. Everything else
+        is returned for Spark to evaluate post-scan."""
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute[0] in _COLS:
+                self.eq[f.attribute[0]] = f.value
+            else:
+                yield f
+
+    def partitions(self):
+        if os.path.isdir(self.path):
+            files = sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if not f.startswith(("_", "."))
+            )
+            if not files:
+                raise FileNotFoundError(f"no data files under {self.path}")
+            return [_FilePartition(p) for p in files]
+        return [_FilePartition(self.path)]
+
+    def read(self, partition: _FilePartition):
+        import pyarrow as pa
+
+        want = [self.eq.get(c) for c in _COLS]
+        rows: list[tuple[str, str, str]] = []
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                m = _TRIPLE_RE.match(line)
+                if not m:
+                    if self.mode == "fail" and line.strip() and not line.lstrip().startswith("#"):
+                        raise ValueError(f"bad N-Triples line: {line!r}")
+                    continue
+                triple = tuple(_strip(m.group(i)) for i in (1, 2, 3))
+                if any(w is not None and v != w for v, w in zip(triple, want)):
+                    continue
+                rows.append(triple)
+                if len(rows) >= _BATCH_ROWS:
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(c) for c in zip(*rows)], names=list(_COLS)
+                    )
+                    rows = []
+        if rows:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(c) for c in zip(*rows)], names=list(_COLS)
+            )
+
+
+@dataclass
+class _WroteFile(WriterCommitMessage):
+    path: str
+
+
+def _escape_literal(v: str) -> str:
+    return v.replace("\\", "\\\\").replace('"', '\\"')
+
+
+class NTriplesWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("ntriples sink needs a path: .save('<path>')")
+        self.iri_objects = options.get("iri_objects", "false").lower() == "true"
+        # Overwrite cleanup happens HERE (driver side, before tasks).
+        if overwrite and os.path.isdir(self.path):
+            for f in os.listdir(self.path):
+                if f.endswith(".nt"):
+                    os.remove(os.path.join(self.path, f))
+
+    def write(self, iterator) -> _WroteFile:
+        from pyspark import TaskContext
+
+        os.makedirs(self.path, exist_ok=True)
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        out = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex}.nt")
+        fh = None  # empty partitions produce NO file, not an empty one
+        try:
+            for row in iterator:
+                if fh is None:
+                    fh = open(out, "w", encoding="utf-8")
+                if self.iri_objects:
+                    obj = f"<{row[2]}>"
+                else:
+                    obj = f'"{_escape_literal(row[2])}"'
+                fh.write(f"<{row[0]}> <{row[1]}> {obj} .\n")
+        finally:
+            if fh is not None:
+                fh.close()
+        return _WroteFile(out if fh is not None else "")
+
+    def commit(self, messages) -> None:
+        pass  # files are final on task success
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.path and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class NTriplesDataSource(DataSource):
+    """``spark.read.format("ntriples")`` / ``df.write.format("ntriples")``.
+
+    Options: ``mode`` = permissive (default, drop bad lines) | fail;
+    ``iri_objects`` (writer) = wrap objects as IRIs instead of quoted
+    literals."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ntriples"
+
+    def schema(self) -> str:
+        return "subject string, predicate string, object string"
+
+    def reader(self, schema: StructType) -> NTriplesReader:
+        return NTriplesReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> NTriplesWriter:
+        return NTriplesWriter(self.options, overwrite)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the ntriples format. Also enables
+    Python-data-source filter pushdown (runtime-settable; off by
+    default in Spark 4) so the reader's pushFilters is honored."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(NTriplesDataSource)
