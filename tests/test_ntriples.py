@@ -54,3 +54,31 @@ def test_roundtrip_with_triples_view(spark, sf_dir, tmp_path):
     ntriples.write_ntriples(src, path, iri_objects=True)
     back = ntriples.read_ntriples(spark, path)
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in src.collect()}
+
+
+def test_streaming_ingest_matches_batch(spark, tmp_path):
+    """read_ntriples_stream over an availableNow replay must land the
+    exact batch-parse row set (same regex, same strip) — the
+    incremental-ingest path for a continuously-arriving RDF feed."""
+    from rdf_mapreduce_joins_spark.plans.rdf import triples
+    from rdf_mapreduce_joins_spark.sources.ntriples import (
+        read_ntriples,
+        read_ntriples_stream,
+        write_ntriples,
+    )
+
+    src = str(tmp_path / "feed")
+    write_ntriples(triples(spark, "/root/testdata/sf0.001"), src)
+    out = str(tmp_path / "landed")
+    q = (
+        read_ntriples_stream(spark, src)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, read_ntriples(spark, src).collect()))
+    assert got == want and got
