@@ -122,6 +122,51 @@ SHOWCASE = [
         "an N-Triples user runs; store partitioned by predicate and the "
         "per-pattern filters become partition pruning (plan-tested).",
     ),
+    (
+        "tpch_q6_forecast_revenue",
+        "TPC-H Q6, the pushdown benchmark: all three predicates reach the "
+        "parquet scan as PushedFilters, the plan is join-free, and the "
+        "only exchange is the 1-row final aggregation merge.",
+    ),
+    (
+        "tpch_q2_min_cost_supplier",
+        "TPC-H Q2's correlated MIN subquery lowered to a window over the "
+        "partkey partition: ONE hashpartitioning exchange instead of an "
+        "aggregate + join-back; supplier/nation/region broadcast.",
+    ),
+    (
+        "tpch_q21_waiting_supplier",
+        "TPC-H Q21's EXISTS / NOT EXISTS pair as one left-semi + one "
+        "left-anti self-join, both shuffled on orderkey so the three "
+        "lineitem passes share an exchange layout.",
+    ),
+    (
+        "tpch_q22_dormant_customers",
+        "Scalar-subquery threshold: the (sum, count) aggregate broadcasts "
+        "as a single-row nested-loop build side (the sanctioned BNLJ "
+        "shape); the dormancy NOT EXISTS is a left-anti against the "
+        "date-filtered orders scan.",
+    ),
+    (
+        "rdf_variable_predicate",
+        "Variable predicate ?s ?p ?c with typed endpoints: the branch "
+        "union is pruned at PLAN BUILD — the incoming-edge block scans "
+        "only orders.parquet, the outgoing block only customer.parquet; "
+        "match-any-predicate never means scan-every-table.",
+    ),
+    (
+        "text_tfidf_topk",
+        "TF-IDF: integer tf/df aggregates, 1-row broadcast N, the df join "
+        "shuffling on token (AQE skew-split owns the stopword keys), and "
+        "the per-doc top-5 rank rides the tf aggregate's doc_id "
+        "partitioning.",
+    ),
+    (
+        "text_bm25_rank",
+        "BM25: tf pre-filtered to the query terms AT THE EXPLODE, so the "
+        "scoring join touches a handful of hot keys against broadcast "
+        "stats; TakeOrderedAndProject caps the result at k.",
+    ),
 ]
 
 
