@@ -570,6 +570,37 @@ def build_triples_store(triples: DataFrame, path: str) -> None:
     term_dictionary(triples).write.mode("overwrite").parquet(f"{path}/dictionary")
 
 
+def build_quads_store(quads: DataFrame, path: str) -> None:
+    """Quad-store sibling of :func:`build_triples_store` for RDF
+    DATASETS: hive-partitioned by (graph, predicate) — a ``GRAPH
+    <iri>`` block prunes to one graph directory and each pattern's
+    predicate filter prunes inside it, both at file listing. Default-
+    graph rows (NULL graph) land in the hive null partition and read
+    back as NULL, so :func:`sparql_quads` default-graph semantics hold
+    unchanged against the store."""
+    enc = quads.select(
+        "graph",
+        "predicate",
+        "subject",
+        "object",
+        F.xxhash64("subject").alias("subject_id"),
+        F.xxhash64("object").alias("object_id"),
+    )
+    enc.write.mode("overwrite").partitionBy("graph", "predicate").parquet(
+        f"{path}/quads"
+    )
+    term_dictionary(quads).write.mode("overwrite").parquet(f"{path}/dictionary")
+
+
+def sparql_quads_indexed(spark, path: str, text: str) -> DataFrame:
+    """SPARQL over a persisted quad store (:func:`build_quads_store`):
+    graph + predicate partition pruning at file listing, pre-encoded
+    ids, on-disk dictionary."""
+    quads = spark.read.parquet(f"{path}/quads")
+    dictionary = spark.read.parquet(f"{path}/dictionary")
+    return sparql_quads(quads, text, encoded=True, dictionary=dictionary)
+
+
 def sparql_triples_indexed(spark, path: str, text: str) -> DataFrame:
     """Run SPARQL text against a persisted triples store
     (:func:`build_triples_store`): dictionary loaded from disk (no

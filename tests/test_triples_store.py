@@ -6,6 +6,9 @@ from __future__ import annotations
 
 import os
 
+import pytest
+from pyspark.sql import functions as F
+
 from rdf_mapreduce_joins_spark.plans import generic_rdf as G
 from rdf_mapreduce_joins_spark.plans.rdf import triples
 
@@ -85,3 +88,60 @@ def test_cached_store_rebuilds_when_source_newer(spark, sf_dir, monkeypatch, tmp
     os.utime(marker, (1, 1))
     G._store_path(spark, sf_dir)
     assert os.path.getmtime(marker) > 1
+
+
+class TestQuadsStore:
+    @pytest.fixture(scope="class")
+    def store(self, spark, tmp_path_factory):
+        from rdf_mapreduce_joins_spark.plans.generic_rdf import build_quads_store
+        from rdf_mapreduce_joins_spark.plans.rdf import triples
+
+        tri = triples(spark, "/root/testdata/sf0.001")
+        quads = tri.withColumn(
+            "graph",
+            F.when(F.col("predicate") == "name", "g1")
+            .when(F.col("predicate") == "nation", "g2")
+            .otherwise(F.lit(None)),
+        )
+        path = str(tmp_path_factory.mktemp("qstore") / "qs")
+        build_quads_store(quads, path)
+        return path, quads
+
+    def test_store_matches_inline(self, spark, store):
+        from rdf_mapreduce_joins_spark.plans.generic_rdf import (
+            sparql_quads,
+            sparql_quads_indexed,
+        )
+
+        path, quads = store
+        q = """SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s <name> ?o . } }"""
+        got = sorted(tuple(r) for r in sparql_quads_indexed(spark, path, q).collect())
+        want = sorted(tuple(r) for r in sparql_quads(quads, q).collect())
+        assert got == want and got
+
+    def test_default_graph_null_partition_round_trip(self, spark, store):
+        from rdf_mapreduce_joins_spark.plans.generic_rdf import (
+            sparql_quads,
+            sparql_quads_indexed,
+        )
+
+        path, quads = store
+        q = "SELECT ?s ?seg WHERE { ?s <mktsegment> ?seg . }"
+        got = sorted(tuple(r) for r in sparql_quads_indexed(spark, path, q).collect())
+        want = sorted(tuple(r) for r in sparql_quads(quads, q).collect())
+        assert got == want and got
+
+    def test_graph_partition_pruning(self, spark, store):
+        """A GRAPH <g1> block must prune to the g1 directory at file
+        listing: the scan's partition filters mention graph, and only
+        g1 files are read."""
+        from rdf_mapreduce_joins_spark.plans.generic_rdf import sparql_quads_indexed
+
+        path, _ = store
+        df = sparql_quads_indexed(
+            spark, path, "SELECT ?s ?o WHERE { GRAPH <g1> { ?s <name> ?o . } }"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+        assert scans and all("PartitionFilters" in ln for ln in scans), plan
+        assert "graph" in scans[0], plan
