@@ -709,3 +709,43 @@ def rdf_generic_triples_sparql(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         """,
     )
+
+
+@query(
+    "rdf_named_graph_join",
+    oracle="""
+    SELECT s, nm FROM (
+        SELECT 'customer/' || c_custkey AS s, n_name AS nm
+        FROM customer JOIN nation ON n_nationkey = c_nationkey
+        UNION ALL
+        SELECT 'supplier/' || s_suppkey, n_name
+        FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    ) t
+    ORDER BY s NULLS LAST, nm NULLS LAST
+    """,
+)
+def rdf_named_graph_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named graphs under the oracle gate: the star triples view is
+    split into an RDF dataset (<edges> holds the nation FKs, <labels>
+    the name literals, everything else in the default graph), and the
+    query joins ACROSS two GRAPH blocks on the shared ?n — the SPARQL
+    dataset model's cross-graph join. The oracle re-derives the same
+    relation from the base star schema independently of any triples
+    rendering."""
+    tri = triples(spark, sf_dir)
+    quads = tri.withColumn(
+        "graph",
+        F.when(F.col("predicate") == "nation", "edges")
+        .when(F.col("predicate") == "name", "labels")
+        .otherwise(F.lit(None)),
+    )
+    return sparql_quads(
+        quads,
+        """
+        SELECT ?s ?nm WHERE {
+          GRAPH <edges> { ?s <nation> ?n . }
+          GRAPH <labels> { ?n <name> ?nm . }
+        }
+        ORDER BY ?s ?nm
+        """,
+    )
