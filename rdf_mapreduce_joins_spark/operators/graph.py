@@ -60,3 +60,91 @@ def transitive_closure(
             break
         n = m
     return closure
+
+
+def degrees(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node in/out degree over a directed edge relation: one
+    union + one hash aggregation (partial+final), no joins. Nodes
+    appearing only as source have in_deg 0 and vice versa."""
+    out_ = edges.select(F.col(src).alias("node")).withColumn("is_out", F.lit(1))
+    in_ = edges.select(F.col(dst).alias("node")).withColumn("is_out", F.lit(0))
+    return (
+        out_.unionByName(in_)
+        .groupBy("node")
+        .agg(
+            F.sum("is_out").cast("bigint").alias("out_deg"),
+            F.sum(1 - F.col("is_out")).cast("bigint").alias("in_deg"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge relation.
+
+    Per round: one shuffle join rank⋈edges on src (contributions =
+    rank/out_deg), one aggregation on dst, plus the dangling-mass
+    redistribution (nodes with no out-edges) via a 1-row broadcast sum
+    — the standard scalable formulation; no driver-side state beyond
+    the iteration counter, ``localCheckpoint`` per round keeps lineage
+    O(1). Ranks sum to N (within float) every round.
+
+    Float summation order varies with partitioning, so results carry
+    round-off nondeterminism in the last ulps — callers rank/round
+    before comparing (declared rows-only in the query registry; tests
+    pin the invariants: mass conservation, dangling handling, and a
+    hand-computed small-graph fixture)."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(n_iter):
+        contribs = (
+            ranks.alias("r")
+            .join(out_deg.alias("d"), F.col("r.node") == F.col("d.src"))
+            .join(e.alias("g"), F.col("r.node") == F.col("g.src"))
+            .select(
+                F.col("g.dst").alias("node"),
+                (F.col("r.rank") / F.col("d.out_deg")).alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("in_mass"))
+        )
+        # dangling nodes (no out-edges) spread their rank uniformly
+        dangling = (
+            ranks.alias("r")
+            .join(out_deg.alias("d"), F.col("r.node") == F.col("d.src"), "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.col("dm") / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -1117,3 +1117,57 @@ def rdf_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         select=["?n", "?nname"],
         broadcast_idx={0},
     )
+
+
+_TRI_CTE = triples_sql()
+
+
+@query(
+    "rdf_degree_distribution",
+    oracle=f"""
+    WITH tri AS ({_TRI_CTE}),
+    outs AS (SELECT subject AS node, COUNT(*) AS c FROM tri GROUP BY subject),
+    ins  AS (SELECT object AS node, COUNT(*) AS c FROM tri GROUP BY object)
+    SELECT COALESCE(o.node, i.node) AS node,
+           CAST(COALESCE(o.c, 0) AS BIGINT) AS out_deg,
+           CAST(COALESCE(i.c, 0) AS BIGINT) AS in_deg
+    FROM outs o FULL JOIN ins i ON o.node = i.node
+    ORDER BY node
+    """,
+)
+def rdf_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-analytics surface: per-node in/out degree over the FULL
+    triples view (literals count as object nodes — same universe both
+    engines). One union + one hash aggregation, no joins
+    (operators/graph.py::degrees); the oracle is an independent
+    full-outer-join of per-side counts over the shared triples CTE."""
+    from rdf_mapreduce_joins_spark.operators.graph import degrees
+
+    tri = triples(spark, sf_dir)
+    return (
+        degrees(tri, src="subject", dst="object")
+        .select("node", "out_deg", "in_deg")
+        .orderBy("node")
+    )
+
+
+@query("rdf_pagerank")  # rows-only: float contributions, order-dependent ulps
+def rdf_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the FK-edge subgraph (IRI→IRI
+    edges only — nation/region/customer/supplier/order/manager FKs;
+    literal objects excluded so mass flows between entities). 10
+    rounds, damping 0.85; per round one shuffle join + one aggregation
+    + a 1-row dangling-mass broadcast (operators/graph.py::pagerank —
+    the scalable formulation, no driver-side state). Declared
+    rows-only: float summation order perturbs last ulps; tests pin
+    mass conservation and a hand-computed fixture."""
+    from rdf_mapreduce_joins_spark.operators.graph import pagerank
+
+    fk_preds = sorted(
+        {s.pred for s in PRED_SPECS if s.obj_prefix is not None}
+    )
+    edges = triples(spark, sf_dir, preds=fk_preds)
+    pr = pagerank(edges, n_iter=10, src="subject", dst="object")
+    return pr.select(
+        "node", F.round("rank", 4).alias("rank_r")
+    ).orderBy(F.col("rank_r").desc(), "node")

@@ -31,6 +31,7 @@ def test_oracle_keys_subset_of_queries():
         "similarity_topk_ivf",
         "similarity_knn_join_ivf",
         "dedup_retain_set_minhash",
+        "rdf_pagerank",
         "dedup_semantic_prune",
         "embedding_kmeans_clusters",
     }

@@ -490,3 +490,66 @@ class TestInvertedIndex:
         plan = df._jdf.queryExecution().executedPlan().toString()
         scan = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
         assert scan and "PartitionFilters" in scan[0] and "bucket" in scan[0], plan
+
+
+class TestGraphAnalytics:
+    def test_pagerank_hand_computed_triangle(self, spark):
+        """3-cycle a→b→c→a: symmetric, so every rank must equal 1.0
+        exactly at any iteration count (contributions are rank/1)."""
+        from rdf_mapreduce_joins_spark.operators.graph import pagerank
+
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+        )
+        ranks = {r.node: r.rank for r in pagerank(e, n_iter=5).collect()}
+        assert set(ranks) == {"a", "b", "c"}
+        for v in ranks.values():
+            assert abs(v - 1.0) < 1e-9
+
+    def test_pagerank_mass_conserved_with_dangling(self, spark):
+        """b is dangling (no out-edges): its mass must redistribute,
+        keeping sum(rank) == N within float tolerance."""
+        from rdf_mapreduce_joins_spark.operators.graph import pagerank
+
+        e = spark.createDataFrame(
+            [("a", "b"), ("c", "b"), ("c", "a")], "src string, dst string"
+        )
+        rows = pagerank(e, n_iter=10).collect()
+        total = sum(r.rank for r in rows)
+        assert abs(total - 3.0) < 1e-6
+        ranks = {r.node: r.rank for r in rows}
+        # b receives from two nodes — must outrank the others
+        assert ranks["b"] > ranks["a"] > 0 and ranks["c"] > 0
+
+    def test_pagerank_matches_reference_power_iteration(self, spark):
+        """Spark ranks equal a plain-Python power iteration on the
+        same graph and parameters (within float tolerance)."""
+        from rdf_mapreduce_joins_spark.operators.graph import pagerank
+
+        edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+        e = spark.createDataFrame(edges, "src string, dst string")
+        got = {r.node: r.rank for r in pagerank(e, n_iter=12).collect()}
+
+        nodes = sorted({x for p in edges for x in p})
+        out = {n: [d for s, d in edges if s == n] for n in nodes}
+        rank = {n: 1.0 for n in nodes}
+        for _ in range(12):
+            dm = sum(rank[n] for n in nodes if not out[n])
+            new = {}
+            for n in nodes:
+                in_mass = sum(
+                    rank[s] / len(out[s]) for s in nodes if n in out[s]
+                )
+                new[n] = 0.15 + 0.85 * (in_mass + dm / len(nodes))
+            rank = new
+        for n in nodes:
+            assert abs(got[n] - rank[n]) < 1e-9, (n, got[n], rank[n])
+
+    def test_degrees_counts(self, spark):
+        from rdf_mapreduce_joins_spark.operators.graph import degrees
+
+        e = spark.createDataFrame(
+            [("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string"
+        )
+        d = {r.node: (r.out_deg, r.in_deg) for r in degrees(e).collect()}
+        assert d == {"a": (2, 0), "b": (1, 1), "c": (0, 2)}
