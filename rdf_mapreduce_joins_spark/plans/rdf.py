@@ -1171,3 +1171,38 @@ def rdf_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         "node", F.round("rank", 4).alias("rank_r")
     ).orderBy(F.col("rank_r").desc(), "node")
+
+
+@query(
+    "rdf_triangle_count",
+    oracle=f"""
+    WITH tri AS ({_TRI_CTE}),
+    fk AS (
+        SELECT subject, object FROM tri
+        WHERE predicate IN ('nation', 'region', 'customer', 'order',
+                            'supplier', 'manager')
+    ),
+    canon AS (
+        SELECT DISTINCT LEAST(subject, object) AS lo,
+                        GREATEST(subject, object) AS hi
+        FROM fk WHERE subject <> object
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM canon e1
+    JOIN canon e2 ON e1.hi = e2.lo
+    WHERE EXISTS (SELECT 1 FROM canon e3
+                  WHERE e3.lo = e1.lo AND e3.hi = e2.hi)
+    """,
+)
+def rdf_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count over the undirected FK entity graph — an
+    integer graph-analytics oracle (unlike PageRank, no float
+    nondeterminism). The a<b<c orientation counts each triangle once
+    and bounds join fan-out by the ordered degree (hubs contribute
+    only higher-id neighbors — the scalable formulation); the oracle
+    is an independent DuckDB 3-way self-join with EXISTS closure."""
+    from rdf_mapreduce_joins_spark.operators.graph import triangle_count
+
+    fk_preds = sorted({s.pred for s in PRED_SPECS if s.obj_prefix is not None})
+    edges = triples(spark, sf_dir, preds=fk_preds)
+    return triangle_count(edges, src="subject", dst="object")

@@ -553,3 +553,21 @@ class TestGraphAnalytics:
         )
         d = {r.node: (r.out_deg, r.in_deg) for r in degrees(e).collect()}
         assert d == {"a": (2, 0), "b": (1, 1), "c": (0, 2)}
+
+    def test_triangle_count_known_graph(self, spark):
+        """K4 has 4 triangles; adding a pendant edge changes nothing;
+        direction and duplicate edges must not matter."""
+        from rdf_mapreduce_joins_spark.operators.graph import triangle_count
+
+        k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+        extra = [("d", "e"), ("b", "a"), ("a", "b")]  # pendant + dup + reverse
+        e = spark.createDataFrame(k4 + extra, "src string, dst string")
+        assert triangle_count(e).collect()[0].n_triangles == 4
+
+    def test_triangle_count_no_triangles(self, spark):
+        from rdf_mapreduce_joins_spark.operators.graph import triangle_count
+
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+        )
+        assert triangle_count(e).collect()[0].n_triangles == 0
