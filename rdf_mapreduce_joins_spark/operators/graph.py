@@ -1,4 +1,5 @@
-"""Graph operators: transitive closure over an edge relation.
+"""Graph operators over an edge relation: transitive closure,
+degrees, fixed-iteration PageRank, and exact triangle counting.
 
 The reference (SURVEY.md §2.3 [K]) executes fixed multi-hop join chains
 as one MapReduce job per hop; it has no *unbounded*-reachability
