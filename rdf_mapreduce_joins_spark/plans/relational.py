@@ -1281,3 +1281,78 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew handling under the oracle gate: the lineitem→supplier join
+    runs through operators/skew.py::salted_join — the fact side's hot
+    supplier keys spread over 8 salt sub-partitions, the dimension
+    side exploded once per salt (correctness-neutral by construction,
+    which is exactly what this oracle proves). This is the manual
+    fallback for single-hot-key joins AQE's skew split can't break up
+    (AQE splits partitions, not keys); the aggregation result is
+    bit-identical to the plain join's."""
+    from rdf_mapreduce_joins_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = salted_join(
+        li,
+        s.withColumnRenamed("s_suppkey", "l_suppkey"),
+        on=["l_suppkey"],
+        salt_buckets=8,
+        salt_from="l_quantity",
+    )
+    return (
+        joined.join(F.broadcast(n), joined.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query("agg_approx_percentiles")  # rows-only: sketch-approximate by design
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via Spark's built-in KLL-style sketch
+    (approx_percentile, accuracy 10000 ≈ 0.01% rank error) — the
+    sketch sibling of the exact agg_percentiles: at 100 TB the exact
+    form needs a full sort per group, the sketch is one pass with
+    O(accuracy) state, partial-merged map-side. Declared rows-only
+    (sketch output is implementation-defined); the test pins each
+    approximate value within rank-error bounds of the exact
+    percentile."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
+            ).alias("approx_p")
+        )
+        .select(
+            "l_returnflag",
+            F.col("approx_p")[0].alias("p50"),
+            F.col("approx_p")[1].alias("p95"),
+            F.col("approx_p")[2].alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )

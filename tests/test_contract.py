@@ -32,6 +32,7 @@ def test_oracle_keys_subset_of_queries():
         "similarity_knn_join_ivf",
         "dedup_retain_set_minhash",
         "rdf_pagerank",
+        "agg_approx_percentiles",
         "dedup_semantic_prune",
         "embedding_kmeans_clusters",
     }

@@ -571,3 +571,32 @@ class TestGraphAnalytics:
             [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
         )
         assert triangle_count(e).collect()[0].n_triangles == 0
+
+
+def test_approx_percentiles_within_rank_error(spark, sf_dir):
+    """Each sketch value must sit within a small rank window of the
+    exact percentile (accuracy=10000 → 1e-4 rank error; we allow 1%
+    rank slop at test sf where groups are small)."""
+    import __spark_entry__ as entrymod
+
+    approx = {
+        r.l_returnflag: (r.p50, r.p95, r.p99)
+        for r in entrymod.queries()["agg_approx_percentiles"](
+            spark, sf_dir
+        ).collect()
+    }
+    from rdf_mapreduce_joins_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    for flag, vals in approx.items():
+        prices = sorted(
+            r.l_extendedprice
+            for r in li.filter(F.col("l_returnflag") == flag).collect()
+        )
+        n = len(prices)
+        for q, v in zip((0.5, 0.95, 0.99), vals):
+            lo = prices[max(0, int((q - 0.01) * n) - 1)]
+            hi = prices[min(n - 1, int((q + 0.01) * n) + 1)]
+            assert lo <= v <= hi, (flag, q, v, lo, hi)
