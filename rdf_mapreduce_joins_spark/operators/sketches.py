@@ -1,0 +1,84 @@
+"""Count-min sketch: bounded-state frequency estimation (the
+frequency member of the engine's sketch family — HLL cardinality via
+approx_count_distinct, MinHash/SimHash similarity, KLL quantiles via
+approx_percentile).
+
+At 100 TB an exact token-frequency table is itself corpus-sized; a CMS
+is ``depth x width`` counters regardless of corpus size, built in one
+pass with map-side partial aggregation, mergeable across shards by
+cell-wise addition (counters are linear). Estimates only OVERCOUNT
+(collisions add, never subtract): estimate >= true count always, and
+``P[err > 2N/width] <= (1/2)^depth`` for stream mass N — the caller
+sizes width against the acceptable absolute error.
+
+Everything is built-ins (xxhash64 + pmod + groupBy); the sketch and
+the probe are both DataFrames, so estimation is a join, not a UDF.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _cell(col: F.Column, row: int, width: int) -> F.Column:
+    """Hash row i: xxhash64 seeded by the row index, folded to width."""
+    return F.pmod(F.xxhash64(F.lit(str(row)), col), F.lit(width)).cast("int")
+
+
+def cms_build(
+    df: DataFrame, col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """One-pass CMS over a column of items: returns the sparse counter
+    table (row, cell, cnt) — at most depth*width rows, zero cells
+    omitted. Mergeable with another sketch of the same shape by
+    unionByName + re-aggregation."""
+    rows = [
+        df.select(
+            F.lit(i).alias("row"), _cell(F.col(col), i, width).alias("cell")
+        )
+        for i in range(depth)
+    ]
+    allrows = reduce(lambda a, b: a.unionByName(b), rows)
+    return allrows.groupBy("row", "cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise addition of two same-shape sketches (counter
+    linearity — the property that makes CMS shard-parallel)."""
+    return (
+        a.unionByName(b)
+        .groupBy("row", "cell")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    items: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Estimated count per distinct item: min over the depth rows of
+    the item's counter cells. depth small-int joins against the
+    (broadcastable, <= depth*width rows) sketch; missing cells read
+    as 0 (an item never inserted estimates 0 only if some row's cell
+    is empty)."""
+    probes = [
+        items.select(
+            F.col(col).alias("item"),
+            F.lit(i).alias("row"),
+            _cell(F.col(col), i, width).alias("cell"),
+        )
+        for i in range(depth)
+    ]
+    probe = reduce(lambda a, b: a.unionByName(b), probes)
+    joined = probe.join(F.broadcast(cms), ["row", "cell"], "left").select(
+        "item", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    return joined.groupBy("item").agg(F.min("cnt").alias("est"))

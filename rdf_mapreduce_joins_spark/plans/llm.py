@@ -1331,3 +1331,33 @@ def text_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_terms") == len(SEARCH_TERMS))
         .orderBy("doc_id")
     )
+
+
+@query("text_heavy_hitters_cms")  # rows-only: sketch-approximate by design
+def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via count-min sketch (operators/sketches.py):
+    build a 4x4096 CMS over the token stream in one pass (bounded
+    state — the sketch size is constant in the corpus), then estimate
+    the candidate set's counts by sketch probe. Candidates here are
+    the distinct tokens of a 5%-of-docs deterministic sample — the
+    standard CMS pairing (sketch bounds memory, the sample bounds the
+    candidate list). Declared rows-only: tests pin the CMS
+    overcount-only invariant (estimate >= exact, equality at ample
+    width) and shard-merge linearity."""
+    from rdf_mapreduce_joins_spark.operators import sketches
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = spread(d).select(
+        "doc_id", F.explode(text.tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+    cms = sketches.cms_build(toks, "token", depth=4, width=4096)
+    candidates = (
+        toks.filter(F.pmod(F.xxhash64("doc_id"), F.lit(20)) == 0)
+        .select("token")
+        .distinct()
+    )
+    return (
+        sketches.cms_estimate(cms, candidates, "token", depth=4, width=4096)
+        .filter(F.col("est") >= 50)
+        .orderBy(F.col("est").desc(), "item")
+    )

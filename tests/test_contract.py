@@ -33,6 +33,7 @@ def test_oracle_keys_subset_of_queries():
         "dedup_retain_set_minhash",
         "rdf_pagerank",
         "agg_approx_percentiles",
+        "text_heavy_hitters_cms",
         "dedup_semantic_prune",
         "embedding_kmeans_clusters",
     }

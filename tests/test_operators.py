@@ -600,3 +600,35 @@ def test_approx_percentiles_within_rank_error(spark, sf_dir):
             lo = prices[max(0, int((q - 0.01) * n) - 1)]
             hi = prices[min(n - 1, int((q + 0.01) * n) + 1)]
             assert lo <= v <= hi, (flag, q, v, lo, hi)
+
+
+class TestCountMinSketch:
+    def test_overcount_only_and_exact_at_ample_width(self, spark):
+        from rdf_mapreduce_joins_spark.operators import sketches
+
+        data = [("a",)] * 100 + [("b",)] * 10 + [("c",)] * 1
+        df = spark.createDataFrame(data, "token string")
+        items = spark.createDataFrame([("a",), ("b",), ("c",), ("zz",)], "token string")
+        # ample width: no collisions possible among 3 items → exact
+        cms = sketches.cms_build(df, "token", depth=4, width=8192)
+        est = {r.item: r.est for r in sketches.cms_estimate(cms, items, "token", depth=4, width=8192).collect()}
+        assert est == {"a": 100, "b": 10, "c": 1, "zz": 0}
+        # tiny width: collisions everywhere, but NEVER an undercount
+        cms2 = sketches.cms_build(df, "token", depth=2, width=2)
+        est2 = {r.item: r.est for r in sketches.cms_estimate(cms2, items, "token", depth=2, width=2).collect()}
+        assert est2["a"] >= 100 and est2["b"] >= 10 and est2["c"] >= 1
+
+    def test_merge_linearity(self, spark):
+        """CMS(x ∪ y) == CMS(x) + CMS(y) cell-wise — the shard-merge
+        property."""
+        from rdf_mapreduce_joins_spark.operators import sketches
+
+        x = spark.createDataFrame([("a",)] * 5 + [("b",)] * 3, "token string")
+        y = spark.createDataFrame([("a",)] * 2 + [("c",)] * 4, "token string")
+        merged = sketches.cms_merge(
+            sketches.cms_build(x, "token"), sketches.cms_build(y, "token")
+        )
+        whole = sketches.cms_build(x.unionByName(y), "token")
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, whole.collect())
+        )
