@@ -1,0 +1,79 @@
+"""Continuous RDF ingestion: streaming N-Triples → the persisted
+query-optimized triples store (plans/generic_rdf.py
+build_triples_store layout), via foreachBatch.
+
+The batch builder writes the store once; a production feed keeps
+arriving. Each micro-batch here appends:
+
+* ``{path}/triples`` — the batch's triples with their xxhash64 ids,
+  appended into the predicate-partitioned parquet (new predicates
+  create new partition directories; existing ones gain files —
+  partition pruning semantics identical to the batch layout),
+* ``{path}/dictionary`` — the batch's NEW (id, term) pairs only,
+  found by a left-anti join against the current dictionary (terms are
+  append-only; xxhash64 ids are stable across batches, so dedup by
+  anti join is exact). Readers are unaffected mid-append: parquet
+  readers list files at query start.
+
+Delivery contract: foreachBatch is at-least-once on retry — a batch
+that fails mid-append can leave its triples written once its retry
+writes them again. Duplicate triples are invisible to SPARQL set
+semantics (DISTINCT/ASK/paths dedupe) but inflate bag counts; feeds
+that can replay should route through a deduplicating sink
+(sources/sinks.py::upsert_parquet keyed on the full triple) instead.
+Dictionary appends are idempotent regardless (the anti join drops
+already-present ids on retry). Compact small files periodically with
+sources/sinks.py::compact_parquet.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rdf_mapreduce_joins_spark.plans.generic_rdf import term_dictionary
+from rdf_mapreduce_joins_spark.sources.ntriples import read_ntriples_stream
+
+
+def _append_batch(batch: DataFrame, store_path: str) -> None:
+    spark = batch.sparkSession
+    enc = batch.select(
+        "predicate",
+        "subject",
+        "object",
+        F.xxhash64("subject").alias("subject_id"),
+        F.xxhash64("object").alias("object_id"),
+    )
+    enc.write.mode("append").partitionBy("predicate").parquet(
+        f"{store_path}/triples"
+    )
+    new_terms = term_dictionary(batch)
+    dict_path = f"{store_path}/dictionary"
+    if os.path.isdir(dict_path) and any(
+        f.endswith(".parquet") for f in os.listdir(dict_path)
+    ):
+        existing = spark.read.parquet(dict_path)
+        new_terms = new_terms.join(existing, ["id"], "left_anti")
+    new_terms.write.mode("append").parquet(dict_path)
+
+
+def ingest_ntriples_stream(
+    spark: SparkSession,
+    source_dir: str,
+    store_path: str,
+    checkpoint: str,
+    available_now: bool = False,
+):
+    """Run the ingest: N-Triples files landing in ``source_dir``
+    stream into the store at ``store_path``. Returns the
+    StreamingQuery (caller awaits/stops). ``available_now=True``
+    drains the current directory and stops — the test/backfill mode."""
+    stream = read_ntriples_stream(spark, source_dir)
+    writer = stream.writeStream.foreachBatch(
+        lambda df, _bid: _append_batch(df, store_path)
+    ).option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -145,3 +145,71 @@ class TestQuadsStore:
         scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
         assert scans and all("PartitionFilters" in ln for ln in scans), plan
         assert "graph" in scans[0], plan
+
+
+class TestStreamingIngest:
+    def test_streamed_store_answers_like_batch_store(self, spark, tmp_path):
+        """N-Triples files streamed through ingest_ntriples_stream must
+        produce a store whose indexed SPARQL answers equal the
+        batch-built store's — dictionary (incl. incremental anti-join
+        appends) and predicate partitioning included."""
+        from rdf_mapreduce_joins_spark.plans.generic_rdf import (
+            build_triples_store,
+            sparql_triples_indexed,
+        )
+        from rdf_mapreduce_joins_spark.sources.ntriples import write_ntriples
+        from rdf_mapreduce_joins_spark.streaming.triples_ingest import (
+            ingest_ntriples_stream,
+        )
+
+        tri = triples(spark, "/root/testdata/sf0.001")
+        feed = str(tmp_path / "feed")
+        write_ntriples(tri, feed)
+
+        streamed = str(tmp_path / "streamed_store")
+        q = ingest_ntriples_stream(
+            spark,
+            feed,
+            streamed,
+            checkpoint=str(tmp_path / "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination(180)
+
+        batch = str(tmp_path / "batch_store")
+        build_triples_store(tri, batch)
+
+        text = """SELECT ?c ?nname WHERE {
+                    ?c <mktsegment> "BUILDING" ; <nation> ?n .
+                    ?n <name> ?nname . }"""
+        got = sorted(
+            tuple(r) for r in sparql_triples_indexed(spark, streamed, text).collect()
+        )
+        want = sorted(
+            tuple(r) for r in sparql_triples_indexed(spark, batch, text).collect()
+        )
+        assert got == want and got
+
+    def test_incremental_dictionary_append_is_deduped(self, spark, tmp_path):
+        """A second drop of overlapping files must add only genuinely
+        new terms to the dictionary (anti-join dedup by id)."""
+        from rdf_mapreduce_joins_spark.streaming.triples_ingest import (
+            _append_batch,
+        )
+
+        store = str(tmp_path / "store")
+        b1 = spark.createDataFrame(
+            [("s1", "p", "o1"), ("s2", "p", "o2")],
+            "subject string, predicate string, object string",
+        )
+        b2 = spark.createDataFrame(
+            [("s2", "p", "o2"), ("s3", "p", "o3")],  # s2/o2 overlap
+            "subject string, predicate string, object string",
+        )
+        _append_batch(b1, store)
+        _append_batch(b2, store)
+        terms = [
+            r.term
+            for r in spark.read.parquet(f"{store}/dictionary").collect()
+        ]
+        assert sorted(terms) == ["o1", "o2", "o3", "s1", "s2", "s3"]
