@@ -167,6 +167,20 @@ SHOWCASE = [
         "scoring join touches a handful of hot keys against broadcast "
         "stats; TakeOrderedAndProject caps the result at k.",
     ),
+    (
+        "join_salted_skew",
+        "Salted skew join: the fact side carries an 8-way salt column, "
+        "the dimension side explodes once per salt — the join key becomes "
+        "(key, salt) so one hot supplier spreads over 8 reducers; the "
+        "post-join aggregation is unchanged (oracle-proven neutral).",
+    ),
+    (
+        "rdf_triangle_count",
+        "Exact triangles: canonicalized lo<hi edges, wedge join on the "
+        "middle vertex, left-semi closure check — each triangle counted "
+        "once under the a<b<c orientation, join fan-out bounded by the "
+        "ordered degree.",
+    ),
 ]
 
 
