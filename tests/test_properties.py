@@ -226,3 +226,40 @@ def test_generic_closure_matches_python_reachability(spark, edges):
             stack.extend(adj.get(n, ()))
         want |= {(start, n) for n in seen}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    triples_=st.lists(
+        st.tuples(
+            st.integers(0, 5),
+            st.sampled_from(["p", "q", "r"]),
+            st.integers(0, 5),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_variable_predicate_matches_python_reference(spark, triples_):
+    """`?s ?p ?o` and `!<p>` over arbitrary random graphs: the bound
+    predicate survey and the negated-set complement must equal plain
+    Python set comprehension over the same triples."""
+    from rdf_mapreduce_joins_spark.plans.generic_rdf import sparql_triples
+
+    data = sorted({(f"n{a}", p, f"n{b}") for a, p, b in triples_})
+    t = spark.createDataFrame(
+        data, "subject string, predicate string, object string"
+    )
+    got = sorted(
+        (r.s, r.p, r.o)
+        for r in sparql_triples(
+            t, "SELECT ?s ?p ?o WHERE { ?s ?p ?o . }"
+        ).collect()
+    )
+    assert got == data
+    neg = sorted(
+        (r.s, r.o)
+        for r in sparql_triples(t, "SELECT ?s ?o WHERE { ?s !<p> ?o . }").collect()
+    )
+    want_neg = sorted((s, o) for s, p, o in data if p != "p")
+    assert neg == want_neg
