@@ -33,16 +33,22 @@ def cms_build(
 ) -> DataFrame:
     """One-pass CMS over a column of items: returns the sparse counter
     table (row, cell, cnt) — at most depth*width rows, zero cells
-    omitted. Mergeable with another sketch of the same shape by
-    unionByName + re-aggregation."""
-    rows = [
-        df.select(
-            F.lit(i).alias("row"), _cell(F.col(col), i, width).alias("cell")
-        )
-        for i in range(depth)
-    ]
-    allrows = reduce(lambda a, b: a.unionByName(b), rows)
-    return allrows.groupBy("row", "cell").agg(
+    omitted. Genuinely one pass: the depth hash rows come from ONE
+    scan via an inline explode of the row indices (a union of depth
+    projections would plan depth scans of the source). Mergeable with
+    another sketch of the same shape by :func:`cms_merge`."""
+    rows = df.select(
+        F.col(col).alias("item"),
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row"),
+    )
+    cells = rows.select(
+        "row",
+        F.pmod(
+            F.xxhash64(F.col("row").cast("string"), F.col("item")),
+            F.lit(width),
+        ).cast("int").alias("cell"),
+    )
+    return cells.groupBy("row", "cell").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
 

@@ -332,10 +332,31 @@ def _predicate_vars(q: ParsedQuery) -> set[str]:
     return names
 
 
+def _endpoint_vars(g: _Group) -> set[str]:
+    """Variable names occurring in subject or object position
+    anywhere in the group tree."""
+    vs: set[str] = set()
+    for s, _preds, o, _mod in g.triples:
+        if s.startswith("?"):
+            vs.add(s[1:])
+        if o.startswith("?"):
+            vs.add(o[1:])
+    for _gt, sub in g.graphs:
+        vs |= _endpoint_vars(sub)
+    for sub in (*g.optionals, *g.negations, *g.exists, *g.unions):
+        vs |= _endpoint_vars(sub)
+    for sq in g.subqueries:
+        vs |= _endpoint_vars(sq.where)
+    return vs
+
+
 def _needs_strings(q: ParsedQuery) -> bool:
     """True when the query touches term VALUES as strings mid-plan —
-    FILTER/VALUES anywhere, or MIN/MAX aggregates — forcing the
-    string path (COUNT and pure join/closure shapes stay encoded)."""
+    FILTER/VALUES anywhere, MIN/MAX aggregates, or a predicate/GRAPH
+    variable REUSED in endpoint position (predicate and graph names
+    bind as strings even on the encoded path, so joining one against
+    an xxhash64 endpoint column would compare string to int64 — the
+    RDF-Schema predicates-as-subjects shape forces the string path)."""
     def group_needs(g: _Group) -> bool:
         return bool(
             g.filters
@@ -346,9 +367,13 @@ def _needs_strings(q: ParsedQuery) -> bool:
             or any(map(group_needs, (*g.optionals, *g.negations, *g.exists, *g.unions)))
         )
 
-    return group_needs(q.where) or any(
-        fn in ("MIN", "MAX", "SAMPLE", "GROUP_CONCAT", "SUM", "AVG")
-        for fn, *_ in q.aggs
+    return (
+        group_needs(q.where)
+        or any(
+            fn in ("MIN", "MAX", "SAMPLE", "GROUP_CONCAT", "SUM", "AVG")
+            for fn, *_ in q.aggs
+        )
+        or bool(_predicate_vars(q) & _endpoint_vars(q.where))
     )
 
 

@@ -474,20 +474,26 @@ def _varpred_specs(pat: Pattern) -> list[PredSpec]:
         )
         and sp.pred not in pat.not_preds
     ]
-    if not specs:
-        raise ValueError(
-            f"variable predicate matches no branch for subject table "
-            f"{pat.s_table!r} / object table {pat.o_table!r} "
-            f"excluding {pat.not_preds!r}"
-        )
+    # May be EMPTY (e.g. `?s ?p ?x . ?x a <lineitem>` — nothing FK-
+    # references lineitem): an unsatisfiable pattern compiles to an
+    # empty frame, matching the constant-predicate convention ("the
+    # join simply comes back empty"), never a plan-build error.
     return specs
 
 
 def _varpred_df(spark: SparkSession, sf_dir: str, pat: Pattern) -> DataFrame:
     """A variable-predicate pattern's frame: the (pruned) triples view
     with the predicate name as a bindable column. String path — see
-    the Pattern docstring."""
+    the Pattern docstring. An unsatisfiable pattern (no branches
+    survive the type pruning) is a 0-row frame."""
     specs = _varpred_specs(pat)
+    if not specs:
+        cols = [
+            *( [f"{pat.s[1:]} string"] if _is_var(pat.s) else [] ),
+            f"{pat.p[1:]} string",
+            *( [f"{pat.o[1:]} string"] if _is_var(pat.o) else [] ),
+        ]
+        return spark.createDataFrame([], ", ".join(cols))
     dfs = [
         spec_df(spark, sf_dir, sp).select(
             "subject", F.lit(sp.pred).alias("predicate"), "object"
@@ -615,7 +621,15 @@ def _var_kinds(
             if pat.p_is_var:
                 specs = _varpred_specs(pat)
                 if _is_var(pat.s):
-                    put(pat.s, "id", frozenset(s.table for s in specs))
+                    # an unsatisfiable pattern (no specs) contributes
+                    # NO domain info — full universe, so intersections
+                    # with other occurrences stay valid (the frame is
+                    # empty anyway)
+                    put(
+                        pat.s,
+                        "id",
+                        frozenset(s.table for s in specs) or frozenset(_TABLES),
+                    )
                 put(pat.p, "str", frozenset())
                 if _is_var(pat.o):
                     put(pat.o, "any", frozenset())
@@ -650,7 +664,14 @@ def _var_kinds(
                 assert "any" in (k0, kind), (
                     f"variable ?{name} is both id and literal"
                 )
-                if k0 == "any":  # upgrade to the specific kind
+                # Upgrade 'any' to the specific kind ONLY for variables
+                # not bound by the required group: required-group
+                # domains are authoritative (an OPTIONAL/MINUS/EXISTS
+                # occurrence must never narrow a required variable —
+                # it would prune required branches and drop valid
+                # solutions; see the docstring's binding-semantics
+                # note, and test_optional_does_not_narrow_varpred).
+                if k0 == "any" and name not in required:
                     kinds[name] = (kind, tables)
                 continue
             if name in required or kind != "id":

@@ -1075,10 +1075,11 @@ def _sub_group_filters(sub: _Group) -> list[tuple]:
         or sub.values_multi
         or sub.binds
         or sub.subqueries
+        or sub.graphs
     ):
         raise SparqlUnsupportedError(
-            "nested structure (OPTIONAL/negation/UNION/VALUES/BIND) inside "
-            "an OPTIONAL/MINUS/EXISTS group is unsupported"
+            "nested structure (OPTIONAL/negation/UNION/VALUES/BIND/GRAPH) "
+            "inside an OPTIONAL/MINUS/EXISTS group is unsupported"
         )
     out: list[tuple] = []
     bound = {v[1:] for v in sub.all_vars_bound_here()}

@@ -91,9 +91,10 @@ class NTriplesReader(DataSourceReader):
     def partitions(self):
         if os.path.isdir(self.path):
             files = sorted(
-                os.path.join(self.path, f)
+                p
                 for f in os.listdir(self.path)
                 if not f.startswith(("_", "."))
+                and os.path.isfile(p := os.path.join(self.path, f))
             )
             if not files:
                 raise FileNotFoundError(f"no data files under {self.path}")
@@ -153,21 +154,30 @@ class NTriplesWriter(DataSourceWriter):
 
         os.makedirs(self.path, exist_ok=True)
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-        out = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex}.nt")
+        name = f"part-{pid:05d}-{uuid.uuid4().hex}.nt"
+        out = os.path.join(self.path, name)
+        # Task-attempt atomicity: stream into a HIDDEN temp name (the
+        # reader skips dotfiles) and rename only on task success — a
+        # failed/retried/speculative attempt leaves at most an ignored
+        # temp file, never a truncated or duplicate committed part.
+        tmp = os.path.join(self.path, f".{name}.inprogress")
         fh = None  # empty partitions produce NO file, not an empty one
         try:
             for row in iterator:
                 if fh is None:
-                    fh = open(out, "w", encoding="utf-8")
-                if self.iri_objects:
-                    obj = f"<{row[2]}>"
-                else:
-                    obj = f'"{_escape_literal(row[2])}"'
-                fh.write(f"<{row[0]}> <{row[1]}> {obj} .\n")
+                    fh = open(tmp, "w", encoding="utf-8")
+                # name-based access: a reordered/renamed input column
+                # must error loudly, not silently transpose the graph
+                s, p, o = row["subject"], row["predicate"], row["object"]
+                obj = f"<{o}>" if self.iri_objects else f'"{_escape_literal(o)}"'
+                fh.write(f"<{s}> <{p}> {obj} .\n")
         finally:
             if fh is not None:
                 fh.close()
-        return _WroteFile(out if fh is not None else "")
+        if fh is None:
+            return _WroteFile("")
+        os.replace(tmp, out)
+        return _WroteFile(out)
 
     def commit(self, messages) -> None:
         pass  # files are final on task success

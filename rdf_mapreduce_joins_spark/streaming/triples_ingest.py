@@ -28,8 +28,7 @@ sources/sinks.py::compact_parquet.
 
 from __future__ import annotations
 
-import os
-
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -51,11 +50,15 @@ def _append_batch(batch: DataFrame, store_path: str) -> None:
     )
     new_terms = term_dictionary(batch)
     dict_path = f"{store_path}/dictionary"
-    if os.path.isdir(dict_path) and any(
-        f.endswith(".parquet") for f in os.listdir(dict_path)
-    ):
-        existing = spark.read.parquet(dict_path)
+    # Detect the existing dictionary through Spark, not os.path — the
+    # store may live on any filesystem (hdfs://, s3a://, file:), where
+    # a local-path check silently skips the dedup and duplicate
+    # (id, term) rows would fan out every decode join.
+    try:
+        existing = spark.read.parquet(dict_path).select("id")
         new_terms = new_terms.join(existing, ["id"], "left_anti")
+    except AnalysisException:  # first batch: no dictionary yet
+        pass
     new_terms.write.mode("append").parquet(dict_path)
 
 

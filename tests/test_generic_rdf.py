@@ -337,3 +337,19 @@ class TestNamedGraphs:
         tri = triples(spark, "/root/testdata/sf0.001")
         with pytest.raises(ValueError, match="graph"):
             sparql_quads(tri, "SELECT ?s WHERE { ?s <name> ?o . }")
+
+
+def test_predicate_var_as_endpoint_encoded_falls_back(spark, nt_triples):
+    """Regression: a predicate variable reused in subject position
+    (RDF-Schema predicates-as-subjects) must give identical results on
+    encoded=True — the encoded path falls back to strings instead of
+    joining a name column against an xxhash64 column."""
+    extra = spark.createDataFrame(
+        [("nation", "domain", "customer"), ("region", "domain", "nation")],
+        "subject string, predicate string, object string",
+    )
+    t = nt_triples.unionByName(extra)
+    q = "SELECT DISTINCT ?p ?d WHERE { ?s ?p ?o . ?p <domain> ?d . }"
+    a = sorted(tuple(r) for r in sparql_triples(t, q).collect())
+    b = sorted(tuple(r) for r in sparql_triples(t, q, encoded=True).collect())
+    assert a == b and a

@@ -968,3 +968,41 @@ def test_negated_property_set_rejections():
         S.parse_sparql("SELECT ?o WHERE { ?s !(^<name>) ?o . }")
     with pytest.raises(S.SparqlUnsupportedError, match="compose"):
         S.parse_sparql("SELECT ?o WHERE { ?s !<name>/<region> ?o . }")
+
+
+def test_optional_does_not_narrow_varpred(spark, sf_dir):
+    """Regression (round-3 review): an OPTIONAL occurrence must never
+    narrow a required variable's domain — `?s ?p ?o` with an OPTIONAL
+    typing ?o must return the same base rows as without it."""
+    base = S.sparql(spark, sf_dir, "SELECT ?s ?p ?o WHERE { ?s ?p ?o . }").count()
+    with_opt = S.sparql(
+        spark,
+        sf_dir,
+        """SELECT ?s ?p ?o WHERE {
+             ?s ?p ?o . OPTIONAL { ?o <mktsegment> ?m . } }""",
+    ).count()
+    assert with_opt == base > 0
+
+
+def test_graph_inside_subgroup_rejected(spark, sf_dir):
+    """Regression: GRAPH inside OPTIONAL/MINUS used to be silently
+    DROPPED (the sub-group matched without the graph constraint) —
+    must now reject loudly."""
+    with pytest.raises(S.SparqlUnsupportedError, match="GRAPH"):
+        S.sparql(
+            spark,
+            sf_dir,
+            """SELECT ?s WHERE {
+                 ?s <name> ?o .
+                 MINUS { ?s <nation> ?x . GRAPH <g> { ?s <name> ?y . } } }""",
+        )
+
+
+def test_unsatisfiable_varpred_empty_not_error(spark, sf_dir):
+    """Regression: a variable-predicate pattern whose type pruning
+    leaves no branch (nothing FK-references lineitem) must compile to
+    an empty result, matching the constant-predicate convention."""
+    df = S.sparql(
+        spark, sf_dir, "SELECT ?p WHERE { ?x a <lineitem> . ?s ?p ?x . }"
+    )
+    assert df.count() == 0
