@@ -192,21 +192,20 @@ def _join_group(
     return out
 
 
-def _compile(
-    triples: DataFrame, q: ParsedQuery, g: _Group, encoded: bool = False
+def _group_frames(
+    triples: DataFrame,
+    g: _Group,
+    types: dict[str, str],
+    encoded: bool = False,
 ) -> DataFrame:
-    if g.unions:
-        raise SparqlUnsupportedError(
-            "UNION inside a group that also has other structure is unsupported"
-        )
-    from rdf_mapreduce_joins_spark.plans.sparql import _sub_group_filters
-
-    # default-graph patterns (plus data-level rdf:type constraints),
-    # then one frame per GRAPH block, inner-joined on shared variables
-    # (a shared ?g graph variable joins blocks across the same graph).
+    """A group's joined solution frame: default-graph patterns (plus
+    data-level rdf:type constraints), then one frame per GRAPH block,
+    inner-joined on shared variables (a shared ?g graph variable joins
+    blocks across the same graph). Used for the main WHERE group and
+    for OPTIONAL/MINUS/EXISTS sub-groups alike."""
     frames: list[DataFrame] = []
-    if g.triples or q.types:
-        frames.append(_join_group(triples, g, q.types, encoded=encoded))
+    if g.triples or types:
+        frames.append(_join_group(triples, g, types, encoded=encoded))
     for gterm, sub in g.graphs:
         frames.append(_join_group(triples, sub, {}, encoded=encoded, graph=gterm))
     if not frames:
@@ -219,18 +218,33 @@ def _compile(
                 "GRAPH block shares no variable with the rest of the group"
             )
         out = out.join(fdf, on=shared, how="inner")
+    return out
+
+
+def _compile(
+    triples: DataFrame, q: ParsedQuery, g: _Group, encoded: bool = False
+) -> DataFrame:
+    if g.unions:
+        raise SparqlUnsupportedError(
+            "UNION inside a group that also has other structure is unsupported"
+        )
+    from rdf_mapreduce_joins_spark.plans.sparql import _sub_group_filters
+
+    out = _group_frames(triples, g, q.types, encoded=encoded)
     for sub, how in (
         *[(x, "left") for x in g.optionals],
         *[(x, "left_anti") for x in g.negations],
         *[(x, "left_semi") for x in g.exists],
     ):
-        sub_filters = _sub_group_filters(sub)  # local-vars-only, validated
+        # local-vars-only filters, validated; GRAPH blocks inside the
+        # sub-group compile here (quad executor), unlike the star path
+        sub_filters = _sub_group_filters(sub, allow_graphs=True)
         if sub_filters and encoded:
             raise SparqlUnsupportedError(
                 "sub-group FILTER needs term strings — encoded path should "
                 "have fallen back (see _needs_strings)"
             )
-        sdf = _join_group(triples, sub, {}, encoded=encoded)
+        sdf = _group_frames(triples, sub, {}, encoded=encoded)
         for f in sub_filters:
             sdf = sdf.filter(F.expr(f[1]))
         shared = [c for c in sdf.columns if c in out.columns]

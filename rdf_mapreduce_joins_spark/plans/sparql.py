@@ -1058,14 +1058,18 @@ def _rewrite_notbound(q: ParsedQuery) -> None:
     g.filters = keep
 
 
-def _sub_group_filters(sub: _Group) -> list[tuple]:
+def _sub_group_filters(sub: _Group, allow_graphs: bool = False) -> list[tuple]:
     """Validate an OPTIONAL/MINUS/EXISTS sub-group's extra structure.
 
     Filters referencing only sub-group-local variables apply to the
     group frame BEFORE its join (standard SPARQL semantics — SP2Bench
     Q6/Q7's shape). A filter that sees OUTER variables would need
     join-condition placement (neither pre- nor post-filter is correct)
-    — rejected loudly. Deeper nesting stays rejected."""
+    — rejected loudly. Deeper nesting stays rejected.
+    ``allow_graphs``: the generic quad executor compiles GRAPH blocks
+    inside sub-groups; the star-schema path has no graph dimension and
+    must keep rejecting them (a silently-dropped graph constraint
+    would widen MINUS/narrow OPTIONAL)."""
     if (
         sub.optionals
         or sub.negations
@@ -1075,7 +1079,7 @@ def _sub_group_filters(sub: _Group) -> list[tuple]:
         or sub.values_multi
         or sub.binds
         or sub.subqueries
-        or sub.graphs
+        or (sub.graphs and not allow_graphs)
     ):
         raise SparqlUnsupportedError(
             "nested structure (OPTIONAL/negation/UNION/VALUES/BIND/GRAPH) "

@@ -353,3 +353,65 @@ def test_predicate_var_as_endpoint_encoded_falls_back(spark, nt_triples):
     a = sorted(tuple(r) for r in sparql_triples(t, q).collect())
     b = sorted(tuple(r) for r in sparql_triples(t, q, encoded=True).collect())
     assert a == b and a
+
+
+class TestGraphInSubGroups:
+    @pytest.fixture(scope="class")
+    def quads2(self, spark):
+        """s1 has name+nation in the default graph; the <audit> graph
+        marks s1 (not s2) as reviewed."""
+        rows = [
+            (None, "s1", "name", "Alice"),
+            (None, "s2", "name", "Bob"),
+            (None, "s1", "nation", "n1"),
+            ("audit", "s1", "reviewed", "yes"),
+        ]
+        return spark.createDataFrame(
+            rows, "graph string, subject string, predicate string, object string"
+        )
+
+    def test_minus_with_matched_graph_block(self, quads2):
+        """MINUS { GRAPH <audit> { ?s <reviewed> ?y } } removes s1
+        (its audit triple matches) and keeps s2."""
+        from rdf_mapreduce_joins_spark.plans.generic_rdf import sparql_quads
+
+        got = sorted(
+            r.s
+            for r in sparql_quads(
+                quads2,
+                """SELECT ?s WHERE { ?s <name> ?o .
+                     MINUS { GRAPH <audit> { ?s <reviewed> ?y . } } }""",
+            ).collect()
+        )
+        assert got == ["s2"]
+
+    def test_minus_with_unmatched_graph_block_keeps_all(self, quads2):
+        """Regression (round-3 review): a GRAPH constraint inside
+        MINUS must PARTICIPATE — an unmatched graph means the MINUS
+        group cannot match, so nothing is removed (previously the
+        graph block was silently dropped and MINUS over-matched)."""
+        from rdf_mapreduce_joins_spark.plans.generic_rdf import sparql_quads
+
+        got = sorted(
+            r.s
+            for r in sparql_quads(
+                quads2,
+                """SELECT ?s WHERE { ?s <name> ?o .
+                     MINUS { ?s <nation> ?x .
+                             GRAPH <nope> { ?s <name> ?y . } } }""",
+            ).collect()
+        )
+        assert got == ["s1", "s2"]
+
+    def test_optional_graph_block(self, quads2):
+        from rdf_mapreduce_joins_spark.plans.generic_rdf import sparql_quads
+
+        rows = sorted(
+            tuple(r)
+            for r in sparql_quads(
+                quads2,
+                """SELECT ?s ?y WHERE { ?s <name> ?o .
+                     OPTIONAL { GRAPH <audit> { ?s <reviewed> ?y . } } }""",
+            ).collect()
+        )
+        assert rows == [("s1", "yes"), ("s2", None)]
