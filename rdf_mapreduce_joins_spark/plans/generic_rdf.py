@@ -462,12 +462,41 @@ def sparql_quads(
     return _run_parsed(quads, q, encoded=encoded, dictionary=dictionary)
 
 
+def _apply_dataset_clauses(triples: DataFrame, q: ParsedQuery) -> DataFrame:
+    """SPARQL dataset clauses over a quad frame: when FROM / FROM
+    NAMED appear, the query's dataset is EXACTLY what they describe —
+    default graph = the merge of the FROM graphs (re-tagged NULL),
+    named-graph universe = the FROM NAMED list; graphs outside either
+    list vanish. Pure filters + a union: partition-prunable against a
+    graph-partitioned store."""
+    if not (q.from_graphs or q.from_named):
+        return triples
+    if "graph" not in triples.columns:
+        raise SparqlUnsupportedError(
+            "FROM / FROM NAMED need a quad frame with a 'graph' column"
+        )
+    parts = []
+    if q.from_graphs:
+        parts.append(
+            triples.filter(F.col("graph").isin(q.from_graphs)).withColumn(
+                "graph", F.lit(None).cast("string")
+            )
+        )
+    if q.from_named:
+        parts.append(triples.filter(F.col("graph").isin(q.from_named)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _run_parsed(
     triples: DataFrame,
     q: ParsedQuery,
     encoded: bool = False,
     dictionary: DataFrame | None = None,
 ) -> DataFrame:
+    triples = _apply_dataset_clauses(triples, q)
     _rewrite_notbound(q)
     if q.form == "describe":
         consts = [t for t in q.describe_terms if not t.startswith("?")]

@@ -101,7 +101,13 @@ need, SURVEY.md §2.3 J1-J9):
   frame; the star-schema triples view has no graph dimension, so this
   compiler rejects GRAPH with a pointer there). Default-group
   patterns match the NULL-graph rows (the dataset model's default
-  graph); ``GRAPH ?g`` binds the graph name as a string column.
+  graph); ``GRAPH ?g`` binds the graph name as a string column;
+  GRAPH blocks compile inside OPTIONAL/MINUS/EXISTS sub-groups,
+* **dataset clauses** ``FROM <g>`` / ``FROM NAMED <g>`` (SELECT
+  form, quad executor): the query dataset becomes exactly what the
+  clauses describe — default graph = merge of the FROM graphs,
+  named universe = the FROM NAMED list (pure prunable filters +
+  a union over the quad frame).
 
 Out of scope, rejected with errors (as in the reference, SURVEY §2.3):
 ``|`` after a ``/`` sequence without parentheses
@@ -268,6 +274,11 @@ class ParsedQuery:
     having: tuple | None = None
     # DESCRIBE terms: constant IRIs and/or ?vars (vars need a WHERE)
     describe_terms: list[str] = field(default_factory=list)
+    # Dataset clauses (SELECT form): FROM <g> merges listed graphs into
+    # the query's default graph; FROM NAMED <g> restricts which named
+    # graphs GRAPH blocks see. Executable on the quad executor only.
+    from_graphs: list[str] = field(default_factory=list)
+    from_named: list[str] = field(default_factory=list)
 
 
 _KNOWN_PREDS = {s.pred for s in PRED_SPECS}
@@ -412,6 +423,15 @@ class _Parser:
                 break
         if not select:
             raise SparqlSyntaxError("SELECT needs at least one ?variable")
+        from_graphs: list[str] = []
+        from_named: list[str] = []
+        while self.peek() == "FROM":
+            self.next()
+            named = self.accept("NAMED")
+            tok = self.next()
+            if not (tok.startswith("<") and tok.endswith(">")):
+                raise SparqlSyntaxError(f"expected <iri> after FROM, got {tok!r}")
+            (from_named if named else from_graphs).append(tok[1:-1])
         self.expect("WHERE")
         where = self.parse_group()
         order_by: list[tuple[str, bool]] = []
@@ -476,6 +496,8 @@ class _Parser:
             aggs=aggs,
             group_by=group_by,
             having=having,
+            from_graphs=from_graphs,
+            from_named=from_named,
         )
 
     _AGG_FNS = ("COUNT", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT", "SUM", "AVG")
@@ -1442,6 +1464,11 @@ def sparql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
     ``bgp()`` calls — the reference's per-query manual planning
     (SURVEY.md §3.1) has no analog here because it is not needed."""
     q = parse_sparql(text)
+    if q.from_graphs or q.from_named:
+        raise SparqlUnsupportedError(
+            "FROM / FROM NAMED need a quad frame — run through "
+            "generic_rdf.sparql_quads"
+        )
     _rewrite_notbound(q)
     if q.form == "describe":
         return _execute_describe(spark, sf_dir, q)

@@ -415,3 +415,71 @@ class TestGraphInSubGroups:
             ).collect()
         )
         assert rows == [("s1", "yes"), ("s2", None)]
+
+
+class TestDatasetClauses:
+    @pytest.fixture(scope="class")
+    def quads3(self, spark):
+        rows = [
+            (None, "s0", "p", "default"),
+            ("g1", "s1", "p", "one"),
+            ("g2", "s2", "p", "two"),
+            ("g3", "s3", "p", "three"),
+            ("g2", "s1", "q", "one-q"),
+        ]
+        return spark.createDataFrame(
+            rows, "graph string, subject string, predicate string, object string"
+        )
+
+    def test_from_merges_into_default_graph(self, quads3):
+        """FROM <g1> FROM <g2>: the default graph is exactly their
+        merge — the store's own default-graph rows and g3 vanish."""
+        from rdf_mapreduce_joins_spark.plans.generic_rdf import sparql_quads
+
+        got = sorted(
+            r.o
+            for r in sparql_quads(
+                quads3,
+                "SELECT ?o FROM <g1> FROM <g2> WHERE { ?s <p> ?o . }",
+            ).collect()
+        )
+        assert got == ["one", "two"]
+
+    def test_from_named_restricts_graph_blocks(self, quads3):
+        """FROM NAMED <g1>: GRAPH ?g iterates only g1 (and with no
+        FROM, the default graph is empty)."""
+        from rdf_mapreduce_joins_spark.plans.generic_rdf import sparql_quads
+
+        got = sorted(
+            (r.g, r.o)
+            for r in sparql_quads(
+                quads3,
+                "SELECT ?g ?o FROM NAMED <g1> WHERE { GRAPH ?g { ?s <p> ?o . } }",
+            ).collect()
+        )
+        assert got == [("g1", "one")]
+        empty_default = sparql_quads(
+            quads3, "SELECT ?o FROM NAMED <g1> WHERE { ?s <p> ?o . }"
+        ).count()
+        assert empty_default == 0
+
+    def test_combined_from_and_from_named(self, quads3):
+        from rdf_mapreduce_joins_spark.plans.generic_rdf import sparql_quads
+
+        got = sorted(
+            tuple(r)
+            for r in sparql_quads(
+                quads3,
+                """SELECT ?o ?g ?o2 FROM <g1> FROM NAMED <g2>
+                   WHERE { ?s <p> ?o . GRAPH ?g { ?s <q> ?o2 . } }""",
+            ).collect()
+        )
+        assert got == [("one", "g2", "one-q")]
+
+    def test_star_path_rejects_dataset_clauses(self, spark):
+        with pytest.raises(S.SparqlUnsupportedError, match="quad frame"):
+            S.sparql(
+                spark,
+                "/root/testdata/sf0.001",
+                "SELECT ?o FROM <g> WHERE { ?s <name> ?o . }",
+            )
