@@ -1368,3 +1368,60 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est") >= 50)
         .orderBy(F.col("est").desc(), "item")
     )
+
+
+@query(
+    "text_lm_score",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    toks AS (
+      SELECT doc_id, w[CAST(i AS INTEGER)] AS token
+      FROM t, range(1, 1001) r(i) WHERE i <= len(w)
+    ),
+    bg AS (
+      SELECT doc_id,
+             w[CAST(i AS INTEGER)] AS w1,
+             w[CAST(i AS INTEGER)] || ' ' || w[CAST(i + 1 AS INTEGER)] AS bigram
+      FROM t, range(1, 1001) r(i) WHERE i <= len(w) - 1
+    ),
+    ugc AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+    bgc AS (SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram),
+    v AS (SELECT COUNT(*) AS vocab FROM ugc)
+    SELECT bg.doc_id,
+           ROUND(AVG(ln((bgc.c + 1.0) / (ugc.c + v.vocab))), 4) AS lm_score
+    FROM bg
+    JOIN bgc ON bg.bigram = bgc.bigram
+    JOIN ugc ON bg.w1 = ugc.token, v
+    GROUP BY bg.doc_id
+    ORDER BY bg.doc_id
+    """,
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model scoring (X4 family — the
+    KenLM-style quality-filter signal): per-document mean Laplace-
+    smoothed conditional log-probability, ln((C(w1 w2)+1)/(C(w1)+V)),
+    with counts and V exact integers from the corpus itself. Only the
+    final ln/avg is float (round 4 on both engines).
+
+    Scale: two count tables (bigram, unigram) built in one aggregation
+    pass each; scoring is two equi-joins on the n-gram keys — hot
+    stopword bigrams land on AQE's skew split like the dedup family —
+    plus a 1-row broadcast vocabulary size. Train-once deployments
+    would persist the count tables like the other indexes."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = spread(d).select(F.explode(text.tokens("text")).alias("token"))
+    bg = spread(d).select(
+        "doc_id", F.explode(text.word_ngrams("text", 2)).alias("bigram")
+    ).withColumn("w1", F.split("bigram", " ")[0])
+    ugc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("uc"))
+    bgc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("bc"))
+    v = ugc.agg(F.count(F.lit(1)).alias("vocab"))
+    contrib = F.log((F.col("bc") + 1.0) / (F.col("uc") + F.col("vocab")))
+    return (
+        bg.join(bgc, "bigram")
+        .join(ugc, bg.w1 == ugc.token)
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(contrib), 4).alias("lm_score"))
+        .orderBy("doc_id")
+    )

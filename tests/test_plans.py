@@ -40,10 +40,12 @@ _BOUNDED_BUILD_SIDE_OK = {
     "similarity_knn_join",
     "tpch_q11_important_stock",
     "tpch_q22_dormant_customers",
-    # 1-row broadcast corpus stats (N / avgdl) joined under no
-    # condition — the same scalar-subquery shape as tpch_q11/q22.
+    # 1-row broadcast corpus stats (N / avgdl / vocab size) joined
+    # under no condition — the same scalar-subquery shape as
+    # tpch_q11/q22.
     "text_tfidf_topk",
     "text_bm25_rank",
+    "text_lm_score",
 }
 
 
