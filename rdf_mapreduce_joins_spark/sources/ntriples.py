@@ -116,3 +116,75 @@ def write_ntriples(triples: DataFrame, path: str, iri_objects: bool = False) -> 
         obj, F.lit(" ."),
     )
     triples.select(line.alias("value")).write.mode("overwrite").text(path)
+
+
+_QUAD_RE = (
+    r"^\s*"
+    r"(<[^>]*>|_:\S+)\s+"  # subject
+    r"(<[^>]*>)\s+"  # predicate
+    r"(<[^>]*>|_:\S+|\"(?:[^\"\\]|\\.)*\"(?:@[A-Za-z0-9-]+|\^\^<[^>]*>)?)"  # object
+    r"(?:\s+(<[^>]*>))?"  # optional graph label (absent = default graph)
+    r"\s*\.\s*$"
+)
+
+
+def read_nquads(
+    spark: SparkSession, path: str, mode: str = "permissive", strip_iris: bool = True
+) -> DataFrame:
+    """Parse N-Quads text into a (graph, subject, predicate, object)
+    quad frame — the serialization of the RDF dataset model
+    (``generic_rdf.sparql_quads`` / ``build_quads_store`` consume it
+    directly). Lines without a graph label land in the default graph
+    (NULL), matching the executors' default-graph semantics. Same
+    single JVM-regex pass as :func:`read_ntriples`."""
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.regexp_extract("value", _QUAD_RE, 1).alias("subject"),
+        F.regexp_extract("value", _QUAD_RE, 2).alias("predicate"),
+        F.regexp_extract("value", _QUAD_RE, 3).alias("object"),
+        F.regexp_extract("value", _QUAD_RE, 4).alias("graph"),
+        F.col("value"),
+    )
+    bad = (F.col("subject") == "") & (~F.col("value").rlike(r"^\s*(#.*)?$"))
+    if mode == "fail":
+        parsed = parsed.withColumn(
+            "subject",
+            F.when(bad, F.raise_error(F.concat(F.lit("bad N-Quads line: "), "value")))
+            .otherwise(F.col("subject")),
+        )
+    out = parsed.filter(F.col("subject") != "").drop("value")
+    # absent graph → NULL (regexp_extract returns '' for a no-match group)
+    out = out.withColumn(
+        "graph", F.when(F.col("graph") == "", F.lit(None)).otherwise(F.col("graph"))
+    )
+    if strip_iris:
+        out = out.select(
+            _strip_iri(F.col("graph")).alias("graph"),
+            _strip_iri(F.col("subject")).alias("subject"),
+            _strip_iri(F.col("predicate")).alias("predicate"),
+            _strip_iri(F.col("object")).alias("object"),
+        )
+    else:
+        out = out.select("graph", "subject", "predicate", "object")
+    return out
+
+
+def write_nquads(quads: DataFrame, path: str, iri_objects: bool = False) -> None:
+    """Serialize a (graph, subject, predicate, object) frame as
+    N-Quads; NULL-graph rows write as plain triples (default graph)."""
+    esc = F.regexp_replace(
+        F.regexp_replace(F.col("object"), r"\\", r"\\\\"), '"', r"\\\""
+    )
+    obj = (
+        F.concat(F.lit("<"), F.col("object"), F.lit(">"))
+        if iri_objects
+        else F.concat(F.lit('"'), esc, F.lit('"'))
+    )
+    gpart = F.when(
+        F.col("graph").isNull(), F.lit("")
+    ).otherwise(F.concat(F.lit(" <"), F.col("graph"), F.lit(">")))
+    line = F.concat(
+        F.lit("<"), F.col("subject"), F.lit("> <"), F.col("predicate"), F.lit("> "),
+        obj, gpart, F.lit(" ."),
+    )
+    quads.select(line.alias("value")).write.mode("overwrite").text(path)

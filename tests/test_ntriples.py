@@ -82,3 +82,43 @@ def test_streaming_ingest_matches_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     want = sorted(map(tuple, read_ntriples(spark, src).collect()))
     assert got == want and got
+
+
+def test_nquads_round_trip_with_default_graph(spark, tmp_path):
+    """write_nquads → read_nquads is lossless, including NULL-graph
+    (default) rows serialized as plain triples, and the result feeds
+    sparql_quads directly."""
+    from pyspark.sql import functions as F
+    from rdf_mapreduce_joins_spark.plans.generic_rdf import sparql_quads
+    from rdf_mapreduce_joins_spark.plans.rdf import triples
+    from rdf_mapreduce_joins_spark.sources.ntriples import (
+        read_nquads,
+        write_nquads,
+    )
+
+    tri = triples(spark, "/root/testdata/sf0.001")
+    quads = tri.withColumn(
+        "graph",
+        F.when(F.col("predicate") == "name", "labels").otherwise(F.lit(None)),
+    ).select("graph", "subject", "predicate", "object")
+    path = str(tmp_path / "q")
+    write_nquads(quads, path)
+    back = read_nquads(spark, path)
+    key = lambda r: tuple("" if v is None else v for v in r)
+    assert sorted(map(key, back.collect())) == sorted(map(key, quads.collect()))
+    got = sparql_quads(
+        back, "SELECT ?s ?o WHERE { GRAPH <labels> { ?s <name> ?o . } }"
+    ).count()
+    assert got == quads.filter("predicate = 'name'").count()
+
+
+def test_nquads_fail_mode(spark, tmp_path):
+    from rdf_mapreduce_joins_spark.sources.ntriples import read_nquads
+
+    bad = tmp_path / "bad.nq"
+    bad.write_text('<a> <b> "ok" <g> .\nnot a quad\n')
+    assert read_nquads(spark, str(bad)).count() == 1
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="bad N-Quads line"):
+        read_nquads(spark, str(bad), mode="fail").count()
