@@ -232,3 +232,119 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("st") == "c", 1).otherwise(0)).alias("n_view_click"),
         F.sum(F.when(F.col("st") == "p", 1).otherwise(0)).alias("n_view_click_purchase"),
     )
+
+
+HIST_WIDTH, HIST_BINS = 50.0, 10
+
+
+@query(
+    "events_value_histogram",
+    oracle=f"""
+    SELECT event_type,
+           CAST(LEAST(FLOOR(value / {HIST_WIDTH}), {HIST_BINS - 1}) AS INTEGER)
+               AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type, bin
+    ORDER BY event_type, bin
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type — binning with
+    explicit floor-division math (identical in both engines; DuckDB
+    has no width_bucket) and a capped overflow bin. One hash
+    aggregation; bins are computed per-row in the scan projection, so
+    at any scale this is a single shuffle of (type, bin) partials."""
+    e = load_table(spark, sf_dir, "events")
+    bin_ = F.least(
+        F.floor(F.col("value") / HIST_WIDTH), F.lit(HIST_BINS - 1)
+    ).cast("int")
+    return (
+        e.groupBy("event_type", bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
+GAP_THRESHOLD_S = 1800  # same 30-minute inactivity bound as sessionize
+
+
+@query(
+    "events_gaps_islands",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             LAG(CAST(floor(epoch(ts)) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY
+                       CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev_s
+      FROM events
+    )
+    SELECT user_id, prev_s AS gap_start_s, ts_s AS gap_end_s,
+           ts_s - prev_s AS gap_s
+    FROM seq
+    WHERE prev_s IS NOT NULL AND ts_s - prev_s > {GAP_THRESHOLD_S}
+    ORDER BY user_id, gap_start_s, gap_end_s
+    """,
+)
+def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gaps side of the gaps-and-islands pattern (sessionize is
+    the islands side): per user, every inactivity interval longer than
+    the session threshold, as (start, end, length) rows — the
+    downtime/churn-signal view of the same lag computation. One
+    shuffle on user_id shared by the lag window; ties at equal
+    timestamps ordered by event_id for engine-stable lag."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    prev = F.lag("ts_s").over(w)
+    return (
+        e.select("user_id", "ts_s", prev.alias("prev_s"))
+        .filter(
+            F.col("prev_s").isNotNull()
+            & (F.col("ts_s") - F.col("prev_s") > GAP_THRESHOLD_S)
+        )
+        .select(
+            "user_id",
+            F.col("prev_s").alias("gap_start_s"),
+            F.col("ts_s").alias("gap_end_s"),
+            (F.col("ts_s") - F.col("prev_s")).alias("gap_s"),
+        )
+        .orderBy("user_id", "gap_start_s", "gap_end_s")
+    )
+
+
+EWMA_ALPHA = 0.3
+
+
+@query("events_ewma")  # rows-only: recursive float state (order-exact but
+# not SQL-expressible without a recursive CTE per group)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values
+    (T-family time-series smoothing): s_t = α·x_t + (1-α)·s_{t-1} over
+    the (ts_s, event_id)-ordered event sequence. The recursion is
+    inherently sequential WITHIN a user and embarrassingly parallel
+    ACROSS users — exactly applyInPandas's contract: one shuffle on
+    user_id, one Arrow batch per user, vectorized pandas ewm inside.
+    Declared rows-only (per-group recursive float state has no
+    portable SQL form); tests pin equality with a hand-rolled Python
+    recursion and a partitioning-invariance check."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts_s", "event_id", "value"
+    )
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_s", "event_id"])
+        pdf["ewma"] = (
+            pdf["value"].ewm(alpha=EWMA_ALPHA, adjust=False).mean().round(4)
+        )
+        return pdf[["user_id", "event_id", "ts_s", "ewma"]]
+
+    return e.groupBy("user_id").applyInPandas(
+        ewma, "user_id bigint, event_id bigint, ts_s bigint, ewma double"
+    )

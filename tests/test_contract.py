@@ -34,6 +34,7 @@ def test_oracle_keys_subset_of_queries():
         "rdf_pagerank",
         "agg_approx_percentiles",
         "text_heavy_hitters_cms",
+        "events_ewma",
         "dedup_semantic_prune",
         "embedding_kmeans_clusters",
     }

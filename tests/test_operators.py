@@ -632,3 +632,34 @@ class TestCountMinSketch:
         assert sorted(map(tuple, merged.collect())) == sorted(
             map(tuple, whole.collect())
         )
+
+
+def test_ewma_matches_python_recursion(spark, sf_dir):
+    """applyInPandas EWMA equals the textbook recursion
+    s_t = a*x_t + (1-a)*s_(t-1) computed in plain Python, and is
+    invariant to input partitioning (the shuffle fixes grouping)."""
+    import __spark_entry__ as entrymod
+    from rdf_mapreduce_joins_spark.plans.events import EWMA_ALPHA
+    from rdf_mapreduce_joins_spark.sources.tables import load_table
+
+    got = {
+        (r.user_id, r.event_id): r.ewma
+        for r in entrymod.queries()["events_ewma"](spark, sf_dir).collect()
+    }
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts_s", "event_id", "value")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.ts_s, r.event_id, r.value))
+    want = {}
+    for u, seq in by_user.items():
+        s = None
+        for ts_s, eid, v in sorted(seq):
+            s = v if s is None else EWMA_ALPHA * v + (1 - EWMA_ALPHA) * s
+            want[(u, eid)] = round(s, 4)
+    assert len(got) == len(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9, (k, got[k], v)
