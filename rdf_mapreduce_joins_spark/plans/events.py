@@ -348,3 +348,47 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").applyInPandas(
         ewma, "user_id bigint, event_id bigint, ts_s bigint, ewma double"
     )
+
+
+WEEK_S = 7 * 86400
+
+
+@query(
+    "events_retention_cohorts",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id,
+             (CAST(floor(epoch(ts)) AS BIGINT) // {WEEK_S}) AS week
+      FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, week FROM ev)
+    SELECT c.cohort_week,
+           CAST(a.week - c.cohort_week AS INTEGER) AS weeks_since,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM active a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY c.cohort_week, weeks_since
+    ORDER BY c.cohort_week, weeks_since
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention — the product-analytics matrix: users
+    bucketed by first-activity week (cohort), counted distinct in each
+    subsequent week offset. Two aggregations over one scan: the cohort
+    table is one row per user (joined back on user_id — at scale a
+    shuffle join co-partitioned with the distinct-activity aggregate);
+    integer epoch-week arithmetic keeps both engines exact."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", (F.col("ts_s") - (F.col("ts_s") % WEEK_S)).alias("wk")
+    ).select("user_id", (F.col("wk") / WEEK_S).cast("bigint").alias("week"))
+    cohort = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = e.distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).cast("int").alias("weeks_since"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "weeks_since")
+    )

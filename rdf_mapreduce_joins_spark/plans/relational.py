@@ -1356,3 +1356,43 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "pivot_status_by_nation",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_cnt,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_cnt
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def pivot_status_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational PIVOT (the inverse reshape of
+    unpivot_lineitem_metrics): order counts per nation spread across
+    one column per status. Pivot values are passed explicitly so Spark
+    skips the values-discovery pass and plans ONE shuffle (groupBy +
+    pivot collapse into a single aggregation); the oracle is the
+    equivalent CASE-conditional aggregation."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "n_name",
+            F.coalesce("F", F.lit(0)).alias("f_cnt"),
+            F.coalesce("O", F.lit(0)).alias("o_cnt"),
+            F.coalesce("P", F.lit(0)).alias("p_cnt"),
+        )
+        .orderBy("n_name")
+    )
