@@ -319,3 +319,104 @@ def docs_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("keep"))
     )
     return m.select("doc_id", verdict.alias("verdict"))
+
+
+@query(
+    "assembly_training_manifest",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, lang, text, md5(text) AS h FROM documents
+    ),
+    deduped AS (
+      SELECT doc_id, lang, text FROM hashed
+      WHERE doc_id = (SELECT MIN(doc_id) FROM hashed h2 WHERE h2.h = hashed.h)
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM deduped
+    ),
+    wc AS (SELECT doc_id, tk, COUNT(*) AS c FROM toks WHERE tk <> ''
+           GROUP BY doc_id, tk),
+    ws AS (SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top_c FROM wc
+           GROUP BY doc_id),
+    kept AS (
+      SELECT d.doc_id, d.lang, ws.n_tokens
+      FROM deduped d JOIN ws ON d.doc_id = ws.doc_id
+      WHERE ws.n_tokens >= {MIN_TOKENS}
+        AND ROUND(length(regexp_replace(d.text, '[^a-z]', '', 'g')) * 1.0
+                  / length(d.text), 4) >= {MIN_ALPHA_RATIO}
+        AND ROUND(ws.top_c * 1.0 / ws.n_tokens, 4) <= {MAX_TOP_WORD_FRAC}
+    )
+    SELECT CASE WHEN substr(md5('split2:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     < 'cccccccc' THEN 'train'
+                WHEN substr(md5('split2:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     < 'e6666666' THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM kept
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+)
+def assembly_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end corpus-assembly pipeline as one plan: exact
+    dedup (min-doc_id representative per content hash) → the quality
+    cascade (length / alpha-ratio / repetition gates) → deterministic
+    hash split → per-(split, lang) manifest of surviving documents and
+    token volume. Every stage is a component proven separately
+    (dedup_exact_docs, docs_quality_filter_pipeline,
+    dataset_split_assign); this query pins that they COMPOSE into one
+    Catalyst plan — one pass for dedup + token stats, per-row split
+    projection, one final aggregation — which is how a production run
+    would actually execute them, not as separate jobs writing
+    intermediate tables."""
+    from rdf_mapreduce_joins_spark.plans.llm import _SPLIT_T80, _SPLIT_T90
+
+    d = load_table(spark, sf_dir, "documents")
+    hashed = d.select("doc_id", "lang", "text", F.md5("text").alias("h"))
+    w = Window.partitionBy("h")
+    deduped = (
+        hashed.withColumn("min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("min_id"))
+        .select("doc_id", "lang", "text")
+    )
+    toks = deduped.select("doc_id", F.explode(text.tokens("text")).alias("tk"))
+    wc = (
+        toks.filter(F.col("tk") != "")
+        .groupBy("doc_id", "tk")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ws = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"), F.max("c").alias("top_c")
+    )
+    alpha = F.round(
+        F.length(F.regexp_replace(F.col("text"), "[^a-z]", ""))
+        / F.length("text"),
+        4,
+    )
+    kept = (
+        deduped.join(ws, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= MIN_TOKENS)
+            & (alpha >= MIN_ALPHA_RATIO)
+            & (F.round(F.col("top_c") / F.col("n_tokens"), 4) <= MAX_TOP_WORD_FRAC)
+        )
+        .select("doc_id", "lang", "n_tokens")
+    )
+    hk = F.substring(
+        F.md5(F.concat(F.lit("split2:"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    split = (
+        F.when(hk < _SPLIT_T80, F.lit("train"))
+        .when(hk < _SPLIT_T90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        kept.groupBy(split.alias("split"), "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
