@@ -392,3 +392,123 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_active"))
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+RANGE_FRAME_S = 3600
+ANCHOR_HOUR_S = 3600
+ANCHOR_HALF_WIDTH_S = 300
+
+
+@query(
+    "events_range_frame_avg",
+    oracle=f"""
+    WITH es AS (
+      SELECT user_id, event_id, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events
+    )
+    SELECT user_id, event_id, ts_s,
+           ROUND(SUM(value) OVER w, 2) AS sum_1h,
+           COUNT(*) OVER w AS n_1h
+    FROM es
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+                 RANGE BETWEEN {RANGE_FRAME_S} PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_range_frame_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (W3's value-based sibling): per user,
+    the trailing one-hour sum and count of event values (sum+count,
+    not avg — an average of two 2-decimal inputs lands exactly on the
+    .005 rounding boundary where Spark's HALF_UP and DuckDB's
+    HALF_EVEN disagree; the sum never does), frame
+    defined by the ORDER-BY value (epoch seconds), not row offsets —
+    ``Window.rangeBetween(-3600, 0)``. Rows sharing a timestamp are
+    frame peers in both engines, so ties need no tiebreaker. One
+    shuffle on user_id, sort by ts_s, single window node; at scale the
+    frame is evaluated with a sliding accumulator over the sorted run
+    (no per-row rescan), identical to the ROWS frame cost."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-RANGE_FRAME_S, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts_s",
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
+@query(
+    "events_interval_join",
+    oracle=f"""
+    WITH es AS (
+      SELECT event_type, event_id, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events
+    ), anchors AS (
+      SELECT event_type,
+             (ts_s // {ANCHOR_HOUR_S}) * {ANCHOR_HOUR_S} AS hour_s,
+             ts_s - {ANCHOR_HALF_WIDTH_S} AS start_s,
+             ts_s + {ANCHOR_HALF_WIDTH_S} AS end_s
+      FROM (
+        SELECT *,
+               row_number() OVER (
+                 PARTITION BY event_type, ts_s // {ANCHOR_HOUR_S}
+                 ORDER BY value DESC, event_id
+               ) AS rn
+        FROM es
+      ) WHERE rn = 1
+    )
+    SELECT a.event_type, a.hour_s, a.start_s, a.end_s,
+           COUNT(*) AS n_in_window,
+           ROUND(SUM(e.value), 2) AS sum_value
+    FROM anchors a
+    JOIN es e
+      ON e.event_type = a.event_type
+     AND e.ts_s BETWEEN a.start_s AND a.end_s
+    GROUP BY a.event_type, a.hour_s, a.start_s, a.end_s
+    """,
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment (range) join via the bucketed equi-join
+    operator (operators/rangejoin.py): per (event_type, hour) the
+    peak-value event anchors a ±5-minute interval; every same-type
+    event inside the interval is aggregated. A naive BETWEEN join is a
+    BroadcastNestedLoopJoin — the bucketed form is a plain shuffled
+    equi-join on (event_type, bucket) with exact containment re-checked
+    after, so it survives both sides growing 1000x."""
+    from rdf_mapreduce_joins_spark.operators.rangejoin import bucketed_interval_join
+
+    es = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value", "ts_s"
+    )
+    w = Window.partitionBy(
+        "event_type", F.floor(F.col("ts_s") / ANCHOR_HOUR_S)
+    ).orderBy(F.desc("value"), F.asc("event_id"))
+    anchors = (
+        es.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            (F.col("ts_s") - (F.col("ts_s") % ANCHOR_HOUR_S)).alias("hour_s"),
+            (F.col("ts_s") - ANCHOR_HALF_WIDTH_S).alias("start_s"),
+            (F.col("ts_s") + ANCHOR_HALF_WIDTH_S).alias("end_s"),
+        )
+    )
+    joined = bucketed_interval_join(
+        es,
+        anchors,
+        on=["event_type"],
+        probe_ts="ts_s",
+        start="start_s",
+        end="end_s",
+        bucket_width=2 * ANCHOR_HALF_WIDTH_S,
+    )
+    return joined.groupBy("event_type", "hour_s", "start_s", "end_s").agg(
+        F.count(F.lit(1)).alias("n_in_window"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -1425,3 +1425,83 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg(contrib), 4).alias("lm_score"))
         .orderBy("doc_id")
     )
+
+
+SPAN_TOKENS = 12
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             md5(array_to_string(toks[i:i+{SPAN_TOKENS - 1}], ' ')) AS span_md5
+      FROM t, UNNEST(generate_series(1, len(toks) - {SPAN_TOKENS - 1})) AS g(i)
+      WHERE len(toks) >= {SPAN_TOKENS}
+    )
+    SELECT span_md5,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences
+    FROM s
+    GROUP BY span_md5
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): find
+    every 12-token span that recurs across >= 2 documents — the
+    training-pipeline primitive behind exact-substring dedup and
+    boilerplate stripping.
+
+    Shape: tokenize once per doc, slide a 12-token window via
+    ``transform(sequence(...))`` (one array op per row, no UDF), hash
+    each span to md5, explode, and hash-aggregate on the span digest.
+    The whole pipeline is scan -> project -> generate -> partial/final
+    hash agg: one shuffle keyed on the digest. At 100 TB the span
+    strings never shuffle — only 32-char digests (xxhash64 would halve
+    that again; md5 is used here because both engines share it) — and
+    a Bloom/count-min prefilter on first occurrence would drop the
+    ~singleton long tail before the exchange; the suffix-array answer
+    from the paper is the single-machine equivalent, not the
+    distributed one."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    spans = F.expr(
+        f"""transform(sequence(1, size(toks) - {SPAN_TOKENS - 1}),
+                      i -> md5(concat_ws(' ', slice(toks, i, {SPAN_TOKENS}))))"""
+    )
+    return (
+        spread(d.select("doc_id", toks.alias("toks")))
+        .where(F.size("toks") >= SPAN_TOKENS)
+        .select("doc_id", F.explode(spans).alias("span_md5"))
+        .groupBy("span_md5")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+@query("embedding_pca_project")  # rows-only: eigensolve floats have no SQL oracle
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (operators/pca.py): one sufficient-statistics
+    pass (mapInPandas partials -> d^2+d+1 aggregated cells on the
+    driver), an O(d^3) driver eigensolve, then a JVM-side projection of
+    every embedding onto the sign-pinned top-2 components. Rows-only
+    under the driver (no SQL eigensolver); tests/test_rowsonly_references.py
+    holds the independent numpy value reference."""
+    from rdf_mapreduce_joins_spark.operators.pca import pca_project
+
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    return pca_project(e, "embedding", d=64, k=2).select(
+        "vec_id",
+        "label",
+        F.round("pc1", 4).alias("pc1"),
+        F.round("pc2", 4).alias("pc2"),
+    )

@@ -1396,3 +1396,73 @@ def pivot_status_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "agg_mode_median",
+    oracle="""
+    WITH seg AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    ), md AS (
+      SELECT c_nationkey, c_mktsegment AS mode_segment
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY c_nationkey ORDER BY n DESC, c_mktsegment
+        ) AS rn FROM seg
+      ) WHERE rn = 1
+    ), ranked AS (
+      SELECT c_nationkey, c_acctbal,
+             row_number() OVER (
+               PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY c_nationkey) AS n_customers
+      FROM customer
+    ), med AS (
+      SELECT c_nationkey, c_acctbal AS median_lo_acctbal, n_customers
+      FROM ranked WHERE rn = (n_customers + 1) // 2
+    )
+    SELECT med.c_nationkey, med.median_lo_acctbal, med.n_customers,
+           md.mode_segment
+    FROM med JOIN md USING (c_nationkey)
+    """,
+)
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode + median per group (A3's order-statistics siblings), both
+    pinned to engine-neutral definitions. Mode is computed MANUALLY
+    (count -> row_number over (n DESC, value ASC)) instead of the
+    built-in ``mode()`` because tie-breaking there is engine-undefined.
+    Median is the LOWER median — the element at rank ceil(n/2) under a
+    total (value, key) order — because the interpolated midpoint of two
+    2-decimal values lands exactly on the .005 boundary where Spark's
+    HALF_UP and DuckDB's HALF_EVEN rounding disagree; rank selection
+    returns a stored value, no float arithmetic at all. Both branches
+    shuffle once on c_nationkey (window + agg share the partitioning);
+    the 25-row group spine joins back as a broadcast at any scale. The
+    approx KLL variant (agg_approx_percentiles) is the one-pass sketch
+    path for 100 TB."""
+    c = load_table(spark, sf_dir, "customer")
+    seg = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    wm = Window.partitionBy("c_nationkey").orderBy(F.desc("n"), F.asc("c_mktsegment"))
+    mode = (
+        seg.withColumn("rn", F.row_number().over(wm))
+        .where(F.col("rn") == 1)
+        .select("c_nationkey", F.col("c_mktsegment").alias("mode_segment"))
+    )
+    wr = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wn = Window.partitionBy("c_nationkey")
+    med = (
+        c.select(
+            "c_nationkey",
+            "c_acctbal",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n_customers"),
+        )
+        .where(F.col("rn") == F.floor((F.col("n_customers") + 1) / 2))
+        .select(
+            "c_nationkey",
+            F.col("c_acctbal").alias("median_lo_acctbal"),
+            "n_customers",
+        )
+    )
+    return med.join(mode, "c_nationkey")

@@ -1,0 +1,179 @@
+"""Round-4 operator tests: bucketed interval join semantics, the
+time-RANGE window frame, lower-median/mode determinism, duplicated
+span detection, and an independent numpy value reference for the
+rows-only PCA projection (same contract as
+tests/test_rowsonly_references.py — the engine's full output must
+match a reference computed OUTSIDE the engine)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from rdf_mapreduce_joins_spark.operators.rangejoin import bucketed_interval_join
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- rangejoin
+
+def test_bucketed_interval_join_matches_naive_theta_join(spark):
+    """The bucketed equi-join must return exactly the rows a naive
+    containment theta-join returns — no duplicates from intervals
+    spanning multiple buckets, no misses at bucket edges."""
+    probe = spark.createDataFrame(
+        [(k, t) for k in ("a", "b") for t in range(0, 100, 7)],
+        "k string, ts long",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("a", 0, 10),      # aligned at bucket start
+            ("a", 9, 31),      # spans 3 buckets
+            ("a", 15, 15),     # degenerate single-point interval
+            ("b", 28, 42),     # crosses a bucket boundary
+            ("b", 95, 120),    # runs past the probe domain
+            ("a", 50, 49),     # empty interval (end < start)
+        ],
+        "k string, start long, end long",
+    )
+    got = (
+        bucketed_interval_join(
+            probe, intervals, on=["k"], probe_ts="ts",
+            start="start", end="end", bucket_width=10,
+        )
+        .select("k", "ts", "start", "end")
+        .collect()
+    )
+    naive = (
+        probe.join(intervals, "k")
+        .where((F.col("ts") >= F.col("start")) & (F.col("ts") <= F.col("end")))
+        .select("k", "ts", "start", "end")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, naive))
+    assert len(got) == len(set(map(tuple, got)))  # no dup pairs
+
+
+def test_interval_join_query_no_nested_loop(spark):
+    """The registered events_interval_join must plan as a real
+    equi-join (SortMerge/ShuffledHash/BroadcastHash), never a
+    BroadcastNestedLoopJoin — that is the whole point of bucketing."""
+    df = entrymod.queries()["events_interval_join"](spark, SF)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------------- range frame
+
+def test_range_frame_includes_timestamp_peers(spark):
+    """RANGE frames include all rows with equal ORDER BY value — both
+    peers must report the same frame aggregate."""
+    q = entrymod.queries()["events_range_frame_avg"]
+    out = q(spark, SF)
+    assert out.columns == ["user_id", "event_id", "ts_s", "sum_1h", "n_1h"]
+    # n_1h is at least 1 (the row itself) and counts every event of
+    # the same user within the trailing hour, independently verified
+    # for one user via pandas.
+    pdf = out.where(F.col("user_id") == 1).toPandas().sort_values("ts_s")
+    rows = pdf.to_dict("records")
+    for r in rows:
+        expected = sum(1 for s in rows if r["ts_s"] - 3600 <= s["ts_s"] <= r["ts_s"])
+        assert r["n_1h"] == expected
+
+
+# ------------------------------------------------------------- mode/median
+
+def test_mode_median_manual_definitions(spark):
+    """Lower median is a stored c_acctbal value at rank ceil(n/2);
+    mode ties break to the lexicographically smallest segment."""
+    out = entrymod.queries()["agg_mode_median"](spark, SF).collect()
+    t = pq.read_table(f"{SF}/customer.parquet").to_pydict()
+    by_nation: dict[int, list[tuple[float, int]]] = {}
+    segs: dict[tuple[int, str], int] = {}
+    for nk, bal, ck, seg in zip(
+        t["c_nationkey"], t["c_acctbal"], t["c_custkey"], t["c_mktsegment"]
+    ):
+        by_nation.setdefault(nk, []).append((bal, ck))
+        segs[(nk, seg)] = segs.get((nk, seg), 0) + 1
+    for row in out:
+        vals = sorted(by_nation[row["c_nationkey"]])
+        assert row["n_customers"] == len(vals)
+        assert row["median_lo_acctbal"] == vals[(len(vals) + 1) // 2 - 1][0]
+        best = min(
+            ((-n, s) for (nk, s), n in segs.items() if nk == row["c_nationkey"])
+        )
+        assert row["mode_segment"] == best[1]
+
+
+# ---------------------------------------------------------------- span dedup
+
+def test_substring_spans_python_reference(spark):
+    """Full-output match against a pure-Python 12-token rolling-window
+    reference (hashes recomputed with hashlib.md5)."""
+    import hashlib
+
+    out = {
+        r["span_md5"]: (r["n_docs"], r["n_occurrences"])
+        for r in entrymod.queries()["dedup_substring_spans"](spark, SF).collect()
+    }
+    t = pq.read_table(f"{SF}/documents.parquet").to_pydict()
+    import re as _re
+
+    counts: dict[str, list] = {}
+    for doc_id, text in zip(t["doc_id"], t["text"]):
+        toks = _re.split(r"\s+", text.strip().lower())
+        for i in range(len(toks) - 12 + 1):
+            h = hashlib.md5(" ".join(toks[i : i + 12]).encode()).hexdigest()
+            counts.setdefault(h, []).append(doc_id)
+    ref = {
+        h: (len(set(ds)), len(ds))
+        for h, ds in counts.items()
+        if len(set(ds)) >= 2
+    }
+    assert out == ref
+
+
+# ---------------------------------------------------------------------- PCA
+
+def test_pca_projection_matches_numpy_reference(spark):
+    """Engine PCA scores vs a straight numpy eigensolve on the raw
+    parquet — same sign convention, tolerance covers distributed float
+    summation order."""
+    out = {
+        r["vec_id"]: (r["pc1"], r["pc2"])
+        for r in entrymod.queries()["embedding_pca_project"](spark, SF).collect()
+    }
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pydict()
+    ids = t["vec_id"]
+    x = np.array([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+    mean = x.mean(axis=0)
+    cov = (x.T @ x) / len(x) - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:2]
+    comps = vecs[:, order].T.copy()
+    for i in range(2):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    proj = (x - mean) @ comps.T
+    assert len(out) == len(ids)
+    for vid, p in zip(ids, proj):
+        got = out[vid]
+        assert got[0] == pytest.approx(p[0], abs=2e-4)
+        assert got[1] == pytest.approx(p[1], abs=2e-4)
+
+
+def test_pca_variance_ordering(spark):
+    """pc1 must carry at least as much empirical variance as pc2."""
+    pdf = (
+        entrymod.queries()["embedding_pca_project"](spark, SF)
+        .select("pc1", "pc2")
+        .toPandas()
+    )
+    assert pdf["pc1"].var() >= pdf["pc2"].var()
