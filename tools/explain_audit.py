@@ -181,6 +181,20 @@ SHOWCASE = [
         "once under the a<b<c orientation, join fan-out bounded by the "
         "ordered degree.",
     ),
+    (
+        "events_interval_join",
+        "Bucketed range join: the interval-containment theta join is "
+        "rewritten as explode-to-buckets + a shuffled equi-join on "
+        "(event_type, bucket) with exact containment re-checked after — "
+        "no BroadcastNestedLoopJoin/CartesianProduct anywhere in the plan.",
+    ),
+    (
+        "dedup_substring_spans",
+        "Exact-substring dedup: tokenize once, transform(sequence(...)) "
+        "rolling 12-token windows, md5 digests exploded into one "
+        "partial+final hash aggregation — only 32-char digests cross the "
+        "single exchange; the span text never shuffles.",
+    ),
 ]
 
 
