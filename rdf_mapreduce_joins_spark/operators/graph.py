@@ -108,38 +108,72 @@ def pagerank(
         .distinct()
         .localCheckpoint()
     )
+    # Loop-invariant hoisting — the expensive insight of the scalable
+    # formulation: the out-degree join and the dangling-node membership
+    # NEVER change across rounds, so both are computed once up front.
+    # Each round is then exactly one shuffle join (ranks x weighted
+    # adjacency) + one aggregation; the dangling mass is a plain
+    # filtered sum over ranks (zero joins — nodes carry is_dangling).
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # Hash-partition the loop-carried frames on `node` before the
+    # checkpoint: localCheckpoint preserves outputPartitioning through
+    # LogicalRDD, so every per-round ranks-x-adj join and the final
+    # nodes-x-contribs join co-locate WITHOUT re-shuffling the edge
+    # side — each iteration pays exactly one exchange (the in-mass
+    # aggregation keyed on dst, which genuinely moves rank along
+    # edges). At 100 TB this is the difference between shuffling the
+    # full adjacency 10x and shuffling it once.
+    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    adj = (
+        e.join(out_deg, "src")
+        .select(
+            F.col("src").alias("node"),
+            "dst",
+            (F.lit(1.0) / F.col("out_deg")).alias("w"),
+        )
+        .repartition(n_part, "node")
+        .localCheckpoint()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .join(
+            out_deg.select(F.col("src").alias("node")),
+            "node",
+            "left_anti",
+        )
+        .withColumn("is_dangling", F.lit(True))
+        .unionByName(
+            out_deg.select(
+                F.col("src").alias("node"), F.lit(False).alias("is_dangling")
+            )
+        )
+        .repartition(n_part, "node")
         .localCheckpoint()
     )
     n = nodes.count()
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(n_iter):
         contribs = (
-            ranks.alias("r")
-            .join(out_deg.alias("d"), F.col("r.node") == F.col("d.src"))
-            .join(e.alias("g"), F.col("r.node") == F.col("g.src"))
+            ranks.join(adj, "node")
             .select(
-                F.col("g.dst").alias("node"),
-                (F.col("r.rank") / F.col("d.out_deg")).alias("contrib"),
+                F.col("dst").alias("node"),
+                (F.col("rank") * F.col("w")).alias("contrib"),
             )
             .groupBy("node")
             .agg(F.sum("contrib").alias("in_mass"))
         )
         # dangling nodes (no out-edges) spread their rank uniformly
-        dangling = (
-            ranks.alias("r")
-            .join(out_deg.alias("d"), F.col("r.node") == F.col("d.src"), "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        dangling = ranks.where("is_dangling").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
         ranks = (
             nodes.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "is_dangling",
                 (
                     F.lit(1.0 - damping)
                     + F.lit(damping)
@@ -148,7 +182,7 @@ def pagerank(
             )
             .localCheckpoint()
         )
-    return ranks
+    return ranks.drop("is_dangling")
 
 
 def triangle_count(
