@@ -123,7 +123,15 @@ def pagerank(
     # aggregation keyed on dst, which genuinely moves rank along
     # edges). At 100 TB this is the difference between shuffling the
     # full adjacency 10x and shuffling it once.
-    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # Cap at defaultParallelism: a foreign session may carry the stock
+    # 200 shuffle partitions, which on a small executor pool just adds
+    # per-round task overhead; on a real cluster defaultParallelism is
+    # the larger number and the shuffle-partition conf wins.
+    sess = edges.sparkSession
+    n_part = min(
+        int(sess.conf.get("spark.sql.shuffle.partitions")),
+        sess.sparkContext.defaultParallelism,
+    )
     adj = (
         e.join(out_deg, "src")
         .select(
