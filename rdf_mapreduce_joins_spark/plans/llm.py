@@ -1505,3 +1505,202 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pc1", 4).alias("pc1"),
         F.round("pc2", 4).alias("pc2"),
     )
+
+
+FUZZY_MAX_DIST = 4
+
+
+@query(
+    "fuzzy_match_parts",
+    oracle=f"""
+    WITH names AS (
+      SELECT p_name, split_part(p_name, ' ', 2) AS noun, COUNT(*) AS n_parts
+      FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name1, b.p_name AS name2,
+           levenshtein(a.p_name, b.p_name) AS dist,
+           a.n_parts AS n_parts1, b.n_parts AS n_parts2
+    FROM names a JOIN names b
+      ON a.noun = b.noun AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+    """,
+)
+def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string-match join (edit distance) — the record-linkage /
+    data-cleaning primitive. The scale design is dictionary-first:
+    low-cardinality string columns (here ~120 distinct 'adjective
+    noun' part names over 20k rows at sf0.1, and the same ~120 over
+    20M rows at 100 TB) collapse to their DISTINCT vocabulary before
+    any pairwise work, so the quadratic stage runs on vocabulary size,
+    not table size. Candidate blocking on the trailing noun keeps the
+    pair join an equi-join (no cartesian); Levenshtein evaluates
+    JVM-side on the surviving candidates only. Carrier counts ride
+    along from the dictionary aggregation. Blocking recall bound: a
+    pair with different nouns is never considered — the standard
+    blocking tradeoff, stated rather than hidden (q-gram prefix
+    signatures are the denser-vocabulary answer)."""
+    p = load_table(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts")).select(
+        "p_name",
+        F.element_at(F.split("p_name", " "), 2).alias("noun"),
+        "n_parts",
+    )
+    a, b = names.alias("a"), names.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .where(dist <= FUZZY_MAX_DIST)
+        .select(
+            F.col("a.p_name").alias("name1"),
+            F.col("b.p_name").alias("name2"),
+            dist.alias("dist"),
+            F.col("a.n_parts").alias("n_parts1"),
+            F.col("b.n_parts").alias("n_parts2"),
+        )
+    )
+
+
+CONTAINMENT_NUM, CONTAINMENT_DEN = 8, 10  # keep pairs with |A∩B|/|A| >= 0.8
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+    bi AS (
+      SELECT DISTINCT doc_id, lang,
+             w[CAST(i AS INTEGER)] || ' ' || w[CAST(i + 1 AS INTEGER)] AS bigram
+      FROM t, range(1, 1001) r(i)
+      WHERE i <= len(w) - 1
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM bi GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS both_n
+      FROM bi a JOIN bi b USING (lang, bigram)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    directed AS (
+      SELECT d1 AS contained_doc, d2 AS container_doc, both_n FROM inter
+      UNION ALL
+      SELECT d2, d1, both_n FROM inter
+    )
+    SELECT contained_doc, container_doc, both_n, sz.n AS n_contained
+    FROM directed JOIN sz ON contained_doc = sz.doc_id
+    WHERE both_n * {CONTAINMENT_DEN} >= {CONTAINMENT_NUM} * sz.n
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment detection (X2 family): ordered
+    pairs where >= 80% of the CONTAINED doc's bigrams appear in the
+    container — the quote/boilerplate-inclusion case symmetric Jaccard
+    misses (a short doc fully embedded in a long one has low Jaccard
+    but containment 1.0). Reuses the language-blocked shared-bigram
+    candidate join (bounded by shingle collisions, never all-pairs);
+    the threshold compares INTEGERS (10*both >= 8*|A|), so there is no
+    float ratio to round and no HALF_UP/HALF_EVEN divergence — the
+    same trick as the lower-median query. At 100 TB the df-capped
+    candidate variant (dedup_ngram_jaccard_capped) composes with this
+    unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    bi = (
+        spread(d)
+        .select(
+            "doc_id", "lang", F.explode(text.word_ngrams("text", 2)).alias("bigram")
+        )
+        .distinct()
+    )
+    sz = bi.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    left = bi.select(F.col("doc_id").alias("d1"), "lang", "bigram")
+    right = bi.select(F.col("doc_id").alias("d2"), "lang", "bigram")
+    inter = (
+        left.join(right, on=["lang", "bigram"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("both_n"))
+    )
+    directed = inter.select(
+        F.col("d1").alias("contained_doc"),
+        F.col("d2").alias("container_doc"),
+        "both_n",
+    ).unionByName(
+        inter.select(
+            F.col("d2").alias("contained_doc"),
+            F.col("d1").alias("container_doc"),
+            "both_n",
+        )
+    )
+    return (
+        directed.join(sz, directed.contained_doc == sz.doc_id)
+        .where(
+            F.col("both_n") * CONTAINMENT_DEN >= CONTAINMENT_NUM * F.col("n")
+        )
+        .select(
+            "contained_doc",
+            "container_doc",
+            "both_n",
+            F.col("n").alias("n_contained"),
+        )
+    )
+
+
+TOKEN_BUDGET_PER_LANG = 5000
+
+
+@query(
+    "docs_token_budget_sample",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS rk
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY rk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM toks
+    )
+    SELECT lang, doc_id, n_tokens, cum_tokens
+    FROM cum WHERE cum_tokens <= {TOKEN_BUDGET_PER_LANG}
+    """,
+)
+def docs_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget sampling (X4 family): per language,
+    admit documents in md5(doc_id) pseudo-random order until the
+    cumulative whitespace-token count reaches the budget — the "give
+    me exactly N tokens per language, reproducibly" primitive behind
+    training-mixture construction. One window (running sum over the
+    hash order, integer-exact) + one filter; at 100 TB the per-group
+    running sum is a single shuffle on lang, and because the order is
+    a content-free hash the admitted set is stable across re-runs and
+    cluster layouts. Greedy boundary semantics: a doc that would
+    overshoot the budget is dropped but later smaller docs may still
+    fit — matching the oracle exactly (cum <= budget, not a hard
+    stop)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias(
+            "n_tokens"
+        ),
+        F.md5(F.col("doc_id").cast("string")).alias("rk"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("rk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= TOKEN_BUDGET_PER_LANG)
+        .select("lang", "doc_id", "n_tokens", "cum_tokens")
+    )

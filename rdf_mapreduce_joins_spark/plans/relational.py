@@ -1466,3 +1466,53 @@ def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return med.join(mode, "c_nationkey")
+
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+@query(
+    "profile_documents_stats",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               COUNT(*) AS n_rows,
+               COUNT(*) - COUNT({c}) AS n_null,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_s,
+               CAST(MAX({c}) AS VARCHAR) AS max_s
+        FROM documents
+        """
+        for c in _PROFILE_COLS
+    ),
+)
+def profile_documents_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass (the `df.describe`/Deequ-style operator a
+    pipeline runs before training ingestion): per column — row count,
+    null count, exact distinct count, lexicographic/numeric min+max.
+    ONE aggregation over one scan computes every column's statistics
+    simultaneously (count_distinct expands internally rather than
+    re-scanning per column); the wide 1-row result is then unpivoted
+    driver-free with ``stack`` into the (column_name, metric...) shape.
+    At 100 TB the same plan holds: one pass, partial aggregation
+    map-side; swap count_distinct for approx_count_distinct when exact
+    cardinality isn't required (agg_approx_distinct is that variant)."""
+    d = load_table(spark, sf_dir, "documents")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__null"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = d.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__null, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_rows, n_null, n_distinct, min_s, max_s)"
+    )
