@@ -90,6 +90,13 @@ def _pattern_frame(
         else:
             triples = triples.filter(F.col("graph") == graph)
     p_var = preds[0].startswith("?")
+    if preds[0] == "/":
+        from rdf_mapreduce_joins_spark.plans.sparql import SparqlUnsupportedError
+
+        raise SparqlUnsupportedError(
+            "grouped-sequence paths ((p1/p2)mod) are unsupported on the "
+            "generic executor — the star compiler supports them"
+        )
     if p_var:
         df = triples  # matches every predicate; nothing to filter
     elif preds[0] == "!":

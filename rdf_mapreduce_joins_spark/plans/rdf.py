@@ -407,6 +407,16 @@ class Pattern:
     # unprojected predicate variable carrying this exclusion, and the
     # excluded branches drop from the union at plan-build time.
     not_preds: tuple[str, ...] = ()
+    # Grouped-sequence path ``(p1/p2)mod``: the edge relation is the
+    # COMPOSITION of the listed (predicate, inverse) sub-steps, and
+    # ``mod`` applies to that composed relation (SPARQL 1.1 allows any
+    # path under a modifier; atoms-only was this engine's last
+    # deliberate path exclusion). Each sub-step must be an FK
+    # predicate and the table chain must resolve unambiguously;
+    # closure modifiers additionally require the composition to start
+    # and end at the same table. When ``seq`` is set, ``p``/``alts``
+    # are display-only (p = first sub-predicate).
+    seq: tuple[tuple[str, bool], ...] = ()
 
     @property
     def preds(self) -> tuple[str, ...]:
@@ -436,6 +446,17 @@ class Pattern:
                 raise ValueError(
                     f"alternation {self.preds} mixes literal and FK objects"
                 )
+        if self.seq:
+            if self.alts:
+                raise ValueError("a sequence path cannot carry alternation")
+            chain = _resolve_seq_chain(self.seq, self.s_table)
+            if self.mod and chain[0][1] != chain[-1][2]:
+                raise ValueError(
+                    f"({'/'.join(p for p, _ in self.seq)}){self.mod} needs a "
+                    "self-referential composition (start table == end table), "
+                    f"got {chain[0][1]} -> {chain[-1][2]}"
+                )
+            return
         if self.mod:
             specs = [
                 sp
@@ -457,6 +478,47 @@ class Pattern:
 
 def _is_var(term: str) -> bool:
     return term.startswith("?")
+
+
+def _resolve_seq_chain(
+    seq: tuple[tuple[str, bool], ...], s_table: str | None
+) -> list[tuple[PredSpec, str, str]]:
+    """Resolve a grouped-sequence path to its unique spec chain.
+
+    Returns one (spec, from_table, to_table) per sub-step, walking the
+    FK graph: a forward step flows subject-table -> FK target, an
+    inverse step the reverse. Raises when a step is unknown, not an FK
+    predicate, or ambiguous given the tables flowed so far (e.g. a
+    leading <nation> with no subject type — it lives on both customer
+    and supplier)."""
+    chain: list[tuple[PredSpec, str, str]] = []
+    cur = s_table
+    for pred, inv in seq:
+        cands = [sp for sp in PRED_SPECS if sp.pred == pred and sp.obj_prefix]
+        if not inv:
+            cands = [sp for sp in cands if cur is None or sp.table == cur]
+            nexts = {sp.obj_prefix.rstrip("/") for sp in cands}
+        else:
+            cands = [
+                sp for sp in cands if cur is None or sp.obj_prefix.rstrip("/") == cur
+            ]
+            nexts = {sp.table for sp in cands}
+        if not cands:
+            raise ValueError(
+                f"sequence step <{pred}>{'^' if inv else ''} matches no FK "
+                f"predicate from table {cur!r}"
+            )
+        if len(cands) > 1:
+            raise ValueError(
+                f"sequence step <{pred}> is ambiguous from table {cur!r} "
+                f"(matches {sorted((sp.table, sp.pred) for sp in cands)}) — "
+                "add a type constraint on the subject"
+            )
+        sp = cands[0]
+        frm = cur or (sp.table if not inv else sp.obj_prefix.rstrip("/"))
+        cur = nexts.pop()
+        chain.append((sp, frm, cur))
+    return chain
 
 
 def _varpred_specs(pat: Pattern) -> list[PredSpec]:
@@ -522,15 +584,43 @@ def _pattern_df(
     if pat.p_is_var:
         assert not encoded, "variable predicates require the string path"
         return _varpred_df(spark, sf_dir, pat)
-    df = pred_df(spark, sf_dir, pat.p, table=pat.s_table, encoded=encoded)
-    for alt in pat.alts:
-        # p1|p2 alternation: bag union of the per-predicate edge sets —
-        # Catalyst unions the vertical partitions; no distinct (SPARQL
-        # alternation is bag semantics).
-        df = df.unionByName(
-            pred_df(spark, sf_dir, alt, table=pat.s_table, encoded=encoded)
-        )
-    obj_fk = _obj_is_fk(pat.p, pat.s_table)
+    if pat.seq:
+        # Grouped-sequence path (p1/p2)mod: compose the sub-step edge
+        # frames into one (subject, object) relation by chaining
+        # equi-joins through the intermediate keys, then let the shared
+        # modifier/filter/projection code below treat it like any other
+        # edge set. Sub-steps are FK predicates, so the encoded int64
+        # path applies end to end; an inverse sub-step just swaps its
+        # two endpoints before joining.
+        df = None
+        for (pred, inv), (sp, _frm, _to) in zip(
+            pat.seq, _resolve_seq_chain(pat.seq, pat.s_table)
+        ):
+            step = pred_df(spark, sf_dir, pred, table=sp.table, encoded=encoded)
+            if inv:
+                step = step.select(
+                    F.col("object").alias("subject"), F.col("subject").alias("object")
+                )
+            if df is None:
+                df = step
+            else:
+                mid = step.select(
+                    F.col("subject").alias("__mid"), "object"
+                )
+                df = df.join(mid, df["object"] == mid["__mid"]).select(
+                    df["subject"], mid["object"]
+                )
+        obj_fk = True
+    else:
+        df = pred_df(spark, sf_dir, pat.p, table=pat.s_table, encoded=encoded)
+        for alt in pat.alts:
+            # p1|p2 alternation: bag union of the per-predicate edge
+            # sets — Catalyst unions the vertical partitions; no
+            # distinct (SPARQL alternation is bag semantics).
+            df = df.unionByName(
+                pred_df(spark, sf_dir, alt, table=pat.s_table, encoded=encoded)
+            )
+        obj_fk = _obj_is_fk(pat.p, pat.s_table)
     if pat.mod:
         from rdf_mapreduce_joins_spark.operators.graph import transitive_closure
 
@@ -633,6 +723,13 @@ def _var_kinds(
                 put(pat.p, "str", frozenset())
                 if _is_var(pat.o):
                     put(pat.o, "any", frozenset())
+                continue
+            if pat.seq:
+                chain = _resolve_seq_chain(pat.seq, pat.s_table)
+                if _is_var(pat.s):
+                    put(pat.s, "id", frozenset({chain[0][1]}))
+                if _is_var(pat.o):
+                    put(pat.o, "id", frozenset({chain[-1][2]}))
                 continue
             specs = [
                 s

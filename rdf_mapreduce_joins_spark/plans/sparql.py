@@ -827,7 +827,7 @@ class _Parser:
             return [(("!", *[p for p, _ in atoms]), False, "")]
         steps: list[tuple[tuple[str, ...], bool, str]] = []
         while True:
-            steps.append(self._parse_path_step())
+            steps.extend(self._parse_path_step())
             if not self.accept("/"):
                 break
         if self.peek() == "|":
@@ -849,16 +849,36 @@ class _Parser:
             steps = [self._combine_atoms(atoms, mod)]
         return steps
 
-    def _parse_path_step(self) -> tuple[tuple[str, ...], bool, str]:
+    def _parse_path_step(self) -> list[tuple[tuple[str, ...], bool, str]]:
+        """One path step; returns a LIST because a parenthesized
+        sequence without a modifier inlines to its sub-steps, while
+        ``(p1/p2)mod`` becomes a single composite step whose preds
+        tuple is marked ``('/', 'p1', 'p2', ...)`` (inverse sub-steps
+        prefixed ``^``) — lowered downstream to a Pattern with
+        ``seq`` set."""
         if self.accept("("):
             atoms = [self._parse_path_atom()]
+            if self.peek() == "/":
+                while self.accept("/"):
+                    atoms.append(self._parse_path_atom())
+                self.expect(")")
+                mod = self.next() if self.peek() in ("+", "*", "?") else ""
+                if not mod:
+                    return [self._combine_atoms([a], "") for a in atoms]
+                return [
+                    (
+                        ("/", *[("^" if inv else "") + p for p, inv in atoms]),
+                        False,
+                        mod,
+                    )
+                ]
             while self.accept("|"):
                 atoms.append(self._parse_path_atom())
             self.expect(")")
         else:
             atoms = [self._parse_path_atom()]
         mod = self.next() if self.peek() in ("+", "*", "?") else ""
-        return self._combine_atoms(atoms, mod)
+        return [self._combine_atoms(atoms, mod)]
 
     @staticmethod
     def _combine_atoms(
@@ -1028,6 +1048,22 @@ def _patterns(g: _Group, types: dict[str, str]) -> list[Pattern]:
                     s_table=types.get(s),
                     o_table=types.get(o),
                     not_preds=preds[1:],
+                )
+            )
+            continue
+        if preds[0] == "/":
+            # grouped-sequence path (p1/p2)mod — composite edge relation
+            seq = tuple(
+                (p.lstrip("^"), p.startswith("^")) for p in preds[1:]
+            )
+            out.append(
+                Pattern(
+                    s,
+                    seq[0][0],
+                    o,
+                    s_table=types.get(s),
+                    mod=mod,
+                    seq=seq,
                 )
             )
             continue
@@ -2004,4 +2040,33 @@ def rdf_negated_property_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         ORDER BY ?s ?o
         """,
+    )
+
+
+@query(
+    "rdf_path_seq_closure",
+    oracle="""
+    WITH RECURSIVE m2(src, dst) AS (
+      SELECT s_suppkey, s_suppkey // 4 FROM supplier WHERE s_suppkey >= 2
+      UNION
+      SELECT c.src, c.dst // 4 FROM m2 c WHERE c.dst >= 2
+    )
+    SELECT 'supplier/' || src AS s, 'supplier/' || dst AS anc FROM m2
+    """,
+)
+def rdf_path_seq_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-sequence path closure ``(<manager>/<manager>)+`` —
+    SPARQL 1.1 allows any path under a modifier, not just atoms; this
+    exercises the composite branch: the two manager hops compose into
+    one derived edge relation (s -> floor(s/4), defined for s >= 2)
+    via an equi-join, and the iterative-doubling closure then runs on
+    the COMPOSED edges. Even-distance ancestors only — a genuinely
+    different result from <manager>+ — and the oracle derives it
+    independently with WITH RECURSIVE over floor division, so parser
+    lowering, composition join, and closure are all
+    differential-tested."""
+    return sparql(
+        spark,
+        sf_dir,
+        "SELECT ?s ?anc WHERE { ?s (<manager>/<manager>)+ ?anc . }",
     )

@@ -1006,3 +1006,70 @@ def test_unsatisfiable_varpred_empty_not_error(spark, sf_dir):
         spark, sf_dir, "SELECT ?p WHERE { ?x a <lineitem> . ?s ?p ?x . }"
     )
     assert df.count() == 0
+
+
+# ----------------------------------------------------------- sequence paths
+
+def test_seq_path_no_modifier_inlines(spark, sf_dir):
+    """(p1/p2) without a modifier is just the chain p1/p2."""
+    a = S.sparql(
+        spark, sf_dir,
+        "SELECT ?s ?r WHERE { ?s (<nation>/<region>) ?r . ?s a <customer> . }",
+    )
+    b = S.sparql(
+        spark, sf_dir,
+        "SELECT ?s ?r WHERE { ?s <nation>/<region> ?r . ?s a <customer> . }",
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_seq_path_closure_matches_squared_manager(spark, sf_dir):
+    """(manager/manager)+ == fixed point of the composed even-hop edge
+    s -> s//4 (defined for s >= 2), verified against a pure-Python
+    reference walk."""
+    import pyarrow.parquet as pq
+
+    got = {
+        tuple(r)
+        for r in S.sparql(
+            spark, sf_dir,
+            "SELECT ?s ?anc WHERE { ?s (<manager>/<manager>)+ ?anc . }",
+        ).collect()
+    }
+    keys = pq.read_table(f"{sf_dir}/supplier.parquet")["s_suppkey"].to_pylist()
+    edge2 = {k: k // 4 for k in keys if k >= 2}
+    exp = set()
+    for k in keys:
+        cur = k
+        while cur in edge2:
+            nxt = edge2[cur]
+            exp.add((f"supplier/{k}", f"supplier/{nxt}"))
+            cur = nxt
+    assert got == exp
+
+
+def test_seq_path_mixed_alternation_rejected():
+    with pytest.raises((S.SparqlSyntaxError, S.SparqlUnsupportedError)):
+        S.parse_sparql("SELECT ?o WHERE { ?s (<nation>|<region>/<name>) ?o . }")
+
+
+def test_seq_path_non_self_referential_closure_rejected(spark, sf_dir):
+    with pytest.raises(ValueError, match="self-referential"):
+        S.sparql(
+            spark, sf_dir,
+            "SELECT ?s ?r WHERE { ?s (<nation>/<region>)+ ?r . "
+            "?s a <customer> . }",
+        ).collect()
+
+
+def test_seq_path_generic_executor_rejected(spark):
+    from rdf_mapreduce_joins_spark.plans.generic_rdf import sparql_triples
+
+    triples = spark.createDataFrame(
+        [("s/1", "p", "s/2"), ("s/2", "p", "s/3")],
+        "subject string, predicate string, object string",
+    )
+    with pytest.raises(S.SparqlUnsupportedError, match="generic executor"):
+        sparql_triples(
+            triples, "SELECT ?s ?o WHERE { ?s (<p>/<p>)+ ?o . }"
+        ).collect()
