@@ -7,9 +7,11 @@ Structured Streaming module (rdf_mapreduce_joins_spark.streaming) reuses
 logic is identical, which is the point of expressing them over event
 time rather than arrival order.
 
-Epoch discipline: the events timestamp arrives as int64 nanoseconds
-(sources/tables.py); both engines bucket via **integer** division on
-epoch seconds, which is exact — no float-floor boundary risk.
+Epoch discipline: whatever physical type the fixture's ``ts`` carries
+(int64 nanos or timestamp[us] — sources/tables.py normalizes either to
+``ts_s``/``ts_ns``/``ts``), both engines bucket via **integer**
+division on epoch seconds, which is exact — no float-floor boundary
+risk.
 """
 
 from __future__ import annotations

@@ -671,8 +671,10 @@ def sparql_quads_indexed(spark, path: str, text: str) -> DataFrame:
     """SPARQL over a persisted quad store (:func:`build_quads_store`):
     graph + predicate partition pruning at file listing, pre-encoded
     ids, on-disk dictionary."""
-    quads = spark.read.parquet(f"{path}/quads")
-    dictionary = spark.read.parquet(f"{path}/dictionary")
+    # drop() is a no-op when the column is absent: batch-built stores
+    # have no ingest_batch, streamed ones carry it as a partition col.
+    quads = spark.read.parquet(f"{path}/quads").drop("ingest_batch")
+    dictionary = spark.read.parquet(f"{path}/dictionary").drop("ingest_batch")
     return sparql_quads(quads, text, encoded=True, dictionary=dictionary)
 
 
@@ -684,8 +686,8 @@ def sparql_triples_indexed(spark, path: str, text: str) -> DataFrame:
     listing. Queries that need term strings mid-plan automatically use
     the store's string columns instead (same fallback rule as the
     inline path)."""
-    tri = spark.read.parquet(f"{path}/triples")
-    dictionary = spark.read.parquet(f"{path}/dictionary")
+    tri = spark.read.parquet(f"{path}/triples").drop("ingest_batch")
+    dictionary = spark.read.parquet(f"{path}/dictionary").drop("ingest_batch")
     return sparql_triples(tri, text, encoded=True, dictionary=dictionary)
 
 

@@ -36,30 +36,56 @@ from rdf_mapreduce_joins_spark.plans.generic_rdf import term_dictionary
 from rdf_mapreduce_joins_spark.sources.ntriples import read_ntriples_stream
 
 
-def _append_batch(batch: DataFrame, store_path: str) -> None:
+def _append_batch(batch: DataFrame, store_path: str, batch_id: int = 0) -> None:
+    """Write one micro-batch into the store, EXACTLY-ONCE under
+    foreachBatch's at-least-once retry contract: rows land in
+    ``ingest_batch=<id>`` partitions via dynamic partition overwrite,
+    so a retried batch REPLACES its own partitions instead of
+    appending duplicates (a blind parquet append would double every
+    triple the retry re-delivers). Predicate stays the leading
+    partition column — probe-side pruning is unchanged; readers drop
+    the extra ``ingest_batch`` column on load."""
     spark = batch.sparkSession
-    enc = batch.select(
-        "predicate",
-        "subject",
-        "object",
-        F.xxhash64("subject").alias("subject_id"),
-        F.xxhash64("object").alias("object_id"),
-    )
-    enc.write.mode("append").partitionBy("predicate").parquet(
-        f"{store_path}/triples"
-    )
-    new_terms = term_dictionary(batch)
-    dict_path = f"{store_path}/dictionary"
-    # Detect the existing dictionary through Spark, not os.path — the
-    # store may live on any filesystem (hdfs://, s3a://, file:), where
-    # a local-path check silently skips the dedup and duplicate
-    # (id, term) rows would fan out every decode join.
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        existing = spark.read.parquet(dict_path).select("id")
-        new_terms = new_terms.join(existing, ["id"], "left_anti")
-    except AnalysisException:  # first batch: no dictionary yet
-        pass
-    new_terms.write.mode("append").parquet(dict_path)
+        enc = batch.select(
+            "predicate",
+            "subject",
+            "object",
+            F.xxhash64("subject").alias("subject_id"),
+            F.xxhash64("object").alias("object_id"),
+            F.lit(int(batch_id)).alias("ingest_batch"),
+        )
+        enc.write.mode("overwrite").partitionBy(
+            "predicate", "ingest_batch"
+        ).parquet(f"{store_path}/triples")
+        new_terms = term_dictionary(batch).withColumn(
+            "ingest_batch", F.lit(int(batch_id))
+        )
+        dict_path = f"{store_path}/dictionary"
+        # Detect the existing dictionary through Spark, not os.path —
+        # the store may live on any filesystem (hdfs://, s3a://,
+        # file:), where a local-path check silently skips the dedup and
+        # duplicate (id, term) rows would fan out every decode join.
+        # The anti-join EXCLUDES the current batch's own partition: on
+        # a retry that partition holds the failed attempt's terms, and
+        # anti-joining against them would drop the terms and then
+        # overwrite the partition empty — losing dictionary entries.
+        try:
+            existing = (
+                spark.read.parquet(dict_path)
+                .filter(F.col("ingest_batch") != int(batch_id))
+                .select("id")
+            )
+            new_terms = new_terms.join(existing, ["id"], "left_anti")
+        except AnalysisException:  # first batch: no dictionary yet
+            pass
+        new_terms.write.mode("overwrite").partitionBy("ingest_batch").parquet(
+            dict_path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
 
 def ingest_ntriples_stream(
@@ -75,7 +101,7 @@ def ingest_ntriples_stream(
     drains the current directory and stops — the test/backfill mode."""
     stream = read_ntriples_stream(spark, source_dir)
     writer = stream.writeStream.foreachBatch(
-        lambda df, _bid: _append_batch(df, store_path)
+        lambda df, bid: _append_batch(df, store_path, bid)
     ).option("checkpointLocation", checkpoint)
     if available_now:
         writer = writer.trigger(availableNow=True)
