@@ -1516,3 +1516,91 @@ def profile_documents_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
         "(column_name, n_rows, n_null, n_distinct, min_s, max_s)"
     )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH cn AS (
+      SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+      FROM customer GROUP BY c_nationkey
+    ), sn AS (
+      SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT COALESCE(cn.nk, sn.nk) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (the J-lattice corner left/semi/anti don't
+    cover): per-nation customer vs supplier coverage, keeping nations
+    present on either side with zero-filled counts. Aggregate-then-join
+    — the join runs on two ~25-row group spines, not the fact tables,
+    so either side broadcasts at any scale; full-outer forces the plan
+    to keep both unmatched sides (Catalyst cannot convert it to a
+    one-sided join)."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cn = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    sn = s.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return (
+        cn.join(sn, "nk", "full_outer")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+@query(
+    "setops_bag_semantics",
+    oracle="""
+    WITH a AS (SELECT o_orderpriority AS pri FROM orders
+               WHERE o_orderstatus = 'O'),
+         b AS (SELECT o_orderpriority AS pri FROM orders
+               WHERE o_orderstatus = 'F')
+    SELECT 'except_all' AS which, pri, COUNT(*) AS n FROM (
+      SELECT pri FROM a EXCEPT ALL SELECT pri FROM b
+    ) GROUP BY pri
+    UNION ALL
+    SELECT 'intersect_all' AS which, pri, COUNT(*) AS n FROM (
+      SELECT pri FROM a INTERSECT ALL SELECT pri FROM b
+    ) GROUP BY pri
+    """,
+)
+def setops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL (O5's bag-semantics siblings):
+    multiplicity-aware set ops over order priorities split by status —
+    EXCEPT ALL keeps max(count_a - count_b, 0) copies, INTERSECT ALL
+    min(count_a, count_b). Spark's exceptAll/intersectAll compile to a
+    count-tagged aggregate + generate (no row-by-row anti matching);
+    counts re-aggregated so the oracle compares multiplicities
+    exactly."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderpriority").alias("pri")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderpriority").alias("pri")
+    )
+    ex = (
+        a.exceptAll(b)
+        .groupBy("pri")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("which"), "pri", "n")
+    )
+    ix = (
+        a.intersectAll(b)
+        .groupBy("pri")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("which"), "pri", "n")
+    )
+    return ex.unionByName(ix)
