@@ -514,3 +514,108 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_in_window"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@query(
+    "events_asof_nearest",
+    oracle="""
+    WITH es AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), tagged AS (
+      SELECT user_id, event_id, ts_s,
+             CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS sp,
+             CASE WHEN event_type = 'purchase' THEN ts_s END AS pts,
+             CASE WHEN event_type = 'purchase' THEN event_id END AS pid
+      FROM es
+    ), scanned AS (
+      SELECT user_id, event_id, ts_s, sp,
+             last_value(pts IGNORE NULLS) OVER wp AS prev_pts,
+             last_value(pid IGNORE NULLS) OVER wp AS prev_pid,
+             first_value(pts IGNORE NULLS) OVER wn AS next_pts,
+             first_value(pid IGNORE NULLS) OVER wn AS next_pid
+      FROM tagged
+      WINDOW
+        wp AS (PARTITION BY user_id ORDER BY ts_s, sp, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wn AS (PARTITION BY user_id ORDER BY ts_s, 1 - sp, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, event_id, ts_s,
+           CASE WHEN prev_pts IS NOT NULL
+                 AND (next_pts IS NULL
+                      OR ts_s - prev_pts <= next_pts - ts_s)
+                THEN prev_pid ELSE next_pid END AS near_purchase_id,
+           CASE WHEN prev_pts IS NOT NULL
+                 AND (next_pts IS NULL
+                      OR ts_s - prev_pts <= next_pts - ts_s)
+                THEN ts_s - prev_pts ELSE next_pts - ts_s END AS delta_s
+    FROM scanned WHERE sp = 1
+    """,
+)
+def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-match as-of join (the bidirectional sibling of
+    operators/asof.py's backward join): each click is enriched with
+    the temporally CLOSEST purchase by the same user — backward or
+    forward, ties to the earlier side, NULLs when the user never
+    purchases.
+
+    Same union-scan shape as the backward as-of: no join at all — tag
+    both event kinds, one window scan per direction over (user_id,
+    time) with last/first IGNORE NULLS, then an arithmetic argmin.
+    Equal-timestamp purchases are made visible to the click in BOTH
+    directions by the side term in each window's ORDER BY (purchase
+    sorts before the click in the backward scan, after it in the
+    forward scan); the full (ts, side, event_id) tiebreak makes the
+    selected (pid, pts) come from one well-defined row. Cost: one
+    shuffle on user_id + two sorts — immune to dense purchase
+    histories where a join would fan out |clicks|x|purchases| per
+    user."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    sp = F.when(F.col("event_type") == "purchase", 0).otherwise(1)
+    tagged = e.select(
+        "user_id",
+        "event_id",
+        "ts_s",
+        sp.alias("sp"),
+        F.when(F.col("event_type") == "purchase", F.col("ts_s")).alias("pts"),
+        F.when(F.col("event_type") == "purchase", F.col("event_id")).alias("pid"),
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "sp", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", (1 - F.col("sp")), "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    scanned = tagged.select(
+        "user_id",
+        "event_id",
+        "ts_s",
+        "sp",
+        F.last("pts", ignorenulls=True).over(wp).alias("prev_pts"),
+        F.last("pid", ignorenulls=True).over(wp).alias("prev_pid"),
+        F.first("pts", ignorenulls=True).over(wn).alias("next_pts"),
+        F.first("pid", ignorenulls=True).over(wn).alias("next_pid"),
+    )
+    prefer_prev = F.col("prev_pts").isNotNull() & (
+        F.col("next_pts").isNull()
+        | (F.col("ts_s") - F.col("prev_pts") <= F.col("next_pts") - F.col("ts_s"))
+    )
+    return scanned.where(F.col("sp") == 1).select(
+        "user_id",
+        "event_id",
+        "ts_s",
+        F.when(prefer_prev, F.col("prev_pid"))
+        .otherwise(F.col("next_pid"))
+        .alias("near_purchase_id"),
+        F.when(prefer_prev, F.col("ts_s") - F.col("prev_pts"))
+        .otherwise(F.col("next_pts") - F.col("ts_s"))
+        .alias("delta_s"),
+    )
