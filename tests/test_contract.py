@@ -24,6 +24,7 @@ def test_oracle_keys_subset_of_queries():
         "dedup_simhash",
         "similarity_topk_lsh",
         "text_lang_id",
+        "embedding_pca_project",
         "multimodal_features",
         "multimodal_frame_sample",
         "multimodal_resize",
