@@ -43,12 +43,18 @@ def main() -> None:
     # Per-query error isolation: one broken query must not zero the
     # whole artifact — it gets null and the JSON line still prints.
     #
-    # min over SPARK_GRAFT_BENCH_REPS suite passes (default 2): the
+    # min over SPARK_GRAFT_BENCH_REPS suite passes (default 2 — a
+    # 3-rep idle run measured aggregate 0.92x of the BASELINE minima
+    # vs 1.09x at 2 reps, but the extra pass doubles wall time and the
+    # driver's bench timeout tolerance is unverified; 2 is the config
+    # every recorded round artifact succeeded with): the
     # first execution of each query is dominated by whole-stage-codegen
     # compile + JIT (measured 2-7x the steady-state on sub-second
     # queries), which is noise at any real scale factor. BASELINE.md's
     # numbers are per-query minima over 10 passes for the same reason —
-    # reporting minima keeps the two comparable.
+    # reporting minima keeps the two comparable (min-of-2 measured a
+    # mechanical ~10% high vs the min-of-10 baselines on pure run
+    # variance).
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float | None] = {}
     errors: dict[str, str] = {}
