@@ -1704,3 +1704,49 @@ def docs_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cum_tokens") <= TOKEN_BUDGET_PER_LANG)
         .select("lang", "doc_id", "n_tokens", "cum_tokens")
     )
+
+
+@query(
+    "fuzzy_entity_clusters",
+    oracle=f"""
+    WITH RECURSIVE names AS (
+      SELECT p_name, split_part(p_name, ' ', 2) AS noun
+      FROM part GROUP BY p_name
+    ), pairs AS (
+      SELECT a.p_name AS n1, b.p_name AS n2
+      FROM names a JOIN names b
+        ON a.noun = b.noun AND a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+    ), edges AS (
+      SELECT n1 AS a, n2 AS b FROM pairs
+      UNION
+      SELECT n2, n1 FROM pairs
+    ), reach(node, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT re.node, e.b FROM reach re JOIN edges e ON re.r = e.a
+    )
+    SELECT node AS name, MIN(r) AS canonical
+    FROM reach GROUP BY node
+    """,
+)
+def fuzzy_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end (X4 composition): the fuzzy-match
+    pair graph (dictionary-first Levenshtein candidates,
+    fuzzy_match_parts) resolved into entity clusters by the SAME
+    connected-components operator the near-dup dedup family uses, each
+    name labeled with its cluster's lexicographic minimum as the
+    canonical form. Pins that record-linkage candidates and graph
+    clustering COMPOSE — the standard two-stage ER architecture — and
+    that min-label propagation is type-generic (string labels here,
+    int64 doc ids in dedup). Oracle recomputes the closure with WITH
+    RECURSIVE."""
+    from rdf_mapreduce_joins_spark.operators import dedup
+
+    pairs = fuzzy_match_parts(spark, sf_dir).select(
+        F.col("name1").alias("d1"), F.col("name2").alias("d2")
+    )
+    labels = dedup.connected_components(pairs, "d1", "d2")
+    return labels.select(
+        F.col("node").alias("name"), F.col("component").alias("canonical")
+    )
