@@ -224,3 +224,58 @@ def triangle_count(
         wedges.join(e3, ["a", "c"], "left_semi")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
+
+
+def shortest_hops(
+    edges: DataFrame,
+    source: str | int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Single-source shortest hop counts (unweighted BFS) over the
+    UNDIRECTED view of an edge relation: (node, dist) for every node
+    reachable from ``source``, dist = minimum number of edges.
+
+    Frontier-expansion BFS, the scalable unweighted-SSSP formulation:
+    each round joins the CURRENT frontier (only newly-discovered
+    nodes, never the whole visited set) against the adjacency, then
+    anti-joins visited — O(diameter) rounds, per-round shuffle
+    proportional to the frontier's edge boundary. ``localCheckpoint``
+    cuts lineage per round; the driver loop carries only the frontier
+    COUNT. Distances are exact integers (no float nondeterminism), so
+    unlike PageRank the result is fully deterministic and
+    oracle-checkable."""
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    adj = (
+        sym.unionByName(
+            sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    frontier = (
+        adj.select(F.col("a").alias("node"))
+        .unionByName(adj.select(F.col("b").alias("node")))
+        .filter(F.col("node") == F.lit(source))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint()
+    )
+    visited = frontier
+    for depth in range(1, max_iter + 1):
+        if frontier.limit(1).count() == 0:
+            break
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(depth))
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    adj.unpersist()
+    return visited

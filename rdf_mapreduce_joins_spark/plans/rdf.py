@@ -1324,3 +1324,40 @@ def rdf_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     fk_preds = sorted({s.pred for s in PRED_SPECS if s.obj_prefix is not None})
     edges = triples(spark, sf_dir, preds=fk_preds)
     return triangle_count(edges, src="subject", dst="object")
+
+
+@query(
+    "rdf_shortest_hops",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT 'supplier/' || s_suppkey AS a,
+             'supplier/' || (s_suppkey // 2) AS b
+      FROM supplier WHERE s_suppkey >= 1
+    ), sym AS (
+      SELECT a, b FROM e UNION SELECT b, a FROM e
+    ), walk(node, d) AS (
+      SELECT 'supplier/0', 0
+      UNION
+      SELECT s.b, w.d + 1 FROM walk w JOIN sym s ON s.a = w.node
+      WHERE w.d < 25
+    )
+    SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM walk GROUP BY node
+    """,
+)
+def rdf_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest hop counts (unweighted BFS,
+    operators/graph.py::shortest_hops) over the UNDIRECTED manager
+    tree from the org root <supplier/0> — the distance complement to
+    reachability (<manager>+ says WHETHER, this says HOW FAR). Exact
+    integer distances, so unlike PageRank it is fully deterministic
+    and carries a full SQL oracle: DuckDB re-derives min hop counts
+    with a depth-capped recursive walk (states bounded by nodes x cap,
+    no cycle blow-up because UNION dedups (node, d) pairs). The
+    frontier expansion joins only NEWLY-discovered nodes per round —
+    O(diameter) rounds with boundary-proportional shuffles, the
+    textbook distributed BFS."""
+    from rdf_mapreduce_joins_spark.operators.graph import shortest_hops
+
+    edges = triples(spark, sf_dir, preds=["manager"])
+    hops = shortest_hops(edges, "supplier/0", src="subject", dst="object")
+    return hops.select("node", F.col("dist").cast("bigint").alias("dist"))

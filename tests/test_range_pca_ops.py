@@ -177,3 +177,23 @@ def test_pca_variance_ordering(spark):
         .toPandas()
     )
     assert pdf["pc1"].var() >= pdf["pc2"].var()
+
+
+# ----------------------------------------------------------------- BFS hops
+
+def test_shortest_hops_hand_graph(spark):
+    """BFS distances on a hand graph: min hops win over longer
+    alternatives, direction is ignored, unreachable nodes are absent."""
+    from rdf_mapreduce_joins_spark.operators.graph import shortest_hops
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "d"),  # chain a-b-c-d
+            ("a", "d"),                           # shortcut: d is 1 hop
+            ("d", "a"),                           # cycle back (ignored dup)
+            ("x", "y"),                           # disconnected component
+        ],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["dist"] for r in shortest_hops(edges, "a").collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 1}
