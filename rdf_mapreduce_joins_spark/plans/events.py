@@ -619,3 +619,107 @@ def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("next_pts") - F.col("ts_s"))
         .alias("delta_s"),
     )
+
+
+N_EQUIDEPTH_BINS = 4
+
+
+@query(
+    "events_equidepth_bins",
+    oracle=f"""
+    WITH es AS (
+      SELECT event_type, value, event_id,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           CAST(((rn - 1) * {N_EQUIDEPTH_BINS}) // n AS BIGINT) AS bin,
+           COUNT(*) AS n_rows,
+           MIN(value) AS lo,
+           MAX(value) AS hi
+    FROM es
+    GROUP BY event_type, bin
+    """,
+)
+def events_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) binning per event type — the histogram
+    whose bins hold equal ROW counts rather than equal value widths
+    (the complement of events_value_histogram). Bin assignment is pure
+    integer arithmetic on the (value, event_id)-ranked row number —
+    bin = (rn-1)*k/n — so there is no percentile interpolation and no
+    float boundary anywhere; bin edges are reported as the exact
+    stored min/max per bin. One shuffle on event_type shared by the
+    two window functions and the aggregation. At 100 TB exact global
+    ranking per group is a sort-based agg; the KLL sketch
+    (agg_approx_percentiles) is the one-pass approximation when that
+    sort is too expensive."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    bin_ = F.floor(
+        (F.col("rn") - 1) * N_EQUIDEPTH_BINS / F.col("n")
+    ).cast("bigint")
+    return (
+        ranked.withColumn("bin", bin_)
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
+@query(
+    "events_feature_matrix",
+    oracle="""
+    WITH es AS (
+      SELECT user_id, event_id, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events
+    )
+    SELECT user_id, event_id, ts_s,
+           LAG(value, 1) OVER w AS lag1,
+           LAG(value, 2) OVER w AS lag2,
+           ROUND(SUM(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+             AS roll_sum3,
+           MIN(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS roll_min3,
+           MAX(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS roll_max3
+    FROM es
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+    """,
+)
+def events_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-series feature engineering (the lag/rolling
+    feature matrix a training pipeline derives before model fitting):
+    lag-1/lag-2 values plus 3-row rolling sum/min/max over the
+    (ts, event_id)-ordered event stream. ONE window specification
+    drives all five features — one shuffle on user_id, one sort, a
+    single window node computing every frame aggregate in the same
+    pass (rolling sum instead of mean: the sum of 2-decimal inputs
+    rounds identically in both engines, a mean can land on the .005
+    HALF_UP/HALF_EVEN boundary)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    w3 = w.rowsBetween(-2, Window.currentRow)
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts_s",
+        F.lag("value", 1).over(w).alias("lag1"),
+        F.lag("value", 2).over(w).alias("lag2"),
+        F.round(F.sum("value").over(w3), 2).alias("roll_sum3"),
+        F.min("value").over(w3).alias("roll_min3"),
+        F.max("value").over(w3).alias("roll_max3"),
+    )
