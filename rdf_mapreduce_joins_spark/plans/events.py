@@ -723,3 +723,44 @@ def events_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").over(w3).alias("roll_min3"),
         F.max("value").over(w3).alias("roll_max3"),
     )
+
+
+@query(
+    "events_transition_counts",
+    oracle="""
+    WITH es AS (
+      SELECT user_id, event_type, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events
+    ), seq AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts_s, event_id
+             ) AS to_type
+      FROM es
+    )
+    SELECT from_type, to_type, COUNT(*) AS n_transitions
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def events_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition (Markov) matrix: counts of consecutive
+    event-type pairs within each user's time-ordered stream — the
+    product-analytics "what happens after X" primitive and the
+    sufficient statistic for a first-order behavior model. One lead()
+    window + one hash aggregation sharing the user_id shuffle;
+    deliberately emits integer COUNTS, not probabilities — a
+    count/total float division can land on the rounding-mode boundary,
+    and the consumer can normalize losslessly."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    return (
+        seq.where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )

@@ -1361,3 +1361,50 @@ def rdf_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = triples(spark, sf_dir, preds=["manager"])
     hops = shortest_hops(edges, "supplier/0", src="subject", dst="object")
     return hops.select("node", F.col("dist").cast("bigint").alias("dist"))
+
+
+@query(
+    "rdf_hierarchy_rollup",
+    oracle="""
+    WITH RECURSIVE closure(anc, node) AS (
+      SELECT CAST(s_suppkey // 2 AS BIGINT), s_suppkey
+      FROM supplier WHERE s_suppkey >= 1
+      UNION
+      SELECT CAST(c.anc // 2 AS BIGINT), c.node
+      FROM closure c WHERE c.anc >= 1
+    )
+    SELECT 'supplier/' || closure.anc AS manager,
+           COUNT(*) AS n_reports,
+           ROUND(SUM(s.s_acctbal), 2) AS total_acctbal
+    FROM closure JOIN supplier s ON s.s_suppkey = closure.node
+    GROUP BY closure.anc
+    """,
+)
+def rdf_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup over the org closure (the reporting-line
+    aggregate every org-chart dashboard runs): for each manager, count
+    and total account balance of ALL transitive reports — the
+    transitive-closure operator composed with a relational aggregate.
+    The closure yields (ancestor, descendant) pairs in ⌈log₂ depth⌉
+    doubling rounds; the supplier dimension joins on the descendant key
+    and one hash aggregation groups by ancestor. For a depth-d tree the
+    closure is O(N·d) rows — the scalable hierarchy-rollup layout
+    (materialize ancestor paths, aggregate by ancestor) rather than a
+    per-manager recursive probe. Oracle re-derives the closure with
+    WITH RECURSIVE."""
+    from rdf_mapreduce_joins_spark.operators.graph import transitive_closure
+
+    edges = triples(spark, sf_dir, preds=["manager"])
+    closure = transitive_closure(edges, src="subject", dst="object")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("supplier/"), F.col("s_suppkey")).alias("node_iri"),
+        "s_acctbal",
+    )
+    return (
+        closure.join(sup, closure["src"] == sup["node_iri"])
+        .groupBy(F.col("dst").alias("manager"))
+        .agg(
+            F.count(F.lit(1)).alias("n_reports"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
