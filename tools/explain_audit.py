@@ -195,6 +195,21 @@ SHOWCASE = [
         "partial+final hash aggregation — only 32-char digests cross the "
         "single exchange; the span text never shuffles.",
     ),
+    (
+        "rdf_hierarchy_rollup",
+        "Closure composed with aggregation: the (ancestor, descendant) "
+        "pairs from the doubling closure join the supplier dimension on "
+        "the descendant key and hash-aggregate by ancestor — the O(N*d) "
+        "ancestor-path layout for hierarchy rollups, no per-manager "
+        "recursive probes.",
+    ),
+    (
+        "events_feature_matrix",
+        "Five lag/rolling features from ONE window specification: a "
+        "single Exchange on user_id and a single Sort feed one Window "
+        "node computing lag1/lag2/sum3/min3/max3 together — adding a "
+        "feature adds zero shuffles.",
+    ),
 ]
 
 
