@@ -764,3 +764,62 @@ def events_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+@query(
+    "events_running_distinct_users",
+    oracle="""
+    WITH es AS (
+      SELECT event_type, user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events
+    ), flagged AS (
+      SELECT event_type, user_id, ts_s, event_id,
+             CASE WHEN row_number() OVER (
+               PARTITION BY event_type, user_id ORDER BY ts_s, event_id
+             ) = 1 THEN 1 ELSE 0 END AS first_seen
+      FROM es
+    )
+    SELECT event_type, ts_s, event_id,
+           CAST(SUM(first_seen) OVER (
+             PARTITION BY event_type ORDER BY ts_s, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS distinct_users_so_far
+    FROM flagged
+    """,
+)
+def events_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT-user count per event type — the cumulative
+    unique-reach curve. Window functions cannot COUNT(DISTINCT) over a
+    running frame in either engine; the standard rewrite flags each
+    (type, user)'s FIRST occurrence with row_number()==1 and running-
+    sums the flag. Two window passes over one shuffle family
+    (event_type is a prefix of the first window's key, so AQE plans
+    one exchange + two sorts); every value is an exact integer. The
+    streaming twin is dropDuplicates + count aggregation per
+    watermarked window."""
+    e = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts_s", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.select(
+        "event_type",
+        "ts_s",
+        "event_id",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias(
+            "first_seen"
+        ),
+    )
+    return flagged.select(
+        "event_type",
+        "ts_s",
+        "event_id",
+        F.sum("first_seen").over(w_run).cast("bigint").alias(
+            "distinct_users_so_far"
+        ),
+    )

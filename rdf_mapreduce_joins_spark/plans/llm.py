@@ -1750,3 +1750,42 @@ def fuzzy_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("name"), F.col("component").alias("canonical")
     )
+
+
+@query(
+    "text_readability_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+             AS n_words,
+           CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+             AS n_sentences,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+             AS n_vowel_groups
+    FROM documents
+    """,
+)
+def text_readability_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability sufficient statistics (the Flesch/FKGL inputs a
+    quality-filter cascade consumes): per document — word count,
+    sentence-terminator runs, and vowel-group runs (the standard
+    syllable proxy). All three are INTEGER counts from JVM-side regex
+    primitives in one scan projection (no UDF, no shuffle at all
+    beyond the scan); the float Flesch formula itself is left to the
+    consumer because its two divisions would sit exactly on the
+    rounding-mode boundary this engine's oracles avoid. On these
+    synthetic fixtures n_sentences is honestly zero (no punctuation) —
+    the expression is exercised, the corpus just lacks the signal."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        .cast("bigint")
+        .alias("n_words"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0))
+        .cast("bigint")
+        .alias("n_sentences"),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0))
+        .cast("bigint")
+        .alias("n_vowel_groups"),
+    )
