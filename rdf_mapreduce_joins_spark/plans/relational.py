@@ -1604,3 +1604,170 @@ def setops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("intersect_all").alias("which"), "pri", "n")
     )
     return ex.unionByName(ix)
+
+
+@query(
+    "orders_monthly_trend_yoy",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+               AS ym,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM orders GROUP BY ym
+    )
+    SELECT ym, n_orders, revenue_cents,
+           n_orders - LAG(n_orders, 12) OVER (ORDER BY ym) AS yoy_orders_delta
+    FROM m
+    """,
+)
+def orders_monthly_trend_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order trend with year-over-year delta (the BI
+    time-series staple): aggregate to a yyyymm series, then lag-12
+    over the SERIES — the window runs on ~80 aggregated rows, not the
+    fact table, so the unpartitioned ORDER BY is a non-issue (a
+    single-partition sort of the group spine; at 100 TB the spine is
+    still tiny). Money is summed as exact integer CENTS
+    (round(price*100) per row — 2-decimal doubles convert losslessly)
+    so neither the sum nor the YoY subtraction touches float
+    arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("ym")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )
+    w = Window.orderBy("ym")
+    return m.select(
+        "ym",
+        "n_orders",
+        "revenue_cents",
+        (F.col("n_orders") - F.lag("n_orders", 12).over(w)).alias(
+            "yoy_orders_delta"
+        ),
+    )
+
+
+@query(
+    "lineitem_abc_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT l_partkey, revenue_cents,
+             SUM(revenue_cents) OVER (
+               ORDER BY revenue_cents DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_cents,
+             SUM(revenue_cents) OVER () AS total_cents
+      FROM rev
+    )
+    SELECT l_partkey, revenue_cents,
+           CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
+                WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def lineitem_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification (inventory analytics): parts ranked
+    by revenue, classed A/B/C at the 80%/95% cumulative-share cuts.
+    Revenue is exact integer cents and the share test is a pure
+    integer cross-multiplication (cum*100 <= total*80) — no division,
+    no float, no rounding-mode exposure at the class boundary. The
+    running sum orders by (revenue DESC, partkey) — a total order, so
+    equal-revenue parts class deterministically. The unpartitioned
+    window runs on the per-part aggregate (|parts| rows), not on
+    lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_cents")
+    )
+    w_cum = Window.orderBy(F.desc("revenue_cents"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "l_partkey",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w_cum).alias("cum_cents"),
+        F.sum("revenue_cents").over(w_all).alias("total_cents"),
+    )
+    return ranked.select(
+        "l_partkey",
+        "revenue_cents",
+        F.when(
+            F.col("cum_cents") * 100 <= F.col("total_cents") * 80, "A"
+        )
+        .when(F.col("cum_cents") * 100 <= F.col("total_cents") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+@query(
+    "supplier_cosupply_graph",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+             COUNT(*) AS n_shared_parts
+      FROM ps a JOIN ps b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY s1, s2
+    )
+    SELECT s1, s2, n_shared_parts
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY s1 ORDER BY n_shared_parts DESC, s2
+      ) AS rn FROM pairs
+    ) WHERE rn <= 5
+    """,
+)
+def supplier_cosupply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection (the co-occurrence graph construction
+    behind co-purchase / co-authorship analytics): each supplier's
+    top-5 strongest partners by number of co-shipped parts. Distinct
+    (part, supplier) incidence first — collapsing lineitem
+    multiplicity BEFORE the self-join bounds pair fan-out by the
+    part's supplier degree, not its order count; s1<s2 emits each pair
+    once. The top-k-per-node cut matters at scale: on dense incidence
+    the full projection is quadratic in suppliers (measured: at sf0.1
+    EVERY supplier pair co-occurs — C(1000,2) rows), while top-k
+    bounds the output at |S|*k and Spark plans it as a partial
+    WindowGroupLimit below the exchange. Hub parts (huge supplier
+    degree) get the same df-cap lever as hub shingles in the dedup
+    family when the intermediate itself needs bounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    a = ps.alias("a")
+    b = ps.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_parts"))
+    )
+    w = Window.partitionBy("s1").orderBy(F.desc("n_shared_parts"), F.asc("s2"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )
