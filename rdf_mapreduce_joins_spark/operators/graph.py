@@ -102,6 +102,35 @@ def pagerank(
     before comparing (declared rows-only in the query registry; tests
     pin the invariants: mass conservation, dangling handling, and a
     hand-computed small-graph fixture)."""
+    adj, nodes = _pagerank_setup(edges, src, dst)
+    # Initial ranks are CHECKPOINTED before the first round: the nodes
+    # frame shares lineage (attribute ids) with the cached adjacency,
+    # and joining two frames with colliding ids makes the analyzer's
+    # relation-dedup renumber one side — which breaks the cache lookup
+    # (sameResult fails for a renumbered LogicalRDD subtree; measured
+    # this session: the adjacency was silently recomputed+reshuffled
+    # every round). The checkpoint replaces the plan with a fresh-id
+    # leaf, so no dedup fires and the adjacency cache always hits.
+    ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint()
+    n = ranks.count()
+    for _ in range(n_iter):
+        # ranks stays localCheckpoint-ed: it is loop-CARRIED, so the
+        # lineage cut is what keeps the plan O(1) per round; its
+        # partitioning loss costs O(|V|) exchanges per round, small
+        # next to the O(|E|) adjacency work the cache saves.
+        ranks = _pagerank_iteration(ranks, adj, n, damping).localCheckpoint()
+    adj.unpersist()
+    return ranks.drop("is_dangling")
+
+
+def _pagerank_setup(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> tuple[DataFrame, DataFrame]:
+    """Loop-invariant PageRank state: the degree-weighted adjacency
+    (hash-partitioned on ``node`` and PERSISTED) and the un-persisted
+    node frame with dangling flags (used once, to seed ranks) — split
+    out so the plan gate can build one iteration over exactly the
+    frames the real loop uses."""
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
@@ -115,23 +144,29 @@ def pagerank(
     # adjacency) + one aggregation; the dangling mass is a plain
     # filtered sum over ranks (zero joins — nodes carry is_dangling).
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    # Hash-partition the loop-carried frames on `node` before the
-    # checkpoint: localCheckpoint preserves outputPartitioning through
-    # LogicalRDD, so every per-round ranks-x-adj join and the final
-    # nodes-x-contribs join co-locate WITHOUT re-shuffling the edge
-    # side — each iteration pays exactly one exchange (the in-mass
-    # aggregation keyed on dst, which genuinely moves rank along
-    # edges). At 100 TB this is the difference between shuffling the
-    # full adjacency 10x and shuffling it once.
+    # Hash-partition the loop-INVARIANT frames on `node` and PERSIST
+    # them (measured this session: localCheckpoint under AQE records
+    # UnknownPartitioning on the LogicalRDD, so a checkpointed
+    # adjacency is re-shuffled EVERY round — the round-2 comment
+    # claiming otherwise was wrong and cost ~4 exchanges/round; an
+    # InMemoryRelation keeps its cached outputPartitioning). With the
+    # cache, each round moves only (a) the O(|V|) ranks frame into the
+    # join and (b) the in-mass aggregation keyed on dst — the step
+    # that genuinely moves rank along edges. The O(|E|) adjacency
+    # never re-shuffles. At 100 TB this is the difference between
+    # shuffling the full adjacency 10x and shuffling it once.
     # Cap at defaultParallelism: a foreign session may carry the stock
     # 200 shuffle partitions, which on a small executor pool just adds
     # per-round task overhead; on a real cluster defaultParallelism is
     # the larger number and the shuffle-partition conf wins.
     sess = edges.sparkSession
-    n_part = min(
-        int(sess.conf.get("spark.sql.shuffle.partitions")),
-        sess.sparkContext.defaultParallelism,
-    )
+    try:
+        conf_part = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        # AQE auto mode reports the non-numeric "auto" on some
+        # platforms; defaultParallelism is the sane stand-in.
+        conf_part = sess.sparkContext.defaultParallelism
+    n_part = min(conf_part, sess.sparkContext.defaultParallelism)
     adj = (
         e.join(out_deg, "src")
         .select(
@@ -140,7 +175,7 @@ def pagerank(
             (F.lit(1.0) / F.col("out_deg")).alias("w"),
         )
         .repartition(n_part, "node")
-        .localCheckpoint()
+        .persist()
     )
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -158,39 +193,56 @@ def pagerank(
             )
         )
         .repartition(n_part, "node")
-        .localCheckpoint()
     )
-    n = nodes.count()
-    ranks = nodes.withColumn("rank", F.lit(1.0))
-    for _ in range(n_iter):
-        contribs = (
-            ranks.join(adj, "node")
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("rank") * F.col("w")).alias("contrib"),
-            )
-            .groupBy("node")
-            .agg(F.sum("contrib").alias("in_mass"))
+    return adj, nodes
+
+
+def _pagerank_iteration(
+    ranks: DataFrame,
+    adj: DataFrame,
+    n: int,
+    damping: float,
+) -> DataFrame:
+    """One un-checkpointed PageRank round — split out so the plan gate
+    (tests/test_plans.py) can pin the hoist mechanically (VERDICT r2
+    #4): the O(|E|) adjacency must come from its InMemoryRelation with
+    its cached hashpartitioning intact, i.e. NEVER sit below a shuffle
+    exchange in the round plan. What does move per round is O(|V|)
+    only: the checkpointed ranks frame into the contribution join, the
+    in-mass aggregation keyed on dst (the step that genuinely moves
+    rank along edges), and the 1-row dangling sum + its broadcast.
+
+    ``ranks`` doubles as the node universe for the left-outer join
+    (it carries every node + is_dangling by construction) — using the
+    cached nodes frame here instead would re-introduce the
+    lineage-collision cache miss described in ``pagerank``."""
+    contribs = (
+        ranks.join(adj, "node")
+        .select(
+            F.col("dst").alias("node"),
+            (F.col("rank") * F.col("w")).alias("contrib"),
         )
-        # dangling nodes (no out-edges) spread their rank uniformly
-        dangling = ranks.where("is_dangling").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        .groupBy("node")
+        .agg(F.sum("contrib").alias("in_mass"))
+    )
+    # dangling nodes (no out-edges) spread their rank uniformly
+    dangling = ranks.where("is_dangling").agg(
+        F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+    )
+    return (
+        ranks.select("node", "is_dangling")
+        .join(contribs, "node", "left")
+        .crossJoin(F.broadcast(dangling))
+        .select(
+            "node",
+            "is_dangling",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping)
+                * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.col("dm") / n)
+            ).alias("rank"),
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                "is_dangling",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.col("dm") / n)
-                ).alias("rank"),
-            )
-            .localCheckpoint()
-        )
-    return ranks.drop("is_dangling")
+    )
 
 
 def triangle_count(
@@ -255,12 +307,18 @@ def shortest_hops(
         .distinct()
         .persist()
     )
+    # Seed the frontier from a literal (source, 0) row, NOT by
+    # filtering the adjacency's node set: the source is trivially
+    # reachable from itself even when it has no non-self-loop edges
+    # (an isolated source must yield [(source, 0)], matching the
+    # recursive-CTE oracle shape).
+    node_type = adj.schema["a"].dataType
     frontier = (
-        adj.select(F.col("a").alias("node"))
-        .unionByName(adj.select(F.col("b").alias("node")))
-        .filter(F.col("node") == F.lit(source))
-        .distinct()
-        .withColumn("dist", F.lit(0))
+        edges.sparkSession.range(1)
+        .select(
+            F.lit(source).cast(node_type).alias("node"),
+            F.lit(0).alias("dist"),
+        )
         .localCheckpoint()
     )
     visited = frontier

@@ -56,9 +56,13 @@ def bucketed_interval_join(
     b = int(bucket_width)
 
     def _bucket(col: str) -> Column:
-        # Integer floor-division; epoch seconds are non-negative so
-        # floor == truncation and both engines agree on the bucket id.
-        return F.floor(F.col(col).cast("long") / F.lit(b)).cast("long")
+        # TRUE integer division (`div`), not floor(double/double): the
+        # double path is exact only below 2^53, so epoch-nanosecond
+        # inputs would silently land in wrong buckets and drop
+        # matches. Timestamps are non-negative in this domain, so
+        # truncation == floor and both join sides agree on bucket ids
+        # at any magnitude a BIGINT holds.
+        return F.expr(f"CAST(`{col}` AS BIGINT) div {b}")
 
     iv = intervals.withColumn(
         "__bucket", F.explode(F.sequence(_bucket(start), _bucket(end)))

@@ -1353,8 +1353,9 @@ def _compile_group_inner(
     return base, kinds, False
 
 
-def _literal_agg(fn: str, name: str, dist: bool, sep: str) -> F.Column:
-    """MIN/MAX/SAMPLE/GROUP_CONCAT/SUM/AVG over a literal-valued column.
+def _literal_agg(fn: str, name: str | F.Column, dist: bool, sep: str) -> F.Column:
+    """MIN/MAX/SAMPLE/GROUP_CONCAT/SUM/AVG over a literal-valued column
+    (or an already-decoded Column expression for IRI-typed variables).
 
     SPARQL leaves SAMPLE's choice and GROUP_CONCAT's order
     implementation-defined; this engine pins both deterministically

@@ -36,6 +36,21 @@ from rdf_mapreduce_joins_spark.plans.generic_rdf import term_dictionary
 from rdf_mapreduce_joins_spark.sources.ntriples import read_ntriples_stream
 
 
+def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a parquet dir, returning None ONLY when the path does not
+    exist yet. Uses Spark's reader (not os.path) so hdfs:// / s3a://
+    stores are handled; any failure other than path-not-found
+    re-raises — schema problems must surface, not read as 'empty'."""
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as exc:
+        if getattr(exc, "getErrorClass", lambda: None)() == "PATH_NOT_FOUND" or (
+            "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc)
+        ):
+            return None
+        raise
+
+
 def _append_batch(batch: DataFrame, store_path: str, batch_id: int = 0) -> None:
     """Write one micro-batch into the store, EXACTLY-ONCE under
     foreachBatch's at-least-once retry contract: rows land in
@@ -46,6 +61,24 @@ def _append_batch(batch: DataFrame, store_path: str, batch_id: int = 0) -> None:
     partition column — probe-side pruning is unchanged; readers drop
     the extra ``ingest_batch`` column on load."""
     spark = batch.sparkSession
+    # Refuse legacy stores up front: a store written by the pre-
+    # ingest_batch append-only format is partitioned by predicate
+    # only; appending (predicate, ingest_batch) paths under it
+    # creates mixed partition depths that fail Spark partition
+    # discovery at read time — and would do so AFTER corrupting the
+    # layout. Detect and error with a migration hint instead.
+    for sub in ("triples", "dictionary"):
+        legacy = _read_if_exists(spark, f"{store_path}/{sub}")
+        if legacy is not None and "ingest_batch" not in legacy.columns:
+            raise ValueError(
+                f"{store_path}/{sub} was written by the legacy append-only "
+                "ingest layout (no ingest_batch partition column). "
+                "Migrate before streaming into it: read the store, add "
+                "ingest_batch=0, and rewrite partitioned by "
+                "(predicate, ingest_batch) / (ingest_batch) — e.g. "
+                "spark.read.parquet(path).withColumn('ingest_batch', "
+                "F.lit(0)).write.partitionBy(...).parquet(new_path)."
+            )
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -72,15 +105,15 @@ def _append_batch(batch: DataFrame, store_path: str, batch_id: int = 0) -> None:
         # a retry that partition holds the failed attempt's terms, and
         # anti-joining against them would drop the terms and then
         # overwrite the partition empty — losing dictionary entries.
-        try:
-            existing = (
-                spark.read.parquet(dict_path)
-                .filter(F.col("ingest_batch") != int(batch_id))
-                .select("id")
-            )
+        # Only the path-not-found case means "first batch"; any other
+        # read failure must surface (a swallowed error here silently
+        # skips dedup and duplicate ids fan out every decode join).
+        current = _read_if_exists(spark, dict_path)
+        if current is not None:
+            existing = current.filter(
+                F.col("ingest_batch") != int(batch_id)
+            ).select("id")
             new_terms = new_terms.join(existing, ["id"], "left_anti")
-        except AnalysisException:  # first batch: no dictionary yet
-            pass
         new_terms.write.mode("overwrite").partitionBy("ingest_batch").parquet(
             dict_path
         )

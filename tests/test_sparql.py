@@ -1062,14 +1062,42 @@ def test_seq_path_non_self_referential_closure_rejected(spark, sf_dir):
         ).collect()
 
 
-def test_seq_path_generic_executor_rejected(spark):
+def test_seq_path_generic_executor_matches_star(spark, sf_dir):
+    """VERDICT r2 #5 flipped the explicit reject to full parity: the
+    generic executor lowers (p1/p2)mod by composing predicate-filtered
+    edge frames with chained equi-joins, then closing over the
+    COMPOSED relation — same semantics as the star compiler, checked
+    by running the identical query text through both."""
+    from rdf_mapreduce_joins_spark.plans.generic_rdf import sparql_triples
+    from rdf_mapreduce_joins_spark.plans.rdf import triples as star_triples
+
+    text = "SELECT ?s ?anc WHERE { ?s (<manager>/<manager>)+ ?anc . }"
+    generic = sparql_triples(star_triples(spark, sf_dir), text)
+    star = S.sparql(spark, sf_dir, text)
+    assert sorted(map(tuple, generic.collect())) == sorted(
+        map(tuple, star.collect())
+    )
+
+
+def test_seq_path_generic_small_graph(spark):
+    """Hand-checkable composition + closure + inverse on the generic
+    executor: chain 1-p->2-p->3-p->4-q->5."""
     from rdf_mapreduce_joins_spark.plans.generic_rdf import sparql_triples
 
     triples = spark.createDataFrame(
-        [("s/1", "p", "s/2"), ("s/2", "p", "s/3")],
+        [("s/1", "p", "s/2"), ("s/2", "p", "s/3"),
+         ("s/3", "p", "s/4"), ("s/4", "q", "s/5")],
         "subject string, predicate string, object string",
     )
-    with pytest.raises(S.SparqlUnsupportedError, match="generic executor"):
-        sparql_triples(
-            triples, "SELECT ?s ?o WHERE { ?s (<p>/<p>)+ ?o . }"
-        ).collect()
+
+    def run(text):
+        return sorted(map(tuple, sparql_triples(triples, text).collect()))
+
+    assert run("SELECT ?s ?o WHERE { ?s (<p>/<p>)+ ?o . }") == [
+        ("s/1", "s/3"), ("s/2", "s/4")
+    ]
+    assert run("SELECT ?s ?o WHERE { ?s (<p>/<q>) ?o . }") == [("s/3", "s/5")]
+    # p then inverse-p returns to the start: identity over p-sources
+    assert run("SELECT ?s ?o WHERE { ?s (<p>/^<p>)+ ?o . }") == [
+        ("s/1", "s/1"), ("s/2", "s/2"), ("s/3", "s/3")
+    ]
