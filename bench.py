@@ -104,8 +104,19 @@ def main() -> None:
     compact = dict(payload)
     compact["queries"] = worst
     compact["queries_full"] = ".bench_latest.json"
+    # Shrink-to-fit rather than assert: an oversized line must still
+    # print a parseable summary (failure-heavy runs are exactly when
+    # the stdout line matters most — ADVICE r3). Drop worst/error
+    # entries one at a time until the serialized line fits.
     line = json.dumps(compact)
-    assert len(line) < 1024, f"compact bench line is {len(line)} bytes"
+    while len(line) >= 1024 and compact["queries"]:
+        # Drop the least-worst timing first (errors and the top
+        # offenders are the entries worth keeping).
+        timings_left = [k for k, v in compact["queries"].items() if v is not None]
+        victim = timings_left[-1] if timings_left else next(iter(compact["queries"]))
+        compact["queries"].pop(victim)
+        compact["queries_dropped_for_size"] = True
+        line = json.dumps(compact)
     print(line)
 
 

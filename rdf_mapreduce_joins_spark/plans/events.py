@@ -322,8 +322,34 @@ def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 EWMA_ALPHA = 0.3
 
 
-@query("events_ewma")  # rows-only: recursive float state (order-exact but
-# not SQL-expressible without a recursive CTE per group)
+@query(
+    "events_ewma",
+    # Promoted from rows-only (VERDICT r2 #8 / r3 #6): DuckDB's WITH
+    # RECURSIVE replays the same s_t = α·x_t + (1-α)·s_{t-1} double
+    # recursion step-by-step (pandas ewm(adjust=False) is bit-identical
+    # to the plain recursion — verified), and round_even(…, 4) mirrors
+    # numpy's half-to-even .round(4) exactly (DuckDB ROUND is
+    # half-away — the one-ulp trap).
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+             ) AS rn
+      FROM events
+    ), ew(user_id, event_id, ts_s, rn, s) AS (
+      SELECT user_id, event_id, ts_s, rn, CAST(value AS DOUBLE)
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT q.user_id, q.event_id, q.ts_s, q.rn,
+             {EWMA_ALPHA} * q.value + {1 - EWMA_ALPHA} * e.s
+      FROM ew e JOIN seq q ON q.user_id = e.user_id AND q.rn = e.rn + 1
+    )
+    SELECT user_id, event_id, ts_s, round_even(s, 4) AS ewma FROM ew
+    """,
+)
 def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponentially-weighted moving average of event values
     (T-family time-series smoothing): s_t = α·x_t + (1-α)·s_{t-1} over
@@ -331,8 +357,9 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherently sequential WITHIN a user and embarrassingly parallel
     ACROSS users — exactly applyInPandas's contract: one shuffle on
     user_id, one Arrow batch per user, vectorized pandas ewm inside.
-    Declared rows-only (per-group recursive float state has no
-    portable SQL form); tests pin equality with a hand-rolled Python
+    Hash-oracled via a DuckDB recursive CTE replaying the identical
+    double recursion (rounding pinned half-to-even on both sides);
+    tests additionally pin equality with a hand-rolled Python
     recursion and a partitioning-invariance check."""
     import pandas as pd
 

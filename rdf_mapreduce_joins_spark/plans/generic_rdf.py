@@ -108,6 +108,11 @@ def _pattern_frame(
                 "composition would need to run per graph; bind the "
                 "graph constant instead"
             )
+        if not preds[1:]:
+            # A parser that ever emits ('/',) with no steps would
+            # otherwise leave df=None and die later with an opaque
+            # NoneType AttributeError in the modifier tail (ADVICE r3).
+            raise SparqlUnsupportedError("empty grouped path: '/' with no steps")
         df = None
         for raw in preds[1:]:
             pred, inv = raw.lstrip("^"), raw.startswith("^")

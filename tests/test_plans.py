@@ -46,6 +46,11 @@ _BOUNDED_BUILD_SIDE_OK = {
     "text_tfidf_topk",
     "text_bm25_rank",
     "text_lm_score",
+    # 1-row broadcast degree-total frame (sum(d), count(*)) joined
+    # keyless to compute the corpus-relative hub cutoff — the same
+    # scalar-subquery shape as tpch_q11/q22 (build side exactly 1 row
+    # by construction: a global aggregate).
+    "supplier_cosupply_graph",
 }
 
 

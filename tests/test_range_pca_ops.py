@@ -197,3 +197,46 @@ def test_shortest_hops_hand_graph(spark):
     )
     got = {r["node"]: r["dist"] for r in shortest_hops(edges, "a").collect()}
     assert got == {"a": 0, "b": 1, "c": 2, "d": 1}
+
+
+def test_shortest_hops_isolated_source(spark):
+    """A source with no edges (or only a self-loop) is still distance
+    0 from itself: the frontier must be seeded from a literal
+    (source, 0) row, not filtered out of the adjacency's node set
+    (ADVICE r2, pinned r4)."""
+    from rdf_mapreduce_joins_spark.operators.graph import shortest_hops
+
+    edges = spark.createDataFrame(
+        [("x", "y"), ("iso", "iso")],  # iso has only a self-loop
+        "src string, dst string",
+    )
+    got = {r["node"]: r["dist"] for r in shortest_hops(edges, "iso").collect()}
+    assert got == {"iso": 0}
+    # And a source absent from the edge set entirely:
+    got2 = {r["node"]: r["dist"] for r in shortest_hops(edges, "ghost").collect()}
+    assert got2 == {"ghost": 0}
+
+
+def test_bucketed_interval_join_exact_at_epoch_nanoseconds(spark):
+    """Bucket ids must come from TRUE integer division: epoch-ns
+    magnitudes (> 2^53) are not exactly representable as doubles, so a
+    floor(double/double) bucketing would misplace rows near bucket
+    boundaries and silently drop matches (ADVICE r2, pinned r4)."""
+    base = 1_700_000_000_000_000_000  # epoch ns, > 2^53
+    width = 1_000_000_000  # 1 s buckets
+    # Probe sits exactly at a bucket boundary; the interval ends
+    # exactly there too — an off-by-one-ulp double bucket id on either
+    # side breaks the equi-join and loses the match.
+    probe = spark.createDataFrame(
+        [("k", base + 3 * width)], "k string, ts long"
+    )
+    intervals = spark.createDataFrame(
+        [("k", base + 3 * width - 1, base + 3 * width),
+         ("k", base + 3 * width + 1, base + 4 * width)],
+        "k string, start long, end long",
+    )
+    got = bucketed_interval_join(
+        probe, intervals, on=["k"], probe_ts="ts",
+        start="start", end="end", bucket_width=width,
+    ).select("start").collect()
+    assert [r["start"] for r in got] == [base + 3 * width - 1]

@@ -509,8 +509,9 @@ def test_aggregate_group_by_decodes_id_keys(spark, sf_dir):
 AGG_ERRORS = [
     # SUM over a non-numeric literal predicate (only acctbal is numeric)
     ("SELECT (SUM(?x) AS ?s) WHERE { ?c <name> ?x . }", "SUM"),
-    # MIN over an IRI-valued variable
-    ("SELECT (MIN(?n) AS ?m) WHERE { ?c <nation> ?n . }", "IRI-valued"),
+    # SUM over an IRI-valued variable is a SPARQL type error
+    # (MIN/MAX/SAMPLE/GROUP_CONCAT decode-then-aggregate instead — r4)
+    ("SELECT (SUM(?n) AS ?s) WHERE { ?c <nation> ?n . }", "type error"),
     # ungrouped plain variable next to an aggregate
     ("SELECT ?c (COUNT(*) AS ?n) WHERE { ?c <nation> ?x . }", "GROUP BY"),
     # GROUP BY without aggregates
@@ -1101,3 +1102,49 @@ def test_seq_path_generic_small_graph(spark):
     assert run("SELECT ?s ?o WHERE { ?s (<p>/^<p>)+ ?o . }") == [
         ("s/1", "s/1"), ("s/2", "s/2"), ("s/3", "s/3")
     ]
+
+
+def test_minmax_iri_decodes_before_aggregating(spark, sf_dir):
+    """MIN/MAX over an id-typed variable must order over IRI TEXT
+    ('customer/10' < 'customer/2' lexicographically), not over the
+    internal int64 ids (which would order 2 < 10) — VERDICT r3 #5."""
+    got = {
+        r["nname"]: (r["first_cust"], r["last_cust"])
+        for r in S.sparql(
+            spark,
+            sf_dir,
+            """SELECT ?nname (MIN(?c) AS ?first_cust)
+                      (MAX(?c) AS ?last_cust)
+               WHERE { ?c a <customer> ; <nation> ?n . ?n <name> ?nname . }
+               GROUP BY ?nname""",
+        ).collect()
+    }
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet").to_pydict()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pydict()
+    nname = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    want: dict[str, list[str]] = {}
+    for ck, nk in zip(cust["c_custkey"], cust["c_nationkey"]):
+        want.setdefault(nname[nk], []).append(f"customer/{ck}")
+    assert got == {k: (min(v), max(v)) for k, v in want.items()} and got
+
+
+def test_sample_and_group_concat_over_iri(spark, sf_dir):
+    """SAMPLE (pinned = MIN) and GROUP_CONCAT over IRI variables also
+    take the decoded-text path and stay deterministic."""
+    rows_ = S.sparql(
+        spark,
+        sf_dir,
+        """SELECT ?rname (SAMPLE(?n) AS ?a_nation)
+                  (GROUP_CONCAT(?n; SEPARATOR=",") AS ?nations)
+           WHERE { ?n a <nation> ; <region> ?r ; <name> ?x .
+                   ?r <name> ?rname . }
+           GROUP BY ?rname""",
+    ).collect()
+    assert rows_
+    for r in rows_:
+        parts = r["nations"].split(",")
+        assert all(p.startswith("nation/") for p in parts)
+        assert parts == sorted(parts)  # GROUP_CONCAT input order pinned
+        assert r["a_nation"] == parts[0]  # SAMPLE = MIN

@@ -242,3 +242,73 @@ class TestStreamingIngest:
             r.term for r in spark.read.parquet(f"{store}/dictionary").collect()
         ]
         assert sorted(terms) == ["o1", "o2", "o3", "s1", "s2", "s3"]
+
+
+class TestIngestStoreDetection:
+    def test_empty_store_dir_treated_as_first_batch(self, spark, tmp_path):
+        """A store path that EXISTS but holds no parquet yet (e.g. a
+        just-mkdir'd target) must behave like an absent store — Spark's
+        UNABLE_TO_INFER_SCHEMA on the empty dir is 'no store yet', not
+        a crash (ADVICE r3)."""
+        from rdf_mapreduce_joins_spark.streaming.triples_ingest import (
+            _append_batch,
+        )
+
+        store = tmp_path / "store"
+        (store / "triples").mkdir(parents=True)
+        (store / "dictionary").mkdir(parents=True)
+        b = spark.createDataFrame(
+            [("s1", "p", "o1")],
+            "subject string, predicate string, object string",
+        )
+        _append_batch(b, str(store), batch_id=0)
+        assert spark.read.parquet(f"{store}/triples").count() == 1
+
+    def test_legacy_layout_refused_with_migration_hint(self, spark, tmp_path):
+        """A pre-ingest_batch store (predicate-only partitioning) must
+        be refused BEFORE any write corrupts its partition depth."""
+        from rdf_mapreduce_joins_spark.streaming.triples_ingest import (
+            _append_batch,
+        )
+
+        store = tmp_path / "legacy_store"
+        legacy = spark.createDataFrame(
+            [("s1", "p", "o1", 1, 2)],
+            "subject string, predicate string, object string, "
+            "subject_id long, object_id long",
+        )
+        legacy.write.partitionBy("predicate").parquet(f"{store}/triples")
+        b = spark.createDataFrame(
+            [("s2", "p", "o2")],
+            "subject string, predicate string, object string",
+        )
+        with pytest.raises(ValueError, match="legacy append-only"):
+            _append_batch(b, str(store), batch_id=0)
+
+    def test_legacy_check_memoized_per_store(self, spark, tmp_path, monkeypatch):
+        """The legacy-layout guard costs a full file listing of the
+        store, so it must run ONCE per store path, not on every
+        micro-batch (ADVICE r3: per-batch partition discovery grows
+        with store size)."""
+        from rdf_mapreduce_joins_spark.streaming import triples_ingest as ti
+
+        calls = {"n": 0}
+        real = ti._read_if_exists
+
+        def counting(spark_, path):
+            calls["n"] += 1
+            return real(spark_, path)
+
+        monkeypatch.setattr(ti, "_read_if_exists", counting)
+        store = str(tmp_path / "store")
+        b = spark.createDataFrame(
+            [("s1", "p", "o1")],
+            "subject string, predicate string, object string",
+        )
+        ti._append_batch(b, store, batch_id=0)
+        after_first = calls["n"]
+        ti._append_batch(b, store, batch_id=1)
+        # Batch 2 may still read the dictionary for the anti-join, but
+        # the 2-read legacy guard must not run again.
+        assert calls["n"] - after_first < after_first
+        assert store in ti._LEGACY_CHECKED
