@@ -46,6 +46,22 @@ def _driver_history() -> tuple[dict[str, dict], int]:
     return best, nfiles
 
 
+def _backlog_roster(names: list[str]) -> set[str]:
+    """Names registered as of the round-start snapshot (see tier-2 note
+    in _driver_priority_order). Missing file → treat all names as
+    backlog (no reordering)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tools",
+        "checked_backlog_roster.txt",
+    )
+    try:
+        with open(path) as fh:
+            return {ln.strip() for ln in fh if ln.strip()}
+    except OSError:
+        return set(names)
+
+
 def _driver_priority_order(names: list[str]) -> list[str]:
     """Order the registry so the driver's first-50 sample is spent well.
 
@@ -65,10 +81,17 @@ def _driver_priority_order(names: list[str]) -> list[str]:
        (round 3 burned 17 of 50 slots re-running these every round).
        A query PROMOTED to an oracle since its no_oracle row (e.g.
        events_ewma in r4) re-queues as never-hash-checked instead.
+
+    Within tier 2, queries carried over from prior rounds
+    (``tools/checked_backlog_roster.txt``, snapshotted at round start)
+    outrank queries first registered THIS round — otherwise every new
+    query added mid-round pushes a long-unproven one (e.g. the TPC-H
+    suite, never checked through r3) back out of the 50-slot window.
     """
     from rdf_mapreduce_joins_spark.plans import ORACLES
 
     best, nfiles = _driver_history()
+    roster = _backlog_roster(names)
     failed = [n for n in names if best.get(n, {}).get("hash_match") is False]
     promoted = {
         n
@@ -76,6 +99,7 @@ def _driver_priority_order(names: list[str]) -> list[str]:
         if best.get(n, {}).get("err") == "no_oracle" and n in ORACLES
     }
     never = [n for n in names if n not in best or n in promoted]
+    never.sort(key=lambda n: n not in roster)  # stable: backlog first
     no_oracle = [
         n
         for n in names

@@ -103,6 +103,20 @@ class TestDriverPriorityOrder:
         assert o1[:8] != o2[:8]
         assert set(o1) == set(o2) == set(names)
 
+    def test_new_queries_queue_behind_backlog(self, monkeypatch):
+        """A query first registered THIS round must not displace a
+        long-unproven backlog query (e.g. TPC-H) from the never-checked
+        tier's front (round-4 roster rule)."""
+        names = ["old_checked", "brand_new", "old_never"]
+        hist = {"old_checked": {"hash_match": True, "err": None}}
+        monkeypatch.setattr(
+            entrymod,
+            "_backlog_roster",
+            lambda _n: {"old_checked", "old_never"},
+        )
+        order = self._order(monkeypatch, hist, 1)(names)
+        assert order.index("old_never") < order.index("brand_new")
+
     def test_deterministic_without_history(self, monkeypatch):
         names = [f"q{i}" for i in range(10)]
         order = self._order(monkeypatch, {}, 0)(names)
