@@ -5,7 +5,9 @@ query + its DuckDB oracle SQL.
 """
 
 from rdf_mapreduce_joins_spark.plans import (  # noqa: F401
+    analytics,
     assembly,
+    curation,
     events,
     formats,
     generic_rdf,

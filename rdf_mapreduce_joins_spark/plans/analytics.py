@@ -1,0 +1,383 @@
+"""Warehouse-analytics completion queries (SURVEY.md §2.10): SCD2
+interval building, time-grid resampling with linear interpolation,
+null-safe joins, a scalable Pareto skyline, Z-order layout clustering,
+and robust (median/MAD) outlier detection.
+
+Each closes a named gap a production user hits: history tables (SCD2),
+gap-filled time series for charting/features (resample), dimension
+keys with NULL semantics (null-safe join), multi-objective frontier
+queries (skyline), multi-dimensional file clustering (Z-order), and
+outlier screens that survive heavy tails (median/MAD instead of
+mean/stddev). All are pure DataFrame plans with full DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rdf_mapreduce_joins_spark.operators.layout import zorder_sql, zorder_value
+from rdf_mapreduce_joins_spark.plans.registry import query
+from rdf_mapreduce_joins_spark.sources.tables import load_table
+
+SCD2_OPEN_END = "2099-12-31"
+
+
+@query(
+    "orders_scd2_intervals",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(o_orderdate AS DATE) AS valid_from,
+           CAST(COALESCE(
+             LEAD(o_orderdate) OVER w, TIMESTAMP '{SCD2_OPEN_END}'
+           ) AS DATE) AS valid_to,
+           CAST(date_diff('day',
+             CAST(o_orderdate AS DATE),
+             CAST(COALESCE(LEAD(o_orderdate) OVER w,
+                           TIMESTAMP '{SCD2_OPEN_END}') AS DATE)
+           ) AS BIGINT) AS days_valid
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def orders_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension interval builder: turn each
+    customer's order history into [valid_from, valid_to) rows where a
+    record is superseded by the customer's NEXT order (open intervals
+    get the 2099-12-31 sentinel). The standard CDC-to-history
+    transform — one lead() window per natural key, no self-join (the
+    naive formulation joins the table to itself on "next date", which
+    is quadratic under date ties). One shuffle on o_custkey; interval
+    rows stream out without materializing history state anywhere."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    valid_from = F.to_date("o_orderdate")
+    valid_to = F.to_date(
+        F.coalesce(
+            F.lead("o_orderdate").over(w),
+            F.lit(SCD2_OPEN_END).cast("timestamp"),
+        )
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        valid_from.alias("valid_from"),
+        valid_to.alias("valid_to"),
+        F.datediff(valid_to, valid_from).cast("bigint").alias("days_valid"),
+    )
+
+
+@query(
+    "events_resample_interp",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, MAX(value) AS v
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    span AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM obs GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM span
+    ),
+    j AS (
+      SELECT grid.user_id, grid.day, obs.v,
+             last_value(obs.v IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN obs.v IS NOT NULL THEN grid.day END
+                        IGNORE NULLS) OVER wp AS pd,
+             first_value(obs.v IGNORE NULLS) OVER wn AS nv,
+             first_value(CASE WHEN obs.v IS NOT NULL THEN grid.day END
+                         IGNORE NULLS) OVER wn AS nd
+      FROM grid LEFT JOIN obs USING (user_id, day)
+      WINDOW
+        wp AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wn AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, day,
+           CAST(FLOOR(CASE WHEN v IS NOT NULL THEN v
+                 ELSE pv + (nv - pv) * (date_diff('day', pd, day) * 1.0
+                                        / date_diff('day', pd, nd))
+                 END * 10000 + 0.5) AS BIGINT) AS value_e4
+    FROM j
+    """,
+)
+def events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-grid resampling with linear interpolation (the gap-filling
+    step before charting or windowed feature extraction): collapse
+    purchase events to one observation per user-day, explode each
+    user's [first, last] day span into a dense daily grid, and fill
+    missing days by interpolating between the surrounding
+    observations. The neighbor lookup is two IGNORE-NULLS window scans
+    (running last / reversed first) over the SAME (user_id, day)
+    sort — no as-of join, no per-gap self-join — so the whole query is
+    one shuffle on user_id and the grid explode is generated, never
+    materialized on the driver. Grid size is span-bounded (days), not
+    event-bounded, so the plan survives arbitrarily hot users."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    obs = e.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.max("value").alias("v"))
+    span = obs.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    j = grid.join(obs, on=["user_id", "day"], how="left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    j = j.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(wp).alias("pd"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(wn).alias("nd"),
+    )
+    frac = F.datediff(F.col("day"), F.col("pd")) / F.datediff(
+        F.col("nd"), F.col("pd")
+    )
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+    )
+    # floor(x*1e4 + 0.5) instead of round(): Spark rounds the DECIMAL
+    # rendering HALF_UP while DuckDB rounds the raw double, so exact
+    # .5-boundary values (observed: 5.21625) diverge at 4 dp. The
+    # floor formulation is the same IEEE ops on both engines —
+    # bit-identical by construction — and ships integers, which also
+    # sidesteps float rendering in the driver hash.
+    value_e4 = F.floor(interp * 10000 + 0.5).cast("bigint")
+    return j.select("user_id", "day", value_e4.alias("value_e4"))
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    SELECT dim.label, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o.o_totalprice), 2) AS total
+    FROM (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                      ELSE o_orderstatus END AS k, o_totalprice
+          FROM orders) o
+    JOIN (VALUES ('O', 'open'), ('F', 'finished'), (NULL, 'in-progress'))
+         dim(k, label)
+      ON o.k IS NOT DISTINCT FROM dim.k
+    GROUP BY dim.label
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (SQL IS NOT DISTINCT FROM, Spark <=>): a
+    fact side whose dimension key is legitimately NULL ("no status
+    yet") still joins its NULL-keyed dimension row instead of being
+    silently dropped — the classic late-arriving-dimension pattern.
+    eqNullSafe is a first-class hash-join key in Spark (NULLs hash to
+    one bucket), so this plans a BroadcastHashJoin against the 3-row
+    dimension, NOT a nested loop; at 100 TB the fact side streams
+    exactly as in any other broadcast join. NULL-key skew (every NULL
+    in one hash bucket) is bounded here because the build side is the
+    tiny dimension — the fact side never shuffles on the key."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderstatus") == "P", F.lit(None))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("k"),
+        "o_totalprice",
+    )
+    dim = spark.createDataFrame(
+        [("O", "open"), ("F", "finished"), (None, "in-progress")],
+        "k string, label string",
+    )
+    return (
+        o.join(F.broadcast(dim), o["k"].eqNullSafe(dim["k"]))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+PARETO_PRICE_BUCKET = 200.0
+
+
+@query(
+    "parts_pareto_skyline",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+)
+def parts_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline (minimize price, maximize size): parts no other
+    part beats on one dimension without losing the other — the
+    multi-objective "best offers" frontier. The textbook formulation
+    is a quadratic NOT-EXISTS self-join (the oracle); this plan is the
+    scalable three-level prefix-max instead: (1) collapse to one row
+    per (bucket, price) with the max size — a keyed aggregation;
+    (2) a window PARTITIONED BY price-bucket computes the
+    strictly-cheaper running max within each bucket; (3) the
+    per-bucket maxima (#buckets rows, bounded by construction) get a
+    global running max, broadcast back. A row is dominated iff a
+    strictly cheaper price-group reaches its size (either level) or
+    its own price-group strictly exceeds it. No self-join, no global
+    single-partition window over the data — the only unpartitioned
+    window runs over the bucket summary frame."""
+    p = load_table(spark, sf_dir, "part")
+    bucket = F.floor(F.col("p_retailprice") / F.lit(PARETO_PRICE_BUCKET))
+    g = (
+        p.select(bucket.alias("bkt"), "p_retailprice", "p_size")
+        .groupBy("bkt", "p_retailprice")
+        .agg(F.max("p_size").alias("gmax"))
+    )
+    win_bucket = (
+        Window.partitionBy("bkt")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g = g.withColumn("cheaper_in_bkt", F.max("gmax").over(win_bucket))
+    bm = g.groupBy("bkt").agg(F.max("gmax").alias("bmax"))
+    win_global = (
+        Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bm = bm.withColumn("prior_bkt_max", F.max("bmax").over(win_global))
+    j = (
+        p.select("p_partkey", "p_retailprice", "p_size", bucket.alias("bkt"))
+        .join(g, on=["bkt", "p_retailprice"])
+        .join(F.broadcast(bm.select("bkt", "prior_bkt_max")), on="bkt")
+    )
+    cheaper_max = F.greatest(
+        F.coalesce(F.col("cheaper_in_bkt"), F.lit(-1)),
+        F.coalesce(F.col("prior_bkt_max"), F.lit(-1)),
+    )
+    dominated = (cheaper_max >= F.col("p_size")) | (
+        F.col("gmax") > F.col("p_size")
+    )
+    return j.filter(~dominated).select("p_partkey", "p_retailprice", "p_size")
+
+
+ZORDER_BITS = 8
+ZORDER_TOPK = 20
+
+
+@query(
+    "parts_zorder_cluster",
+    oracle=f"""
+    WITH d AS (
+      SELECT p_partkey,
+             CAST(p_size AS BIGINT) AS zx,
+             CAST(LEAST(FLOOR(p_retailprice / 10), 255) AS BIGINT) AS zy
+      FROM part
+    )
+    SELECT p_partkey, zx, zy,
+           {zorder_sql(["zx", "zy"], bits=ZORDER_BITS)} AS z
+    FROM d
+    ORDER BY z DESC, p_partkey
+    LIMIT {ZORDER_TOPK}
+    """,
+)
+def parts_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (size, price-decile) —
+    the multi-dimensional file-layout primitive
+    (operators/layout.py): sort-before-write on this value gives every
+    interleaved dimension footer-stat locality, so BOTH `p_size`
+    range predicates AND price predicates prune files, not just the
+    leading sort column. Declared as a top-k probe over the curve so
+    the driver hash pins the exact bit-interleave; the value itself is
+    pure shift/mask/or arithmetic inside whole-stage codegen (no UDF,
+    no shuffle beyond the TakeOrdered)."""
+    p = load_table(spark, sf_dir, "part")
+    d = p.select(
+        "p_partkey",
+        F.col("p_size").cast("bigint").alias("zx"),
+        F.least(F.floor(F.col("p_retailprice") / 10), F.lit(255))
+        .cast("bigint")
+        .alias("zy"),
+    )
+    d = d.withColumn(
+        "z", zorder_value([F.col("zx"), F.col("zy")], bits=ZORDER_BITS)
+    )
+    return d.orderBy(F.col("z").desc(), "p_partkey").limit(ZORDER_TOPK)
+
+
+ROBUST_Z_CUTOFF = 3.0
+MAD_SCALE = 1.4826
+
+
+@query(
+    "events_robust_outliers",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    j AS (
+      SELECT e.event_type, e.value, med.med
+      FROM events e JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, ANY_VALUE(med) AS med,
+             quantile_cont(abs(value - med), 0.5) AS mad
+      FROM j GROUP BY event_type
+    )
+    SELECT j.event_type,
+           ROUND(ANY_VALUE(m.med), 6) AS med,
+           ROUND(ANY_VALUE(m.mad), 6) AS mad,
+           CAST(SUM(CASE WHEN abs(j.value - m.med)
+                              > {ROBUST_Z_CUTOFF} * {MAD_SCALE} * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM j JOIN mad m USING (event_type)
+    GROUP BY j.event_type
+    """,
+)
+def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen per event type: median + MAD (median
+    absolute deviation, scaled by 1.4826 to be sigma-consistent under
+    normality) instead of mean + stddev, so a single extreme value
+    cannot inflate its own threshold — the screen heavy-tailed metric
+    streams actually need. Two grouped exact-percentile aggregations
+    with the per-group medians riding along as broadcast joins
+    (group count is event-type cardinality — tiny); the data shuffles
+    on event_type twice, never self-joins. Exact `percentile` (not
+    approx) keeps the oracle hash-exact; at corpus scale swap in
+    `approx_percentile` with the same plan shape."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    j = e.join(F.broadcast(med), on="event_type")
+    mad = j.groupBy("event_type").agg(
+        F.first("med").alias("med"),
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+    )
+    j2 = j.drop("med").join(F.broadcast(mad), on="event_type")
+    is_out = F.abs(F.col("value") - F.col("med")) > (
+        F.lit(ROBUST_Z_CUTOFF) * F.lit(MAD_SCALE) * F.col("mad")
+    )
+    return j2.groupBy("event_type").agg(
+        F.round(F.first("med"), 6).alias("med"),
+        F.round(F.first("mad"), 6).alias("mad"),
+        F.sum(F.when(is_out, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+    )

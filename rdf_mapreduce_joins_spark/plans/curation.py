@@ -1,0 +1,197 @@
+"""Training-data curation queries (SURVEY.md §2.10 table 3 extension):
+deterministic weighted sampling, temperature-scaled domain mixing, and
+n-gram language-model statistics over the ``documents`` table.
+
+These are the selection/mixing primitives a pretraining-data pipeline
+runs AFTER dedup and quality scoring: choose WHICH surviving documents
+to train on and in WHAT proportions. All three are engine-portable by
+construction (hash-derived pseudo-randomness, no RNG), so each carries
+a full DuckDB oracle and hash-matches cross-engine.
+
+Scale posture: every query here is one or two shuffles on bounded
+keys — weighted sampling is a global top-k (TakeOrdered, no full
+sort materialization), mixture selection is one per-language window,
+bigram counting is explode + two same-key aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rdf_mapreduce_joins_spark.plans.registry import query
+from rdf_mapreduce_joins_spark.sources.tables import load_table, spread
+
+WEIGHTED_SAMPLE_K = 100
+MIXTURE_BUDGET = 250
+BIGRAM_TOPK = 25
+
+
+def _hash_uniform(prefix: str, key_col: str):
+    """Deterministic uniform(0,1) from the first 8 md5 hex chars of a
+    salted key — the engine-portable substitute for rand(): identical
+    in Spark (conv base-16) and DuckDB ('0x..'::BIGINT), stable across
+    runs, partitionings, and cluster layouts. +0.5 keeps u strictly
+    inside (0,1) so ln(u) is finite."""
+    h = F.substring(
+        F.md5(F.concat(F.lit(prefix), F.col(key_col).cast("string"))), 1, 8
+    )
+    return (F.conv(h, 16, 10).cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+
+
+@query(
+    "sample_weighted_docs",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, lang, n_chars,
+             (('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              + 0.5) / 4294967296.0 AS u
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars
+    FROM u
+    ORDER BY ln(u) / n_chars DESC, doc_id
+    LIMIT {WEIGHTED_SAMPLE_K}
+    """,
+)
+def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis 2006): inclusion probability proportional to
+    document length, reproducible across engines because the uniform
+    draw is hash-derived, not an RNG. Each doc gets key ln(u)/w
+    (monotone in u^(1/w)); the global top-k by key IS an exact
+    w-weighted sample without replacement — the one-pass, shuffle-free
+    formulation (TakeOrdered: per-partition top-k then a k-row driver
+    merge, no global sort) that scales to any corpus size. The
+    standard curation move of oversampling long/high-quality documents
+    without a materialized multinomial draw."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.ln(_hash_uniform("wsamp:", "doc_id")) / F.col("n_chars")
+    return (
+        d.select("doc_id", "lang", "n_chars", key.alias("__k"))
+        .orderBy(F.col("__k").desc(), "doc_id")
+        .limit(WEIGHTED_SAMPLE_K)
+        .drop("__k")
+    )
+
+
+@query(
+    "docs_temperature_mixture",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    tgt AS (
+      SELECT lang, n,
+             LEAST(n, CAST(FLOOR(ROUND(
+               {MIXTURE_BUDGET} * sqrt(n) / (SELECT SUM(sqrt(n)) FROM c), 6
+             )) AS BIGINT)) AS target
+      FROM c
+    ),
+    r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang
+    FROM r JOIN tgt ON r.lang = tgt.lang
+    WHERE r.rn <= tgt.target
+    """,
+)
+def docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (the multilingual-pretraining
+    rebalance, alpha = 0.5): per-language quotas proportional to
+    sqrt(count) — upweights tail languages, downweights the head —
+    then a deterministic hash-ordered draw fills each quota. sqrt is
+    IEEE-correctly-rounded (unlike pow), and the quota rounds to 6 dp
+    before FLOOR so the two engines' float sums cannot straddle the
+    integer boundary. One tiny aggregate (n_langs rows, broadcast
+    join) + one per-language window — a single shuffle on lang; the
+    window never sees more than one language per partition, so skew is
+    bounded by the largest language, same as any per-domain pass."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count("*").alias("n"))
+    total = c.agg(F.sum(F.sqrt("n")).alias("s"))
+    tgt = (
+        c.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "n",
+            F.least(
+                F.col("n"),
+                F.floor(
+                    F.round(F.lit(MIXTURE_BUDGET) * F.sqrt("n") / F.col("s"), 6)
+                ),
+            ).alias("target"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+            "doc_id",
+        )
+    )
+    ranked = d.select("doc_id", "lang", rn.alias("rn"))
+    return (
+        ranked.join(F.broadcast(tgt), on="lang")
+        .filter(F.col("rn") <= F.col("target"))
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "text_bigram_lm",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT w[CAST(i AS INTEGER)] AS w1, w[CAST(i + 1 AS INTEGER)] AS w2
+      FROM t, range(1, 1001) r(i)
+      WHERE i <= len(w) - 1
+    ),
+    cnt AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY w1, w2),
+    tot AS (SELECT w1, SUM(n) AS n1 FROM cnt GROUP BY w1)
+    SELECT cnt.w1, cnt.w2, CAST(cnt.n AS BIGINT) AS n,
+           ROUND(cnt.n * 1.0 / tot.n1, 6) AS p
+    FROM cnt JOIN tot ON cnt.w1 = tot.w1
+    ORDER BY cnt.n DESC, cnt.w1, cnt.w2
+    LIMIT {BIGRAM_TOPK}
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model statistics: count every adjacent
+    token pair, estimate the conditional P(w2 | w1) = c(w1,w2)/c(w1),
+    and return the top-k bigrams — the counting backbone of n-gram LM
+    training, data-quality probes (stock-phrase detection), and
+    contamination fingerprints. Plan: explode once to (pos, token),
+    pair via a per-document lead() window, then two aggregations that
+    share the w1 key — the unigram totals reuse the bigram counts
+    (SUM over the grouped frame, no second corpus pass) and the join
+    back is on the low-cardinality w1 key. Top-k is TakeOrdered, not
+    a global sort."""
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "w1"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = toks.withColumn("w2", F.lead("w1").over(w)).filter(
+        F.col("w2").isNotNull()
+    )
+    cnt = bg.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("w1").agg(F.sum("n").alias("n1"))
+    return (
+        cnt.join(tot, on="w1")
+        .select(
+            "w1",
+            "w2",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("n1"), 6).alias("p"),
+        )
+        .orderBy(F.col("n").desc(), "w1", "w2")
+        .limit(BIGRAM_TOPK)
+    )

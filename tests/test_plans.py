@@ -51,6 +51,9 @@ _BOUNDED_BUILD_SIDE_OK = {
     # scalar-subquery shape as tpch_q11/q22 (build side exactly 1 row
     # by construction: a global aggregate).
     "supplier_cosupply_graph",
+    # 1-row broadcast sum(sqrt(lang_count)) normalizer crossJoined to
+    # the per-language count frame — scalar-subquery shape again.
+    "docs_temperature_mixture",
 }
 
 
