@@ -337,3 +337,85 @@ def shortest_hops(
         frontier = nxt
     adj.unpersist()
     return visited
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    source: str | int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_hops: int = 12,
+    undirected: bool = True,
+) -> DataFrame:
+    """Hop-bounded single-source shortest WEIGHTED paths: (node, dist)
+    where dist = minimum total edge weight over paths from ``source``
+    using at most ``max_hops`` edges. With ``max_hops`` >= the edge
+    count of every true shortest path this IS exact SSSP; the explicit
+    bound makes the semantics (and the oracle) deterministic on
+    cyclic graphs without waiting for full convergence.
+
+    Bellman-Ford with delta relaxation — the scalable distributed
+    formulation: each round relaxes only edges out of nodes whose
+    distance IMPROVED last round (the frontier), never the whole
+    settled set, so late rounds touch only the shrinking unsettled
+    boundary. After round h the best-frame invariant is "minimum over
+    paths of <= h edges" — exactly the textbook BF induction.
+    Per-round cost: one join frontier x adjacency + one min-agg + one
+    anti-join merge, all shuffling on the node key; ``localCheckpoint``
+    cuts lineage so the plan stays O(1) per round. Integer weights in,
+    exact integer distances out — fully oracle-checkable, unlike
+    floating PageRank. Early-exits when no distance improves."""
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b"), F.col(weight).alias("w")
+    )
+    if undirected:
+        e = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+        )
+    # Parallel edges collapse to their cheapest copy once up front —
+    # relaxation only ever uses the min weight per (a, b).
+    adj = (
+        e.filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+        .persist()
+    )
+    node_type = adj.schema["a"].dataType
+    best = (
+        edges.sparkSession.range(1)
+        .select(
+            F.lit(source).cast(node_type).alias("node"),
+            F.lit(0).cast("bigint").alias("dist"),
+        )
+        .localCheckpoint()
+    )
+    frontier = best
+    for _hop in range(1, max_hops + 1):
+        if frontier.limit(1).count() == 0:
+            break
+        cand = (
+            frontier.join(adj, frontier["node"] == adj["a"])
+            .select(
+                F.col("b").alias("node"),
+                (F.col("dist") + F.col("w")).cast("bigint").alias("nd"),
+            )
+            .groupBy("node")
+            .agg(F.min("nd").alias("nd"))
+        )
+        improved = (
+            cand.join(
+                best.withColumnRenamed("dist", "old"), on="node", how="left"
+            )
+            .filter(F.col("old").isNull() | (F.col("nd") < F.col("old")))
+            .select("node", F.col("nd").alias("dist"))
+            .localCheckpoint()
+        )
+        best = (
+            best.join(improved.select("node"), on="node", how="left_anti")
+            .unionByName(improved)
+            .localCheckpoint()
+        )
+        frontier = improved
+    adj.unpersist()
+    return best

@@ -1408,3 +1408,73 @@ def rdf_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
         )
     )
+
+
+WSSSP_MAX_HOPS = 12
+WSSSP_MAX_W = 7  # manager-edge weights are (suppkey % 7) + 1 ∈ [1, 7]
+
+
+@query(
+    "rdf_weighted_sssp",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT 'supplier/' || s_suppkey AS a,
+             'supplier/' || (s_suppkey // 2) AS b,
+             (s_suppkey % {WSSSP_MAX_W}) + 1 AS w
+      FROM supplier WHERE s_suppkey >= 1
+      UNION ALL
+      SELECT 'supplier/' || s_suppkey, 'supplier/' || (s_suppkey + 1), 3
+      FROM supplier
+      WHERE s_suppkey + 1 <= (SELECT MAX(s_suppkey) FROM supplier)
+    ), sym AS (
+      SELECT a, b, w FROM e UNION SELECT b, a, w FROM e
+    ), walk(node, d, hops) AS (
+      SELECT 'supplier/0', 0, 0
+      UNION
+      SELECT s.b, wk.d + s.w, wk.hops + 1
+      FROM walk wk JOIN sym s ON s.a = wk.node
+      WHERE wk.hops < {WSSSP_MAX_HOPS}
+        AND wk.d + s.w <= {WSSSP_MAX_HOPS * WSSSP_MAX_W}
+    )
+    SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM walk GROUP BY node
+    """,
+)
+def rdf_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (hop-bounded Bellman-Ford,
+    operators/graph.py::weighted_sssp) — the weighted complement to
+    rdf_shortest_hops' BFS. Graph: the undirected manager tree
+    (edge weight (child % 7) + 1, so routes genuinely differ in cost)
+    PLUS a sibling ring k↔k+1 of weight 3, which adds cycles and
+    alternative routes — min-cost ≠ min-hops, so the relaxation is
+    doing real work, not re-deriving BFS. Distances are exact integer
+    sums; the oracle replays the identical ≤12-hop min-plus semantics
+    with a depth- and cost-capped recursive walk (the cost cap
+    12×7 = 84 is an upper bound on ANY ≤12-edge path, so it prunes
+    states without changing the minimum)."""
+    from rdf_mapreduce_joins_spark.operators.graph import weighted_sssp
+
+    s = load_table(spark, sf_dir, "supplier")
+    node = F.concat(F.lit("supplier/"), F.col("s_suppkey"))
+    tree = s.filter(F.col("s_suppkey") >= 1).select(
+        node.alias("src"),
+        F.concat(
+            F.lit("supplier/"), F.expr("s_suppkey div 2")
+        ).alias("dst"),
+        ((F.col("s_suppkey") % WSSSP_MAX_W) + 1).alias("w"),
+    )
+    smax = s.agg(F.max("s_suppkey").alias("m"))
+    ring = (
+        s.crossJoin(F.broadcast(smax))
+        .filter(F.col("s_suppkey") + 1 <= F.col("m"))
+        .select(
+            node.alias("src"),
+            F.concat(F.lit("supplier/"), F.col("s_suppkey") + 1).alias("dst"),
+            F.lit(3).alias("w"),
+        )
+    )
+    dist = weighted_sssp(
+        tree.unionByName(ring),
+        "supplier/0",
+        max_hops=WSSSP_MAX_HOPS,
+    )
+    return dist.select("node", F.col("dist").cast("bigint").alias("dist"))

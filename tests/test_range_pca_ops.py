@@ -240,3 +240,53 @@ def test_bucketed_interval_join_exact_at_epoch_nanoseconds(spark):
         start="start", end="end", bucket_width=width,
     ).select("start").collect()
     assert [r["start"] for r in got] == [base + 3 * width - 1]
+
+
+def test_weighted_sssp_hand_graph(spark):
+    """Weighted SSSP on a cyclic hand graph where min-cost != min-hops:
+    a->b->c direct edge costs 10, the detour a->d->e->c costs 3 — the
+    relaxation must prefer MORE hops at LOWER weight (pure BFS gets
+    this wrong), and the b<->e chord gives a cycle to not loop on."""
+    from rdf_mapreduce_joins_spark.operators.graph import weighted_sssp
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 1),
+            ("b", "c", 9),
+            ("a", "d", 1),
+            ("d", "e", 1),
+            ("e", "c", 1),
+            ("b", "e", 5),
+        ],
+        "src string, dst string, w long",
+    )
+    got = {r["node"]: r["dist"] for r in weighted_sssp(edges, "a").collect()}
+    assert got == {"a": 0, "b": 1, "c": 3, "d": 1, "e": 2}
+
+
+def test_weighted_sssp_hop_bound_is_honored(spark):
+    """max_hops=1 must return only direct-edge relaxations even when a
+    2-hop path is cheaper."""
+    from rdf_mapreduce_joins_spark.operators.graph import weighted_sssp
+
+    edges = spark.createDataFrame(
+        [("a", "b", 10), ("a", "c", 1), ("c", "b", 1)],
+        "src string, dst string, w long",
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in weighted_sssp(edges, "a", max_hops=1).collect()
+    }
+    assert got == {"a": 0, "b": 10, "c": 1}
+
+
+def test_weighted_sssp_isolated_source(spark):
+    """An isolated source still yields [(source, 0)] — same seed
+    contract as shortest_hops (ADVICE r3 edge, pinned for both)."""
+    from rdf_mapreduce_joins_spark.operators.graph import weighted_sssp
+
+    edges = spark.createDataFrame(
+        [("x", "y", 2)], "src string, dst string, w long"
+    )
+    got = {r["node"]: r["dist"] for r in weighted_sssp(edges, "zzz").collect()}
+    assert got == {"zzz": 0}
