@@ -381,3 +381,95 @@ def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("mad"), 6).alias("mad"),
         F.sum(F.when(is_out, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
     )
+
+
+@query(
+    "events_variant_pipeline",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           ROUND(AVG(value), 4) AS avg_v
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_variant_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT round trip (Spark 4's open-schema JSON
+    type, the S4 modern path): assemble a nested JSON document from
+    typed columns, parse_json it into a VARIANT, then pull typed
+    paths back out with variant_get and aggregate. Proves the whole
+    encode→VARIANT→typed-extract loop is lossless for ints and
+    doubles — the ingestion shape for logs/telemetry whose schema
+    drifts too fast to declare. VARIANT parses once into a binary
+    encoding (vs per-path get_json_object re-parsing) and
+    variant_get stays JVM-side; the oracle checks the same values
+    straight from the base columns, which is exactly the lossless
+    claim under test."""
+    e = load_table(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.struct(F.col("value").alias("v")).alias("m"),
+            F.from_json("props", "k BIGINT").getField("k").alias("k"),
+        )
+    )
+    v = F.parse_json(doc)
+    ex = e.select(
+        F.variant_get(v, "$.t", "string").alias("event_type"),
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        F.variant_get(v, "$.m.v", "double").alias("val"),
+    )
+    return ex.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.round(F.avg("val"), 4).alias("avg_v"),
+    )
+
+
+@query(
+    "sql_recursive_closure_depth",
+    oracle="""
+    WITH RECURSIVE anc(node, anc, d) AS (
+      SELECT s_suppkey, s_suppkey // 2, 1 FROM supplier WHERE s_suppkey >= 1
+      UNION ALL
+      SELECT a.node, a.anc // 2, a.d + 1 FROM anc a WHERE a.anc >= 1
+    )
+    SELECT d,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT anc) AS BIGINT) AS n_ancestors
+    FROM anc
+    GROUP BY d
+    """,
+)
+def sql_recursive_closure_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Spark 4 WITH RECURSIVE (the SQL-surface twin of
+    operators/graph.py's iterative-doubling closure): ancestor pairs
+    of the manager tree per depth, computed by the engine's own
+    recursive-CTE execution instead of a hand-rolled driver loop.
+    Declared so the contract covers BOTH transitive-closure entry
+    points — a SQL user migrating recursive queries runs this path
+    verbatim. Spark executes it as an iterated union with the same
+    per-level shuffle profile as the explicit loop; depth is bounded
+    by the tree height (log2 n), and each level's frame is the
+    previous level filtered, so no state ever exceeds the closure
+    itself. The DuckDB oracle is the IDENTICAL query modulo integer
+    division spelling."""
+    s = load_table(spark, sf_dir, "supplier")
+    s.createOrReplaceTempView("__sup_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(node, anc, d) AS (
+          SELECT s_suppkey, s_suppkey DIV 2, 1
+          FROM __sup_rec WHERE s_suppkey >= 1
+          UNION ALL
+          SELECT a.node, a.anc DIV 2, a.d + 1 FROM anc a WHERE a.anc >= 1
+        )
+        SELECT d,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT anc) AS BIGINT) AS n_ancestors
+        FROM anc
+        GROUP BY d
+        """
+    )
