@@ -376,3 +376,116 @@ def run_to_memory(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+EWMA_STREAM_ALPHA = 0.3  # matches plans/events.py::EWMA_ALPHA
+
+
+def tws_available() -> bool:
+    """True if this deployment can run transformWithStateInPandas.
+
+    The StatefulProcessor runtime talks to the JVM state server over a
+    protobuf protocol, so ``google.protobuf`` must be importable in
+    the Python workers (it ships with any real PySpark cluster image;
+    this offline container lacks it). Capability-gated exactly like
+    Avro in sources/columnar.py: detect, fail fast with the deploy
+    instruction, keep the operator itself real and tested wherever the
+    dependency exists."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class _EwmaStatefulProcessor:
+    """StatefulProcessor implementation for :func:`ewma_stream_tws`
+    (plain base class so importing this module never requires the
+    transformWithState runtime; the subclass with the real
+    StatefulProcessor ABC is assembled inside the gated factory)."""
+
+    def __init__(self, alpha: float) -> None:
+        self._alpha = alpha
+
+    def init(self, handle) -> None:  # StatefulProcessorHandle
+        # ValueState survives across micro-batches in the state store;
+        # (s, n) is the whole recursion carry — O(1) per user.
+        self._state = handle.getValueState("ewma", "s double, n bigint")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import numpy as np
+
+        (user_id,) = key
+        batch = pd.concat(list(rows), ignore_index=True).sort_values(
+            ["ts_s", "event_id"]
+        )
+        if self._state.exists():
+            s, n = self._state.get()
+        else:
+            s, n = None, 0
+        alpha = self._alpha
+        out: list[float] = []
+        for v in batch["value"]:
+            v = float(v)
+            s = v if s is None else alpha * v + (1 - alpha) * s
+            n += 1
+            out.append(s)
+        self._state.update((float(s), int(n)))
+        yield pd.DataFrame(
+            {
+                "user_id": np.full(len(batch), user_id, dtype="int64"),
+                "event_id": batch["event_id"].to_numpy(),
+                "ts_s": batch["ts_s"].to_numpy(),
+                # numpy half-to-even, matching the batch twin exactly
+                "ewma": np.round(np.array(out, dtype="float64"), 4),
+            }
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def ewma_stream_tws(
+    events: DataFrame, alpha: float = EWMA_STREAM_ALPHA
+) -> DataFrame:
+    """T6 on the MODERN stateful API: per-user streaming EWMA via
+    Spark 4 ``transformWithStateInPandas`` (the StatefulProcessor
+    replacement for applyInPandasWithState — named state variables,
+    explicit lifecycle, composable timers). Streaming twin of the
+    hash-oracled batch ``events_ewma``: the recursion carry is a
+    single (s, n) ValueState per user, so state is O(users), not
+    O(events), and each micro-batch folds its rows in (ts_s,
+    event_id) order on top of the carried s. With in-order delivery
+    per user this emits exactly the batch recursion's values.
+    Out-of-order ACROSS micro-batches is the documented caveat (same
+    as any streaming recursion without event-time buffering).
+
+    Requires ``google.protobuf`` in the workers (see
+    :func:`tws_available`); fails fast with the deploy instruction
+    when absent."""
+    if not tws_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs google.protobuf in the "
+            "Python workers (the StatefulProcessor state-server "
+            "protocol). Deploy with: pip install protobuf (it ships in "
+            "standard PySpark cluster images)."
+        )
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    cls = type(
+        "_EwmaProcessor", (_EwmaStatefulProcessor, StatefulProcessor), {}
+    )
+    return (
+        events.select("user_id", "event_id", "ts_s", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            cls(alpha),
+            outputStructType="user_id bigint, event_id bigint, ts_s bigint, ewma double",
+            outputMode="Append",
+            timeMode="None",
+        )
+    )

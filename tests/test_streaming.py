@@ -285,3 +285,77 @@ def test_file_sink_checkpoint_recovery_exactly_once(spark, tmp_path_factory):
     run_once()  # resumes from the checkpoint
     got2 = sorted(r.event_id for r in spark.read.parquet(out).collect())
     assert got2 == [1, 2, 3]  # batch 1 not replayed, batch 2 not missed
+
+
+
+def test_tws_ewma_matches_batch_recursion(spark, multi_batch_events_dir):
+    """transformWithStateInPandas EWMA (modern StatefulProcessor API):
+    drained over three in-order micro-batches it must emit exactly the
+    batch recursion s_t = a*x_t + (1-a)*s_{t-1} per user — the
+    ValueState carry across batches is the thing under test. Skipped
+    where the tWS protobuf runtime isn't deployed (this offline
+    container); the gate itself is covered below either way."""
+    if not es.tws_available():
+        pytest.skip("google.protobuf not deployed (tws runtime)")
+    stream = es.read_events_stream(
+        spark, multi_batch_events_dir, max_files_per_trigger=1
+    )
+    out = es.run_to_memory(
+        es.ewma_stream_tws(stream), "t_tws_ewma", "append"
+    ).collect()
+    got = {r.event_id: r.ewma for r in out}
+    a = es.EWMA_STREAM_ALPHA
+    expect = {}
+    for uid, seq in {
+        1: [(1, 1.0), (2, 2.0), (4, 7.0)],
+        2: [(3, 5.0)],
+        3: [(5, 9.0)],
+    }.items():
+        s = None
+        for eid, v in seq:
+            s = v if s is None else a * v + (1 - a) * s
+            expect[eid] = round(s, 4)
+    assert got == expect
+    assert len(out) == 5
+
+
+def test_tws_ewma_gate_or_processor_logic(spark):
+    """Whichever side of the capability gate this environment is on:
+    without protobuf the operator must fail fast with the deploy
+    instruction; the processor's per-batch fold logic is checked
+    directly against the hand recursion either way (it's a plain
+    class — no Spark runtime needed)."""
+    if not es.tws_available():
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            es.ewma_stream_tws(spark.range(0).selectExpr(
+                "id user_id", "id event_id", "id ts_s",
+                "cast(id as double) value"))
+    # drive the processor class directly with a fake state handle
+    import pandas as pd
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+        def exists(self):
+            return self.v is not None
+        def get(self):
+            return self.v
+        def update(self, v):
+            self.v = v
+
+    class FakeHandle:
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return FakeState()
+
+    proc = es._EwmaStatefulProcessor(0.3)
+    proc.init(FakeHandle())
+    b1 = pd.DataFrame({"ts_s": [10, 20], "event_id": [1, 2], "value": [1.0, 2.0]})
+    out1 = pd.concat(list(proc.handleInputRows((7,), iter([b1]), None)))
+    b2 = pd.DataFrame({"ts_s": [30], "event_id": [3], "value": [7.0]})
+    out2 = pd.concat(list(proc.handleInputRows((7,), iter([b2]), None)))
+    s1 = 1.0
+    s2 = 0.3 * 2.0 + 0.7 * s1
+    s3 = 0.3 * 7.0 + 0.7 * s2
+    assert list(out1["ewma"]) == [round(s1, 4), round(s2, 4)]
+    assert list(out2["ewma"]) == [round(s3, 4)]
+    assert out1["user_id"].tolist() == [7, 7]
