@@ -473,3 +473,143 @@ def sql_recursive_closure_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d
         """
     )
+
+
+INCR_CUTOFF = "2000-01-01"
+
+
+@query(
+    "agg_incremental_merge",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (the 100 TB pattern that
+    replaces full recomputes): the pre-cutoff history is collapsed
+    into a per-group PARTIAL-STATE table (count + integer-cents sum —
+    both re-mergeable), the post-cutoff delta is aggregated alone,
+    and the published result is the MERGE of state + delta partials.
+    Equality with the from-scratch aggregate over the whole table is
+    exactly what the oracle hash proves — the algebraic property
+    (commutative-monoid partials) that makes per-batch maintenance
+    sound. At scale the state table is group-cardinality-sized, the
+    per-refresh cost is O(delta), and the final merge shuffles
+    #groups x 2 rows, not the corpus. Spark's own partial/final agg
+    does this within one job; this operator is the CROSS-JOB version
+    a warehouse maintains across days."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cutoff = F.lit(INCR_CUTOFF).cast("timestamp")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(cents).cast("bigint").alias("revenue_cents"),
+        )
+
+    state = partials(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partials(o.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        state.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("revenue_cents").cast("bigint").alias("revenue_cents"),
+        )
+    )
+
+
+ATTR_LOOKBACK_S = 3 * 86400
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id,
+             event_type, value,
+             CASE WHEN event_type = 'click'
+                  THEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 5
+             END AS campaign
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    attributed AS (
+      SELECT event_type, value,
+             last_value(campaign IGNORE NULLS) OVER w AS last_campaign,
+             last_value(CASE WHEN event_type = 'click' THEN ts_s END
+                        IGNORE NULLS) OVER w AS last_click_s,
+             ts_s
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT last_campaign AS campaign,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM attributed
+    WHERE event_type = 'purchase'
+      AND last_campaign IS NOT NULL
+      AND ts_s - last_click_s <= {ATTR_LOOKBACK_S}
+    GROUP BY last_campaign
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the
+    user's most recent click within a 3-day lookback (campaign =
+    click's k mod 5 — the fixture's stand-in for a campaign id). The
+    scalable formulation is the tagged-union window scan — clicks and
+    purchases interleave in ONE per-user (ts, event_id) ordering and
+    an IGNORE-NULLS running last carries the click forward — instead
+    of the purchase-to-clicks as-of self-join, which re-shuffles both
+    sides and fans out per purchase. One shuffle on user_id, then a
+    tiny campaign-keyed aggregate. Revenue in integer cents (exact
+    under any merge order)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    campaign = F.when(
+        F.col("event_type") == "click",
+        F.from_json("props", "k BIGINT").getField("k") % 5,
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts_s"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = e.select(
+        "user_id",
+        "ts_s",
+        "event_id",
+        "event_type",
+        "value",
+        campaign.alias("campaign"),
+    ).withColumn("click_s", click_ts)
+    attributed = tagged.select(
+        "event_type",
+        "value",
+        "ts_s",
+        F.last("campaign", ignorenulls=True).over(w).alias("last_campaign"),
+        F.last("click_s", ignorenulls=True).over(w).alias("last_click_s"),
+    )
+    return (
+        attributed.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_campaign").isNotNull()
+            & (F.col("ts_s") - F.col("last_click_s") <= ATTR_LOOKBACK_S)
+        )
+        .groupBy(F.col("last_campaign").alias("campaign"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )
