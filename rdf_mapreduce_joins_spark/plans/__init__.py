@@ -14,6 +14,7 @@ from rdf_mapreduce_joins_spark.plans import (  # noqa: F401
     llm,
     rdf,
     relational,
+    sketches,
     sparql,
     tpch,
 )

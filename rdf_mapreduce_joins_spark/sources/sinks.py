@@ -96,23 +96,25 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> "F.Column":
         raise ValueError("zorder_key takes 2 or 3 columns")
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    z = F.lit(0).cast("long")
-    stride = len(cols)
-    for ci, c in enumerate(cols):
+    idxs = []
+    for c in cols:
         breaks = sorted(set(df.stat.approxQuantile(c, probs, 0.001)))
         # Rescale the bucket index to use the FULL bit range: duplicate
         # quantiles collapse on low-cardinality columns, and an index
         # that never reaches the high bits would make the interleave
         # lopsided (measured: file skipping degraded ~2x without this).
         m = max(1, len(breaks))
-        idx = (
-            (_bucket_index(c, breaks).cast("long") * F.lit(n_buckets - 1))
-            / F.lit(m)
-        ).cast("long")
-        for j in range(bits):
-            bit = F.shiftright(idx, j).bitwiseAND(F.lit(1))
-            z = z + (bit * F.lit(1 << (j * stride + ci)))
-    return z
+        idxs.append(
+            (
+                (_bucket_index(c, breaks).cast("long") * F.lit(n_buckets - 1))
+                / F.lit(m)
+            ).cast("long")
+        )
+    # The bit interleave itself is the shared primitive
+    # (operators/layout.py — also provides the SQL twin for oracles).
+    from rdf_mapreduce_joins_spark.operators.layout import zorder_value
+
+    return zorder_value(idxs, bits=bits)
 
 
 def write_zordered(
