@@ -613,3 +613,83 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("revenue_cents"),
         )
     )
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT label, CAST(i AS INTEGER) AS dim,
+           ROUND(AVG(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)), 6)
+             AS centroid
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) r(i)
+    GROUP BY label, i
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-label embedding centroids in LONG format (label, dim,
+    mean) — the oracled exact twin of the rows-only k-means trainer:
+    posexplode flattens the vectors so the mean is one hash aggregate
+    on (label, dim), never a collect or a VectorAssembler. Long output
+    keeps the oracle trivially SQL-expressible and the shuffle key
+    fine-grained (labels x dims cells spread evenly — no per-label
+    hot partition however skewed the label sizes); the array form is
+    one groupBy(sort_array(collect_list)) away when needed. At corpus
+    scale this is the centroid-update half of distributed k-means."""
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    return flat.groupBy(
+        "label", (F.col("pos") + 1).cast("int").alias("dim")
+    ).agg(F.round(F.avg("v"), 6).alias("centroid"))
+
+
+@query(
+    "nation_revenue_share",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_regionkey, n.n_name,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_regionkey, n.n_name
+    )
+    SELECT n_regionkey, n_name, revenue_cents,
+           ROUND(revenue_cents * 100.0 /
+                 SUM(revenue_cents) OVER (PARTITION BY n_regionkey), 4)
+             AS share_pct
+    FROM rev
+    """,
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total within group (the BI share-of-market staple):
+    per-nation order revenue as a share of its region's total. Revenue
+    aggregates to exact integer cents FIRST (any merge order), then
+    one window SUM over the ~25-row nation spine computes the
+    denominators — the window runs on the aggregate frame, never the
+    fact table, so the share pass costs nothing at any scale. The
+    share division is double math over exact integers, identical in
+    both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_regionkey", "n_name")
+        .agg(F.sum(cents).cast("bigint").alias("revenue_cents"))
+    )
+    w = Window.partitionBy("n_regionkey")
+    return rev.select(
+        "n_regionkey",
+        "n_name",
+        "revenue_cents",
+        F.round(
+            F.col("revenue_cents") * 100.0 / F.sum("revenue_cents").over(w), 4
+        ).alias("share_pct"),
+    )

@@ -210,6 +210,41 @@ SHOWCASE = [
         "node computing lag1/lag2/sum3/min3/max3 together — adding a "
         "feature adds zero shuffles.",
     ),
+    (
+        "parts_pareto_skyline",
+        "Skyline without the quadratic self-join: per-(bucket, price) "
+        "aggregate, bucket-partitioned running max, and a bounded "
+        "bucket-summary window — the only unpartitioned window runs "
+        "over #buckets rows, never the data.",
+    ),
+    (
+        "events_resample_interp",
+        "Gap-fill + interpolation with NO as-of self-join: the daily "
+        "grid explodes from per-user spans, and both interpolation "
+        "neighbors come from two IGNORE-NULLS window scans that share "
+        "one (user_id, day) Exchange+Sort.",
+    ),
+    (
+        "sample_weighted_docs",
+        "Weighted sampling as TakeOrderedAndProject: per-partition "
+        "top-k then a k-row driver merge — no global Sort "
+        "materialization at any corpus size; the ln(u)/w key is pure "
+        "codegen arithmetic on a hash-derived uniform.",
+    ),
+    (
+        "agg_incremental_merge",
+        "Cross-job incremental refresh: two filtered partial aggregates "
+        "union into a #groups-sized merge — the published result never "
+        "rescans history, and the merge shuffle moves group rows, not "
+        "the corpus.",
+    ),
+    (
+        "rdf_weighted_sssp",
+        "Bellman-Ford round (plan of the returned frame): the settled "
+        "frame joins only LAST round's improvements against the "
+        "cheapest-copy adjacency; localCheckpoint keeps the per-round "
+        "plan O(1) across 12 rounds.",
+    ),
 ]
 
 
