@@ -693,3 +693,88 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("revenue_cents") * 100.0 / F.sum("revenue_cents").over(w), 4
         ).alias("share_pct"),
     )
+
+
+@query(
+    "events_xml_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion (Spark 4 built-in from_xml — no spark-xml
+    package): serialize each event into an XML element (attributes +
+    child text node), parse it back with a declared schema (attribute
+    fields use the `_` prefix), and aggregate the typed extractions.
+    Pins the attribute/element mapping AND double round-tripping
+    through XML text (shortest-repr serialization parses back
+    bit-exact, which the integer-cents oracle against the base
+    columns proves). Single projection pass, JVM-side parser, no
+    UDF."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k BIGINT").getField("k")
+    xml = F.concat(
+        F.lit('<e k="'), k.cast("string"),
+        F.lit('" v="'), F.col("value").cast("string"),
+        F.lit('"><t>'), F.col("event_type"), F.lit("</t></e>"),
+    )
+    parsed = e.select(
+        F.from_xml(xml, "_k BIGINT, _v DOUBLE, t STRING").alias("x")
+    ).select(
+        F.col("x.t").alias("event_type"),
+        F.col("x._k").alias("k"),
+        F.col("x._v").alias("v"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.sum(F.round(F.col("v") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("value_cents"),
+    )
+
+
+@query(
+    "scalar_collation_group",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN event_id % 3 = 0 THEN upper(event_type)
+                  WHEN event_id % 3 = 1
+                    THEN upper(substr(event_type, 1, 1))
+                         || substr(event_type, 2)
+                  ELSE event_type END AS w
+      FROM events
+    )
+    SELECT lower(w) AS event_type_ci, CAST(COUNT(*) AS BIGINT) AS n
+    FROM mixed GROUP BY lower(w)
+    """,
+)
+def scalar_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collations): event types are
+    deliberately case-scrambled, then grouped under UTF8_LCASE — the
+    engine-level way to make comparisons/joins/aggregations
+    case-insensitive WITHOUT rewriting every expression to lower(x)
+    (and without breaking pushdown the way wrapping columns in
+    functions does). The emitted key is lowercased only for a
+    deterministic display form; the grouping itself runs on the
+    collated column. Oracle proves equivalence with the classic
+    lower() rewrite."""
+    e = load_table(spark, sf_dir, "events")
+    mixed = F.when(
+        F.col("event_id") % 3 == 0, F.upper("event_type")
+    ).when(
+        F.col("event_id") % 3 == 1, F.initcap("event_type")
+    ).otherwise(F.col("event_type"))
+    return (
+        e.select(F.collate(mixed, "UTF8_LCASE").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.lower("w").alias("event_type_ci"), "n")
+    )
