@@ -778,3 +778,66 @@ def scalar_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .select(F.lower("w").alias("event_type_ci"), "n")
     )
+
+
+RFM_ASOF = "2001-09-01"
+
+
+@query(
+    "customer_rfm_segments",
+    oracle=f"""
+    WITH rfm AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                            DATE '{RFM_ASOF}') AS BIGINT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, recency_days, frequency, monetary_cents,
+           CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey)
+                AS BIGINT) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey)
+                AS BIGINT) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey)
+                AS BIGINT) AS m_score
+    FROM rfm
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (the CRM workhorse): per customer, days since
+    last order (vs a fixed as-of date), order count, and lifetime
+    integer-cents revenue, each scored into quintiles with ntile(5).
+    Best quintile = 1 on every axis (recent / frequent / big
+    spenders). All three orderings carry the custkey tiebreak, so
+    quintile assignment is deterministic and engine-identical. The
+    ntile windows are global by definition (a quintile IS a global
+    rank bucket) but run over the per-customer AGGREGATE frame —
+    customers, not orders — and at warehouse scale the same scores
+    come from two-pass percentile boundaries instead; the aggregate
+    stays one shuffle on o_custkey."""
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(RFM_ASOF).cast("date"), F.to_date(F.max("o_orderdate"))
+        )
+        .cast("bigint")
+        .alias("recency_days"),
+        F.count("*").cast("bigint").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    wr = Window.orderBy("recency_days", "o_custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    wm = Window.orderBy(F.col("monetary_cents").desc(), "o_custkey")
+    return rfm.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5).over(wr).cast("bigint").alias("r_score"),
+        F.ntile(5).over(wf).cast("bigint").alias("f_score"),
+        F.ntile(5).over(wm).cast("bigint").alias("m_score"),
+    )

@@ -195,3 +195,56 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "w1", "w2")
         .limit(BIGRAM_TOPK)
     )
+
+
+PHRASE = ("table", "hash")
+
+
+@query(
+    "text_search_phrase",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    hits AS (
+      SELECT doc_id
+      FROM t, range(1, 1001) r(i)
+      WHERE i <= len(w) - 1
+        AND w[CAST(i AS INTEGER)] = '{PHRASE[0]}'
+        AND w[CAST(i + 1 AS INTEGER)] = '{PHRASE[1]}'
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM hits GROUP BY doc_id
+    """,
+)
+def text_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search ("{p0} {p1}" as an exact adjacent-token
+    match, not a substring LIKE): the two terms' POSITIONAL postings
+    join on (doc_id, pos + 1) — the classic positional-inverted-index
+    probe. The explode filters to the phrase terms before any shuffle,
+    so the join moves only the two terms' postings (stopword-bounded,
+    never corpus-bounded), and adding a third term is one more
+    position-shifted join, not a rescan. LIKE '%...%' can't do this
+    correctly (it matches across token boundaries and can't rank by
+    occurrence count without re-scanning)."""
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok"),
+    )
+    p1 = toks.filter(F.col("tok") == PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("pos1")
+    )
+    p2 = toks.filter(F.col("tok") == PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pos1")
+    )
+    return (
+        p1.join(p2, on=["doc_id", "pos1"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+    )
+
+
+text_search_phrase.__doc__ = text_search_phrase.__doc__.format(
+    p0=PHRASE[0], p1=PHRASE[1]
+)

@@ -37,6 +37,12 @@ def test_oracle_keys_subset_of_queries():
         "text_heavy_hitters_cms",
         "dedup_semantic_prune",
         "embedding_kmeans_clusters",
+        # r4 DataSketches family: estimates are deterministic for fixed
+        # input but not ANSI-SQL-reproducible in DuckDB (different
+        # sketch algorithms); value-tested in tests/test_sketches.py.
+        "agg_hll_mergeable",
+        "agg_kll_quantiles",
+        "agg_theta_distinct",
     }
 
 
