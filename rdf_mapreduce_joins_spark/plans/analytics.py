@@ -841,3 +841,99 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(wf).cast("bigint").alias("f_score"),
         F.ntile(5).over(wm).cast("bigint").alias("m_score"),
     )
+
+
+@query(
+    "join_shuffle_hash_hint",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-strategy control (§4.2): the same fact-fact equi-join
+    as the sort-merge family, forced to a ShuffledHashJoin with the
+    SHUFFLE_HASH hint. When one side is much smaller per partition
+    but too big to broadcast, hashing the small side beats sorting
+    BOTH sides — SMJ pays two sorts, SHJ pays one build. The hint is
+    how a user encodes that knowledge without touching configs; the
+    plan gate in test_plans pins that the hint is honored (Catalyst
+    would otherwise pick SMJ for two large sides). Semantics are
+    hint-invariant, which is exactly what the oracle hash proves."""
+    o = load_table(spark, sf_dir, "orders").hint("shuffle_hash")
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(cents).cast("bigint").alias("revenue_cents"),
+        )
+    )
+
+
+QUANT_BITS_MAX = 127
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS v,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> abs(x))) AS scale
+      FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           CAST(list_sum(list_transform(
+             v, x -> FLOOR(x / scale * {QUANT_BITS_MAX} + 0.5)
+           )) AS BIGINT) AS q_checksum,
+           CAST(list_max(list_transform(
+             v, x -> FLOOR(x / scale * {QUANT_BITS_MAX} + 0.5)
+           )) AS BIGINT) AS q_max
+    FROM s
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-training int8 quantization of the embedding column
+    (max-abs symmetric scaling — the storage/ANN-memory reduction
+    step before serving): per vector, scale = max|x| and
+    q_i = floor(x_i/scale*127 + 0.5). Entirely JVM-side higher-order
+    functions (transform/aggregate) — no UDF, no Python — so the
+    quantization runs inside whole-stage codegen at full scan speed.
+    floor(x+0.5) instead of round() on BOTH engines: the halfway rule
+    is then identical arithmetic (Spark HALF_UP and DuckDB
+    double-round diverge at .5 boundaries), making the integer
+    checksum hash-exact. Declared as (scale, checksum, max) per
+    vector; the full int8 array column is the same expression minus
+    the aggregation."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.transform(
+        F.col("v"), lambda x: F.floor(x / F.col("scale") * QUANT_BITS_MAX + 0.5)
+    )
+    # q must be computed in a select where `scale` is still the RAW
+    # column: putting round(scale) and q in one projection makes
+    # Spark's lateral column alias resolution bind the lambda's
+    # `scale` to the 6dp-rounded OUTPUT alias (observed: one-ulp
+    # checksum flip vs the oracle, which quantizes with full
+    # precision). Display rounding happens strictly downstream.
+    quantized = e.select("vec_id", v.alias("v"), scale.alias("scale")).select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            q, F.lit(0).cast("bigint"), lambda acc, x: acc + x.cast("bigint")
+        ).alias("q_checksum"),
+        F.array_max(q).cast("bigint").alias("q_max"),
+    )
+    return quantized.select(
+        "vec_id", F.round("scale", 6).alias("scale"), "q_checksum", "q_max"
+    )

@@ -322,3 +322,15 @@ def test_aqe_skew_split_fires_on_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_shuffle_hash_hint_is_honored(spark, sf_dir):
+    """join_shuffle_hash_hint: the SHUFFLE_HASH hint must actually
+    plan a ShuffledHashJoin (one build, no sorts) — Catalyst's default
+    for two large sides is SortMergeJoin, so a silently-dropped hint
+    would still pass the oracle while losing the physical strategy
+    the query exists to declare."""
+    df = entrymod.queries()["join_shuffle_hash_hint"](spark, sf_dir)
+    plan = _plan(df)
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
