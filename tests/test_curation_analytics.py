@@ -189,3 +189,50 @@ def test_robust_outliers_bounded_fraction(spark, sf_dir):
         assert r.mad > 0
         # a 3-sigma-equivalent robust screen must flag only a tail
         assert r.n_outliers / totals[r.event_type] < 0.1
+
+
+R4_DETERMINISTIC = [
+    "sample_weighted_docs",
+    "docs_temperature_mixture",
+    "text_bigram_lm",
+    "orders_scd2_intervals",
+    "events_resample_interp",
+    "join_null_safe",
+    "parts_pareto_skyline",
+    "parts_zorder_cluster",
+    "events_robust_outliers",
+    "rdf_weighted_sssp",
+    "events_variant_pipeline",
+    "sql_recursive_closure_depth",
+    "agg_incremental_merge",
+    "events_attribution_last_touch",
+    "embedding_label_centroids",
+    "nation_revenue_share",
+    "events_xml_extract",
+    "scalar_collation_group",
+    "text_search_phrase",
+    "customer_rfm_segments",
+    "join_shuffle_hash_hint",
+    "embedding_quantize_int8",
+]
+
+
+@pytest.mark.parametrize("name", R4_DETERMINISTIC)
+def test_r4_queries_partitioning_invariant(spark, sf_dir, name):
+    """Every round-4 declared query must produce the identical row SET
+    under a different shuffle partitioning — the property that rules
+    out hidden dependence on partition count, partial-aggregation
+    order, or per-partition rank state. (The driver only ever runs one
+    layout; this is the cheap local proxy for 'same answer on a
+    1000-executor cluster'.)"""
+    from rdf_mapreduce_joins_spark.plans import QUERIES
+
+    fn = QUERIES[name]
+    base = {tuple(map(str, r)) for r in fn(spark, sf_dir).collect()}
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        alt = {tuple(map(str, r)) for r in fn(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert base == alt
