@@ -1478,3 +1478,38 @@ def rdf_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hops=WSSSP_MAX_HOPS,
     )
     return dist.select("node", F.col("dist").cast("bigint").alias("dist"))
+
+
+KCORE_K = 2
+
+
+@query("rdf_kcore_members")  # rows-only: peeling fixpoint not SQL-expressible
+def rdf_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core membership (k=2) over the manager tree + sibling ring —
+    the cohesion filter that strips the acyclic fringe before
+    community analytics (a bare tree is 1-degenerate: its 2-core is
+    empty; every member here survives only via ring-tree cycles).
+    Iterative peeling in operators/graph.py::kcore: per-round degree
+    aggregation + two semi-joins over the shrinking edge set, rounds
+    bounded by peeling depth. Deterministic node set, but the
+    fixpoint is not ANSI-SQL-expressible — rows-only for the driver,
+    value-matched against an independent Python peeling reference in
+    tests (full graph at sf0.001)."""
+    from rdf_mapreduce_joins_spark.operators.graph import kcore
+
+    s = load_table(spark, sf_dir, "supplier")
+    node = F.concat(F.lit("supplier/"), F.col("s_suppkey"))
+    tree = s.filter(F.col("s_suppkey") >= 1).select(
+        node.alias("src"),
+        F.concat(F.lit("supplier/"), F.expr("s_suppkey div 2")).alias("dst"),
+    )
+    smax = s.agg(F.max("s_suppkey").alias("m"))
+    ring = (
+        s.crossJoin(F.broadcast(smax))
+        .filter(F.col("s_suppkey") + 1 <= F.col("m"))
+        .select(
+            node.alias("src"),
+            F.concat(F.lit("supplier/"), F.col("s_suppkey") + 1).alias("dst"),
+        )
+    )
+    return kcore(tree.unionByName(ring), KCORE_K).orderBy("node")

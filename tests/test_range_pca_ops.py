@@ -290,3 +290,62 @@ def test_weighted_sssp_isolated_source(spark):
     )
     got = {r["node"]: r["dist"] for r in weighted_sssp(edges, "zzz").collect()}
     assert got == {"zzz": 0}
+
+
+def _py_kcore(edges: list[tuple], k: int) -> set:
+    adj: dict = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    return set(adj)
+
+
+def test_kcore_matches_python_peeling(spark):
+    """k-core peeling on a graph with a 4-clique (3-core), a triangle
+    hanging off it (2-core only), and a tail path: the 3-core must be
+    exactly the clique, the 2-core the clique + triangle."""
+    from rdf_mapreduce_joins_spark.operators.graph import kcore
+
+    e = [
+        ("c1", "c2"), ("c1", "c3"), ("c1", "c4"),
+        ("c2", "c3"), ("c2", "c4"), ("c3", "c4"),   # 4-clique
+        ("c4", "t1"), ("t1", "t2"), ("t2", "c4"),   # triangle sharing c4
+        ("t2", "p1"), ("p1", "p2"),                  # tail path
+    ]
+    edges = spark.createDataFrame(e, "src string, dst string")
+    got3 = {r.node for r in kcore(edges, 3).collect()}
+    assert got3 == {"c1", "c2", "c3", "c4"} == _py_kcore(e, 3)
+    got2 = {r.node for r in kcore(edges, 2).collect()}
+    assert got2 == {"c1", "c2", "c3", "c4", "t1", "t2"} == _py_kcore(e, 2)
+    # k high enough to empty the graph
+    assert kcore(edges, 5).count() == 0 == len(_py_kcore(e, 5))
+
+
+def test_rdf_kcore_members_matches_reference_at_sf0001(spark):
+    """The declared rows-only query vs the Python peeling reference on
+    the full derived supplier graph (tree + ring) at sf0.001."""
+    from rdf_mapreduce_joins_spark.plans import QUERIES
+
+    sup = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+    keys = [r.s_suppkey for r in sup.select("s_suppkey").collect()]
+    mx = max(keys)
+    e = [(f"supplier/{k}", f"supplier/{k // 2}") for k in keys if k >= 1]
+    e += [(f"supplier/{k}", f"supplier/{k + 1}") for k in keys if k + 1 <= mx]
+    expect = _py_kcore(e, 2)
+    got = {
+        r.node
+        for r in QUERIES["rdf_kcore_members"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == expect
+    assert got, "2-core is empty at sf0.001 — fixture too small, test vacuous"
