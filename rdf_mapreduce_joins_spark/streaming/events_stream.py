@@ -489,3 +489,23 @@ def ewma_stream_tws(
             timeMode="None",
         )
     )
+
+
+def enrich_stream_static(
+    events: DataFrame, dim: DataFrame, on: str = "user_id"
+) -> DataFrame:
+    """Stream-static enrichment join (the third join mode next to
+    stream-stream interval joins and batch joins): every micro-batch
+    joins against the CURRENT snapshot of a batch dimension — no
+    watermark, no state store, because the static side is re-resolved
+    per batch (so a dimension refresh between batches is picked up
+    automatically; that snapshot-per-batch semantics is the point of
+    the mode, and what the test pins). Inner join keeps the stream
+    append-only. At scale the dimension is broadcast per batch when
+    small, or storage-partitioned for shuffle-free joins when not —
+    the same physics as any batch join, amortized per micro-batch."""
+    if not events.isStreaming:
+        raise ValueError("enrich_stream_static expects a streaming frame")
+    if dim.isStreaming:
+        raise ValueError("the dimension side must be a batch frame")
+    return events.join(F.broadcast(dim), on=on, how="inner")

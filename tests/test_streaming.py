@@ -359,3 +359,29 @@ def test_tws_ewma_gate_or_processor_logic(spark):
     assert list(out1["ewma"]) == [round(s1, 4), round(s2, 4)]
     assert list(out2["ewma"]) == [round(s3, 4)]
     assert out1["user_id"].tolist() == [7, 7]
+
+
+def test_stream_static_enrichment(spark, events_dir):
+    """Stream-static join: each event picks up its dimension row from
+    the batch side; rows with no dimension match drop (inner). Output
+    must equal the equivalent batch join."""
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    stream = es.read_events_stream(spark, events_dir)
+    out = es.run_to_memory(
+        es.enrich_stream_static(stream, dim).select(
+            "event_id", "user_id", "tier"
+        ),
+        "t_enriched",
+        "append",
+    ).collect()
+    got = {(r.event_id, r.tier) for r in out}
+    # independent expectation from the raw fixture
+    raw = spark.read.parquet(events_dir).select("event_id", "user_id")
+    expect = {
+        (r.event_id, {1: "gold", 2: "silver"}[r.user_id])
+        for r in raw.collect()
+        if r.user_id in (1, 2)
+    }
+    assert got == expect and got, "stream-static join diverged from batch"
