@@ -937,3 +937,115 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized.select(
         "vec_id", F.round("scale", 6).alias("scale"), "q_checksum", "q_max"
     )
+
+
+@query(
+    "dq_constraint_checks",
+    oracle="""
+    SELECT 'orders_custkey_fk' AS constraint_name,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS n_violations,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_checked
+    UNION ALL
+    SELECT 'orders_orderkey_unique',
+           CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_discount < 0 OR l_discount > 0.6) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'customer_name_not_null',
+           CAST((SELECT COUNT(*) FROM customer WHERE c_name IS NULL)
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT)
+    """,
+)
+def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint suite (the deequ/dbt-test shape): five
+    declarative checks — two referential-integrity anti-joins, a
+    primary-key uniqueness count, a value-range scan, a NOT NULL
+    scan — emitted as one (constraint, violations, checked) frame a
+    pipeline gates on. Anti-joins are the scalable FK check (never a
+    full outer join); uniqueness is count minus distinct-count (one
+    aggregation, no self-join); the range/null checks ride single
+    scans. Passing checks report 0 violations — the oracle hash pins
+    the zeros too, so a silently-vacuous check (wrong column, wrong
+    bound) fails the gate rather than greenwashing."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def shape(name, agg):
+        return agg.select(
+            F.lit(name).alias("constraint_name"),
+            F.col("v").cast("bigint").alias("n_violations"),
+            F.col("n").cast("bigint").alias("n_checked"),
+        )
+
+    # FK checks as LEFT JOIN + conditional count: violations and the
+    # checked total come from ONE pass over the join (a separate
+    # anti-join + crossJoined COUNT(*) would plan a 1-row BNLJ and
+    # scan the fact table twice).
+    c_keys = c.select(
+        F.col("c_custkey").alias("o_custkey"), F.lit(1).alias("__hit")
+    )
+    fk_orders = shape(
+        "orders_custkey_fk",
+        o.join(F.broadcast(c_keys), on="o_custkey", how="left").agg(
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias("v"),
+            F.count("*").alias("n"),
+        ),
+    )
+    pk_orders = shape(
+        "orders_orderkey_unique",
+        o.agg(
+            (F.count("*") - F.countDistinct("o_orderkey")).alias("v"),
+            F.count("*").alias("n"),
+        ),
+    )
+    o_keys = o.select(
+        F.col("o_orderkey").alias("l_orderkey"), F.lit(1).alias("__hit")
+    )
+    fk_lineitem = shape(
+        "lineitem_orderkey_fk",
+        li.join(o_keys, on="l_orderkey", how="left").agg(
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias("v"),
+            F.count("*").alias("n"),
+        ),
+    )
+    rng = shape(
+        "lineitem_discount_range",
+        li.agg(
+            F.sum(
+                F.when(
+                    (F.col("l_discount") < 0) | (F.col("l_discount") > 0.6), 1
+                ).otherwise(0)
+            ).alias("v"),
+            F.count("*").alias("n"),
+        ),
+    )
+    nn = shape(
+        "customer_name_not_null",
+        c.agg(
+            F.sum(F.when(F.col("c_name").isNull(), 1).otherwise(0)).alias("v"),
+            F.count("*").alias("n"),
+        ),
+    )
+    return (
+        fk_orders.unionByName(pk_orders)
+        .unionByName(fk_lineitem)
+        .unionByName(rng)
+        .unionByName(nn)
+    )

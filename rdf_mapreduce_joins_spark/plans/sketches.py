@@ -99,3 +99,34 @@ def agg_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+ROLLING_DAYS = 7
+
+
+@query("events_rolling_distinct_hll")  # rows-only: sketch estimates
+def events_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users from PRE-AGGREGATED daily
+    sketches: one HLL per day, then a window hll_union_agg over the
+    trailing week — the pattern that makes sliding distinct-count
+    tractable at 100 TB. Exact rolling COUNT(DISTINCT) must rescan
+    every event in every window (7x read amplification, quadratic
+    state); this touches each event once at daily-sketch build, and
+    the window slides over #days sketch rows of a few KB each.
+    Value-tested against the exact rolling distinct in
+    tests/test_sketches.py."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sk"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(-(ROLLING_DAYS - 1), 0)
+    return daily.select(
+        "day",
+        "n_events",
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))
+        .cast("bigint")
+        .alias("est_rolling_users"),
+    ).orderBy("day")

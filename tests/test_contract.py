@@ -43,6 +43,7 @@ def test_oracle_keys_subset_of_queries():
         "agg_hll_mergeable",
         "agg_kll_quantiles",
         "agg_theta_distinct",
+        "events_rolling_distinct_hll",
         # r4 k-core: iterative peeling fixpoint, not SQL-expressible;
         # value-matched against a Python peeling reference in
         # tests/test_range_pca_ops.py and test_rowsonly_references.py.

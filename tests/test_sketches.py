@@ -72,3 +72,21 @@ def test_theta_estimates_and_exact_twin(spark):
     assert set(got) == set(exact)
     for k in got:
         assert abs(got[k] - exact[k]) <= max(2, 0.05 * exact[k])
+
+
+def test_rolling_hll_tracks_exact_rolling_distinct(spark):
+    rows = QUERIES["events_rolling_distinct_hll"](spark, SF).collect()
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    by_day = {
+        r.day: set(r.users)
+        for r in e.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.collect_set("user_id").alias("users"))
+        .collect()
+    }
+    days = sorted(by_day)
+    assert [r.day for r in rows] == days
+    for i, r in enumerate(rows):
+        exact = len(set().union(*(by_day[d] for d in days[max(0, i - 6) : i + 1])))
+        assert abs(r.est_rolling_users - exact) <= max(3, 0.08 * exact), (
+            r.day, r.est_rolling_users, exact,
+        )
