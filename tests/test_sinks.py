@@ -177,3 +177,34 @@ def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
     got = sorted(r.o_orderkey for r in spark.read.parquet(out).collect())
     want = sorted(r.o_orderkey for r in spark.read.parquet(frag).collect())
     assert got == want
+
+
+def test_write_with_metrics_single_pass(spark, sf_dir, tmp_path):
+    """The observed write returns the metrics the write itself
+    computed — equal to a recount, without the second read."""
+    import pyspark.sql.functions as F
+
+    from rdf_mapreduce_joins_spark.sources import sinks
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = str(tmp_path / "observed")
+    got = sinks.write_with_metrics(
+        df,
+        out,
+        metrics={
+            "n_rows": F.count(F.lit(1)),
+            "n_null_cust": F.sum(
+                F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
+            ),
+            "revenue_cents": F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ),
+        },
+    )
+    back = spark.read.parquet(out)
+    assert got["n_rows"] == back.count() == df.count()
+    assert got["n_null_cust"] == 0
+    expect_rev = df.agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+    ).first()[0]
+    assert got["revenue_cents"] == expect_rev
