@@ -248,3 +248,68 @@ def text_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_search_phrase.__doc__ = text_search_phrase.__doc__.format(
     p0=PHRASE[0], p1=PHRASE[1]
 )
+
+
+@query(
+    "docs_novelty_scores",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    bi AS (
+      SELECT DISTINCT doc_id,
+             w[CAST(i AS INTEGER)] || ' ' || w[CAST(i + 1 AS INTEGER)] AS bg
+      FROM t, range(1, 1001) r(i)
+      WHERE i <= len(w) - 1
+    ),
+    first_seen AS (
+      SELECT bg, MIN(doc_id) AS first_doc FROM bi GROUP BY bg
+    )
+    SELECT bi.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN f.first_doc = bi.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(FLOOR(SUM(CASE WHEN f.first_doc = bi.doc_id
+                               THEN 1 ELSE 0 END) * 1000000.0
+                      / COUNT(*) + 0.5) AS BIGINT) AS novelty_e6
+    FROM bi JOIN first_seen f ON bi.bg = f.bg
+    GROUP BY bi.doc_id
+    """,
+)
+def docs_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's DISTINCT bigrams
+    that no lower-id document contains — the contribution score used
+    for curriculum ordering and diminishing-returns curation (a doc
+    whose n-grams are all already covered adds little; dedup catches
+    copies, novelty catches recombinations). First-occurrence is a
+    MIN(doc_id) per bigram — one aggregation, no doc×doc comparison,
+    so cost is corpus-bigram-bounded, never pairwise (the naive
+    formulation self-joins every doc against all earlier ones). The
+    join back rides the same bigram key; score ships as integer
+    millionths via floor(x+.5) (engine-identical halfway rule)."""
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    bi = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "w1"),
+        )
+        .withColumn(
+            "w2",
+            F.lead("w1").over(Window.partitionBy("doc_id").orderBy("pos")),
+        )
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w1", "w2").alias("bg"))
+        .distinct()
+    )
+    first_seen = bi.groupBy("bg").agg(F.min("doc_id").alias("first_doc"))
+    j = bi.join(first_seen, on="bg")
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        novel.cast("bigint").alias("n_novel"),
+        F.floor(novel * 1000000.0 / F.count(F.lit(1)) + 0.5)
+        .cast("bigint")
+        .alias("novelty_e6"),
+    )
