@@ -214,6 +214,8 @@ R4_DETERMINISTIC = [
     "customer_rfm_segments",
     "join_shuffle_hash_hint",
     "embedding_quantize_int8",
+    "docs_novelty_scores",
+    "dq_constraint_checks",
 ]
 
 
