@@ -1049,3 +1049,82 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rng)
         .unionByName(nn)
     )
+
+
+@query(
+    "events_rolling_median_counts",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT event_type, day, n,
+           quantile_cont(n, 0.5) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS med_7d
+    FROM daily
+    """,
+)
+def events_rolling_median_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day median of daily event counts per type — the
+    robust trend line ops dashboards draw instead of a mean that one
+    traffic spike drags. Rolling median is not decomposable (no
+    partial-aggregate trick exists), so the scalable formulation
+    pre-aggregates to the DAILY grain first and runs the window
+    percentile over ≤7-row frames of the tiny daily spine — the
+    window cost is days x types, independent of event volume. Median
+    of ≤7 integers interpolates to exact .0/.5 doubles, so the hash
+    needs no rounding."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.expr("percentile(n, 0.5)").over(w).alias("med_7d"),
+    )
+
+
+@query(
+    "agg_regression_funcs",
+    oracle="""
+    SELECT event_type,
+           CAST(regr_count(value, CAST(json_extract_string(props, '$.k')
+                                       AS DOUBLE)) AS BIGINT) AS n,
+           ROUND(regr_slope(value, CAST(json_extract_string(props, '$.k')
+                                        AS DOUBLE)), 6) AS slope,
+           ROUND(regr_intercept(value, CAST(json_extract_string(props, '$.k')
+                                            AS DOUBLE)), 6) AS intercept,
+           ROUND(corr(value, CAST(json_extract_string(props, '$.k')
+                                  AS DOUBLE)), 6) AS r
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_regression_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2003 linear-regression aggregates (the in-database ML
+    primitives): per event type, OLS slope/intercept of value on the
+    props.k covariate plus Pearson r — one distributed aggregation,
+    no feature-matrix collect, no ML library. These are
+    sufficient-statistics aggregates (sums of x, y, xy, x², y²), so
+    they partial-combine like any sum and scale like COUNT. Both
+    engines implement the identical textbook definitions; 6dp
+    rounding absorbs summation-order ulps."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k BIGINT").getField("k").cast("double")
+    d = e.select("event_type", F.col("value").alias("y"), k.alias("x"))
+    return d.groupBy("event_type").agg(
+        F.regr_count("y", "x").cast("bigint").alias("n"),
+        F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+        F.round(F.regr_intercept("y", "x"), 6).alias("intercept"),
+        F.round(F.corr("y", "x"), 6).alias("r"),
+    )

@@ -216,6 +216,8 @@ R4_DETERMINISTIC = [
     "embedding_quantize_int8",
     "docs_novelty_scores",
     "dq_constraint_checks",
+    "events_rolling_median_counts",
+    "agg_regression_funcs",
 ]
 
 
