@@ -313,3 +313,97 @@ def docs_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("novelty_e6"),
     )
+
+
+_CARD_T80 = format(int(0.8 * 16**8), "08x")
+_CARD_T90 = format(int(0.9 * 16**8), "08x")
+
+
+@query(
+    "docs_dataset_card",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang, source, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             md5(text) AS content_md5,
+             substr(md5('split2:' || CAST(doc_id AS VARCHAR)), 1, 8) AS hk
+      FROM documents
+    )
+    SELECT 'n_docs' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM base
+    UNION ALL
+    SELECT 'n_langs', CAST(COUNT(DISTINCT lang) AS BIGINT) FROM base
+    UNION ALL
+    SELECT 'n_sources', CAST(COUNT(DISTINCT source) AS BIGINT) FROM base
+    UNION ALL
+    SELECT 'total_tokens', CAST(SUM(n_tokens) AS BIGINT) FROM base
+    UNION ALL
+    SELECT 'total_chars', CAST(SUM(n_chars) AS BIGINT) FROM base
+    UNION ALL
+    SELECT 'exact_dup_docs',
+           CAST(COUNT(*) - COUNT(DISTINCT content_md5) AS BIGINT) FROM base
+    UNION ALL
+    SELECT 'n_train',
+           CAST(SUM(CASE WHEN hk < '{_CARD_T80}' THEN 1 ELSE 0 END) AS BIGINT)
+    FROM base
+    UNION ALL
+    SELECT 'n_val',
+           CAST(SUM(CASE WHEN hk >= '{_CARD_T80}' AND hk < '{_CARD_T90}'
+                         THEN 1 ELSE 0 END) AS BIGINT) FROM base
+    UNION ALL
+    SELECT 'n_test',
+           CAST(SUM(CASE WHEN hk >= '{_CARD_T90}' THEN 1 ELSE 0 END) AS BIGINT)
+    FROM base
+    """,
+)
+def docs_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card (release-manifest statistics a corpus ships
+    with): corpus size, language/source diversity, token and char
+    totals, exact-duplicate count, and train/val/test split sizes
+    (same salted-md5 rule as dataset_split_assign, so the card's
+    split sizes are exactly what that query materializes) — emitted
+    as one long-format (metric, value) frame from ONE base
+    projection. All nine metrics partial-combine (counts, sums,
+    distinct-counts), so the whole card is a couple of aggregates
+    over a single corpus scan at any scale; the distinct-counts are
+    the only shuffled keys and both are content-bounded (langs,
+    sources, text digests)."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5("text").alias("content_md5"),
+        F.substring(
+            F.md5(F.concat(F.lit("split2:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ).alias("hk"),
+    )
+
+    def metric(name, col):
+        return base.agg(col.cast("bigint").alias("value")).select(
+            F.lit(name).alias("metric"), "value"
+        )
+
+    train = F.sum(F.when(F.col("hk") < _CARD_T80, 1).otherwise(0))
+    val = F.sum(
+        F.when((F.col("hk") >= _CARD_T80) & (F.col("hk") < _CARD_T90), 1).otherwise(0)
+    )
+    test = F.sum(F.when(F.col("hk") >= _CARD_T90, 1).otherwise(0))
+    parts = [
+        metric("n_docs", F.count(F.lit(1))),
+        metric("n_langs", F.countDistinct("lang")),
+        metric("n_sources", F.countDistinct("source")),
+        metric("total_tokens", F.sum("n_tokens")),
+        metric("total_chars", F.sum("n_chars")),
+        metric("exact_dup_docs", F.count(F.lit(1)) - F.countDistinct("content_md5")),
+        metric("n_train", train),
+        metric("n_val", val),
+        metric("n_test", test),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

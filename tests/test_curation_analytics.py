@@ -218,6 +218,7 @@ R4_DETERMINISTIC = [
     "dq_constraint_checks",
     "events_rolling_median_counts",
     "agg_regression_funcs",
+    "docs_dataset_card",
 ]
 
 
