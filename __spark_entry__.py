@@ -24,11 +24,14 @@ SF0001_DIR = "/root/testdata/sf0.001"
 def _driver_history() -> tuple[dict[str, dict], int]:
     """Cumulative per-query verdicts from prior CORRECTNESS_r*.json files.
 
-    Returns (best_row_per_name, number_of_rounds_seen). A query's best row
-    is its hash-matched row if one ever existed, else its latest row.
+    Returns (latest_row_per_name, number_of_rounds_seen). Classification
+    uses the LATEST row: an early hash-matched row must NOT mask a later
+    recorded failure (the original keep-first-True version made a
+    regressed query look permanently 'passed' and it never reached the
+    re-prove-first tier — caught in the round-4 self-review).
     """
     here = os.path.dirname(os.path.abspath(__file__))
-    best: dict[str, dict] = {}
+    latest: dict[str, dict] = {}
     nfiles = 0
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
@@ -38,12 +41,9 @@ def _driver_history() -> tuple[dict[str, dict], int]:
             continue
         nfiles += 1
         for n, row in rows.items():
-            if not isinstance(row, dict):
-                continue
-            prev = best.get(n)
-            if prev is None or prev.get("hash_match") is not True:
-                best[n] = row
-    return best, nfiles
+            if isinstance(row, dict):
+                latest[n] = row
+    return latest, nfiles
 
 
 def _backlog_roster(names: list[str]) -> set[str]:
@@ -69,18 +69,26 @@ def _driver_priority_order(names: list[str]) -> list[str]:
     CORRECTNESS_r02's keys == the first 50 of round-2 registry order).
     Tiers (VERDICT r3 item #1 + ADVICE r3 on regression blindness):
 
-    1. hash-FAILED queries — a recorded mismatch must be re-proven first.
-    2. never-checked queries — walk the whole surface across rounds.
+    1. hash-FAILED queries (latest verdict) — a recorded mismatch must
+       be re-proven first.
+    2. unverified queries — never sampled, errored on their last run
+       (a crash is not a verification), or PROMOTED to an oracle since
+       a ``no_oracle`` row (e.g. events_ewma in r4). Walks the whole
+       surface across rounds.
     3. a deterministic 8-slot rotation over previously-PASSING queries so
        regressions in already-verified queries stay detectable; the offset
        advances with the number of committed CORRECTNESS files, so each
        round re-checks a different slice without any RNG.
     4. the remaining passing queries.
-    5. rows-only queries whose row said ``err: "no_oracle"`` — they can
-       never hash-match, so they go last and stop eating sample slots
-       (round 3 burned 17 of 50 slots re-running these every round).
-       A query PROMOTED to an oracle since its no_oracle row (e.g.
-       events_ewma in r4) re-queues as never-hash-checked instead.
+    5. rows-only queries whose latest row said ``err: "no_oracle"`` —
+       they can never hash-match, so they go last and stop eating
+       sample slots (round 3 burned 17 of 50 slots re-running these
+       every round).
+
+    Tiers are DISJOINT by construction (each name classified exactly
+    once off its latest row), so the returned list is a permutation of
+    ``names`` — the round-4 self-review caught promoted names appearing
+    twice under the set-algebra version.
 
     Within tier 2, queries carried over from prior rounds
     (``tools/checked_backlog_roster.txt``, snapshotted at round start)
@@ -90,33 +98,31 @@ def _driver_priority_order(names: list[str]) -> list[str]:
     """
     from rdf_mapreduce_joins_spark.plans import ORACLES
 
-    best, nfiles = _driver_history()
+    latest, nfiles = _driver_history()
     roster = _backlog_roster(names)
-    failed = [n for n in names if best.get(n, {}).get("hash_match") is False]
-    promoted = {
-        n
-        for n in names
-        if best.get(n, {}).get("err") == "no_oracle" and n in ORACLES
-    }
-    never = [n for n in names if n not in best or n in promoted]
-    never.sort(key=lambda n: n not in roster)  # stable: backlog first
-    no_oracle = [
-        n
-        for n in names
-        if best.get(n, {}).get("err") == "no_oracle" and n not in promoted
-    ]
-    passed = [
-        n
-        for n in names
-        if n in best and n not in failed and n not in no_oracle
-    ]
+    failed, unverified, passed, no_oracle = [], [], [], []
+    for n in names:
+        row = latest.get(n)
+        if row is None:
+            unverified.append(n)
+        elif row.get("hash_match") is False:
+            failed.append(n)
+        elif row.get("hash_match") is True:
+            passed.append(n)
+        elif row.get("err") == "no_oracle":
+            # rows-only last time; a since-added oracle re-queues it
+            (unverified if n in ORACLES else no_oracle).append(n)
+        else:
+            # errored / null verdict: not verified, try again early
+            unverified.append(n)
+    unverified.sort(key=lambda n: n not in roster)  # stable: backlog first
     rotation: list[str] = []
     if passed:
         slots = max(0, 8 - len(failed))
         start = (nfiles * 8) % len(passed)
         rotation = [passed[(start + i) % len(passed)] for i in range(min(slots, len(passed)))]
     rest = [n for n in passed if n not in rotation]
-    return failed + never + rotation + rest + no_oracle
+    return failed + unverified + rotation + rest + no_oracle
 
 
 def entry(spark: SparkSession) -> DataFrame:

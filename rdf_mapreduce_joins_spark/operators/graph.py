@@ -441,7 +441,13 @@ def kcore(
     SURVIVING edge set, which only shrinks. localCheckpoint cuts
     lineage per round; the loop carries only the surviving-node count.
     Exact integer degrees — deterministic, value-tested against a
-    Python peeling reference in tests."""
+    Python peeling reference in tests.
+
+    Raises RuntimeError if the peeling has not reached its fixpoint
+    within ``max_iter`` rounds (deep peeling chains, e.g. a long path
+    graph, remove only their endpoints per round): returning the
+    intermediate superset would be a silently wrong answer — raise
+    with the resize instruction instead (round-4 self-review)."""
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     live = (
         sym.unionByName(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -450,11 +456,13 @@ def kcore(
         .localCheckpoint()
     )
     n_prev = live.select("a").distinct().count()
+    converged = False
     for _ in range(max_iter):
         deg = live.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.filter(F.col("d") >= k).select("a").localCheckpoint()
         n_now = keep.count()
         if n_now == n_prev:
+            converged = True
             break
         live = (
             live.join(keep, on="a", how="left_semi")
@@ -462,4 +470,10 @@ def kcore(
             .localCheckpoint()
         )
         n_prev = n_now
+    if not converged:
+        raise RuntimeError(
+            f"kcore(k={k}) did not reach its fixpoint within {max_iter} "
+            "rounds — the surviving subgraph still had sub-k nodes. "
+            "Re-run with a larger max_iter (peeling depth exceeds it)."
+        )
     return live.select("a").distinct().withColumnRenamed("a", "node")

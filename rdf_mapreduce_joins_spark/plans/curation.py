@@ -381,29 +381,38 @@ def docs_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("hk"),
     )
-
-    def metric(name, col):
-        return base.agg(col.cast("bigint").alias("value")).select(
-            F.lit(name).alias("metric"), "value"
+    # ONE aggregation computing all nine metrics, then stack() to the
+    # long format — the first cut unioned nine base.agg() branches,
+    # which Spark plans as nine independent corpus scans (no common
+    # subplan dedup); caught by the round-4 self-review.
+    wide = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        (F.count(F.lit(1)) - F.countDistinct("content_md5"))
+        .cast("bigint")
+        .alias("exact_dup_docs"),
+        F.sum(F.when(F.col("hk") < _CARD_T80, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_train"),
+        F.sum(
+            F.when(
+                (F.col("hk") >= _CARD_T80) & (F.col("hk") < _CARD_T90), 1
+            ).otherwise(0)
         )
-
-    train = F.sum(F.when(F.col("hk") < _CARD_T80, 1).otherwise(0))
-    val = F.sum(
-        F.when((F.col("hk") >= _CARD_T80) & (F.col("hk") < _CARD_T90), 1).otherwise(0)
+        .cast("bigint")
+        .alias("n_val"),
+        F.sum(F.when(F.col("hk") >= _CARD_T90, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_test"),
     )
-    test = F.sum(F.when(F.col("hk") >= _CARD_T90, 1).otherwise(0))
-    parts = [
-        metric("n_docs", F.count(F.lit(1))),
-        metric("n_langs", F.countDistinct("lang")),
-        metric("n_sources", F.countDistinct("source")),
-        metric("total_tokens", F.sum("n_tokens")),
-        metric("total_chars", F.sum("n_chars")),
-        metric("exact_dup_docs", F.count(F.lit(1)) - F.countDistinct("content_md5")),
-        metric("n_train", train),
-        metric("n_val", val),
-        metric("n_test", test),
+    metrics = [
+        "n_docs", "n_langs", "n_sources", "total_tokens", "total_chars",
+        "exact_dup_docs", "n_train", "n_val", "n_test",
     ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    stack_expr = "stack({}, {}) as (metric, value)".format(
+        len(metrics), ", ".join(f"'{m}', {m}" for m in metrics)
+    )
+    return wide.selectExpr(stack_expr)

@@ -1453,31 +1453,46 @@ def rdf_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     states without changing the minimum)."""
     from rdf_mapreduce_joins_spark.operators.graph import weighted_sssp
 
-    s = load_table(spark, sf_dir, "supplier")
-    node = F.concat(F.lit("supplier/"), F.col("s_suppkey"))
-    tree = s.filter(F.col("s_suppkey") >= 1).select(
-        node.alias("src"),
-        F.concat(
-            F.lit("supplier/"), F.expr("s_suppkey div 2")
-        ).alias("dst"),
-        ((F.col("s_suppkey") % WSSSP_MAX_W) + 1).alias("w"),
-    )
-    smax = s.agg(F.max("s_suppkey").alias("m"))
-    ring = (
-        s.crossJoin(F.broadcast(smax))
-        .filter(F.col("s_suppkey") + 1 <= F.col("m"))
-        .select(
-            node.alias("src"),
-            F.concat(F.lit("supplier/"), F.col("s_suppkey") + 1).alias("dst"),
-            F.lit(3).alias("w"),
-        )
-    )
     dist = weighted_sssp(
-        tree.unionByName(ring),
+        _supplier_tree_ring(spark, sf_dir, weighted=True),
         "supplier/0",
         max_hops=WSSSP_MAX_HOPS,
     )
     return dist.select("node", F.col("dist").cast("bigint").alias("dist"))
+
+
+def _supplier_tree_ring(
+    spark: SparkSession, sf_dir: str, weighted: bool = False
+) -> DataFrame:
+    """The shared graph-analytics fixture graph: the supplier manager
+    tree (child k → parent k//2) plus a sibling ring (k → k+1), which
+    adds the cycles and alternative routes that make SSSP/k-core
+    non-trivial. One definition feeding both declared queries AND
+    their oracles' edge CTEs — a shape change here must be mirrored
+    there (rdf_weighted_sssp oracle) or the hash gate flags it.
+    ``weighted`` attaches the (k % 7) + 1 tree and constant-3 ring
+    weights the SSSP semantics depend on."""
+    s = load_table(spark, sf_dir, "supplier")
+    node = F.concat(F.lit("supplier/"), F.col("s_suppkey"))
+    tree_cols = [
+        node.alias("src"),
+        F.concat(F.lit("supplier/"), F.expr("s_suppkey div 2")).alias("dst"),
+    ]
+    smax = s.agg(F.max("s_suppkey").alias("m"))
+    ring_cols = [
+        node.alias("src"),
+        F.concat(F.lit("supplier/"), F.col("s_suppkey") + 1).alias("dst"),
+    ]
+    if weighted:
+        tree_cols.append(((F.col("s_suppkey") % WSSSP_MAX_W) + 1).alias("w"))
+        ring_cols.append(F.lit(3).alias("w"))
+    tree = s.filter(F.col("s_suppkey") >= 1).select(*tree_cols)
+    ring = (
+        s.crossJoin(F.broadcast(smax))
+        .filter(F.col("s_suppkey") + 1 <= F.col("m"))
+        .select(*ring_cols)
+    )
+    return tree.unionByName(ring)
 
 
 KCORE_K = 2
@@ -1497,19 +1512,6 @@ def rdf_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests (full graph at sf0.001)."""
     from rdf_mapreduce_joins_spark.operators.graph import kcore
 
-    s = load_table(spark, sf_dir, "supplier")
-    node = F.concat(F.lit("supplier/"), F.col("s_suppkey"))
-    tree = s.filter(F.col("s_suppkey") >= 1).select(
-        node.alias("src"),
-        F.concat(F.lit("supplier/"), F.expr("s_suppkey div 2")).alias("dst"),
-    )
-    smax = s.agg(F.max("s_suppkey").alias("m"))
-    ring = (
-        s.crossJoin(F.broadcast(smax))
-        .filter(F.col("s_suppkey") + 1 <= F.col("m"))
-        .select(
-            node.alias("src"),
-            F.concat(F.lit("supplier/"), F.col("s_suppkey") + 1).alias("dst"),
-        )
-    )
-    return kcore(tree.unionByName(ring), KCORE_K).orderBy("node")
+    return kcore(
+        _supplier_tree_ring(spark, sf_dir, weighted=False), KCORE_K
+    ).orderBy("node")

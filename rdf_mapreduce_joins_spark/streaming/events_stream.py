@@ -183,10 +183,23 @@ def sessionize_custom_state(
             ts_s, value = int(ts_s), float(value)
             if cur is None:
                 cur = [ts_s, ts_s, 1, value]
+            elif ts_s < cur[0] - gap:
+                # Within-watermark late event from BEFORE the open
+                # session's own gap window: it belongs to an earlier,
+                # disjoint session. Batches arrive time-sorted, so
+                # nothing later in this batch can extend it — emit it
+                # closed rather than swallowing it into the wrong
+                # session (round-4 self-review).
+                closed.append([ts_s, ts_s, 1, value])
             elif ts_s - cur[1] > gap:
                 closed.append(cur)
                 cur = [ts_s, ts_s, 1, value]
             else:
+                # min-update the start too: a late event within the gap
+                # BEFORE the session start extends it backward, exactly
+                # as the native session_window merges windows (the old
+                # max-only update silently kept the too-late start).
+                cur[0] = min(cur[0], ts_s)
                 cur[1] = max(cur[1], ts_s)
                 cur[2] += 1
                 cur[3] += value
@@ -274,21 +287,26 @@ def anomaly_stream(
         (user_id,) = key
         n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
         out_rows: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts_s")
-            for eid, val in zip(pdf["event_id"], pdf["value"]):
-                val = float(val)
-                if n >= min_history:
-                    var = m2 / (n - 1) if n > 1 else 0.0
-                    if var > 0:
-                        z = (val - mean) / (var**0.5)
-                        if abs(z) >= z_threshold:
-                            out_rows.append((user_id, int(eid), val, round(z, 4), n))
-                # Welford update AFTER scoring (score against history only)
-                n += 1
-                delta = val - mean
-                mean += delta / n
-                m2 += delta * (val - mean)
+        # Concat BEFORE sorting: a group larger than the Arrow batch
+        # size arrives as several chunks, and sorting each chunk
+        # independently scores later-chunk events against state that
+        # already includes earlier-timestamped ones from a previous
+        # chunk (nondeterministic anomaly sets — round-4 self-review;
+        # sessionize_custom_state always did the concat).
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("ts_s")
+        for eid, val in zip(batch["event_id"], batch["value"]):
+            val = float(val)
+            if n >= min_history:
+                var = m2 / (n - 1) if n > 1 else 0.0
+                if var > 0:
+                    z = (val - mean) / (var**0.5)
+                    if abs(z) >= z_threshold:
+                        out_rows.append((user_id, int(eid), val, round(z, 4), n))
+            # Welford update AFTER scoring (score against history only)
+            n += 1
+            delta = val - mean
+            mean += delta / n
+            m2 += delta * (val - mean)
         state.update((n, float(mean), float(m2)))
         if out_rows:
             yield pd.DataFrame(

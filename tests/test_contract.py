@@ -128,6 +128,59 @@ class TestDriverPriorityOrder:
         order = self._order(monkeypatch, hist, 1)(names)
         assert order.index("old_never") < order.index("brand_new")
 
+    def test_later_failure_unmasks_earlier_pass(self, monkeypatch):
+        """A hash-FAIL recorded AFTER an earlier hash-match must put the
+        query in tier 1 (classification uses the LATEST row — the
+        keep-first-True version masked regressions forever; round-4
+        self-review finding)."""
+        import glob as _glob
+        import json as _json
+        import os as _os
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            for i, verdict in enumerate([True, False], start=1):
+                with open(_os.path.join(td, f"CORRECTNESS_r0{i}.json"), "w") as fh:
+                    _json.dump({"qx": {"hash_match": verdict, "err": None}}, fh)
+            real_glob = _glob.glob
+            monkeypatch.setattr(
+                entrymod.glob,
+                "glob",
+                lambda pat: real_glob(_os.path.join(td, "CORRECTNESS_r*.json")),
+            )
+            latest, nfiles = entrymod._driver_history()
+        assert nfiles == 2
+        assert latest["qx"]["hash_match"] is False
+        # and the failed classification flows through the ordering path
+        hist = {"qx": {"hash_match": False, "err": None}}
+        order = self._order(monkeypatch, hist, 2)(["qa", "qx"])
+        assert order[0] == "qx"
+
+    def test_errored_rows_requeue_as_unverified(self, monkeypatch):
+        """A row whose oracle run CRASHED (err set, hash null, not
+        no_oracle) is not a verification — it must requeue in tier 2,
+        not hide in the passed pool (round-4 self-review finding)."""
+        names = ["crashed", "ok"]
+        hist = {
+            "crashed": {"hash_match": None, "err": "AnalysisException: boom"},
+            "ok": {"hash_match": True, "err": None},
+        }
+        order = self._order(monkeypatch, hist, 1)(names)
+        assert order.index("crashed") < order.index("ok")
+
+    def test_order_is_permutation_with_promotions(self, monkeypatch):
+        """Promoted (no_oracle row + oracle now registered) names must
+        appear exactly once — the set-algebra version emitted them
+        twice (round-4 self-review finding)."""
+        names = ["events_ewma", "plain"]  # events_ewma HAS an oracle now
+        hist = {
+            "events_ewma": {"hash_match": None, "err": "no_oracle"},
+            "plain": {"hash_match": True, "err": None},
+        }
+        order = self._order(monkeypatch, hist, 1)(names)
+        assert sorted(order) == sorted(names)
+        assert order.count("events_ewma") == 1
+
     def test_deterministic_without_history(self, monkeypatch):
         names = [f"q{i}" for i in range(10)]
         order = self._order(monkeypatch, {}, 0)(names)

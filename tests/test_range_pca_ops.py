@@ -349,3 +349,19 @@ def test_rdf_kcore_members_matches_reference_at_sf0001(spark):
     }
     assert got == expect
     assert got, "2-core is empty at sf0.001 — fixture too small, test vacuous"
+
+
+def test_kcore_raises_instead_of_returning_superset(spark):
+    """A long path needs ~len/2 peeling rounds (only the endpoints go
+    each round); with max_iter too small the operator must RAISE, not
+    return the unconverged middle as a fake 2-core."""
+    import pytest as _pytest
+
+    from rdf_mapreduce_joins_spark.operators.graph import kcore
+
+    path = [(f"n{i}", f"n{i+1}") for i in range(12)]
+    edges = spark.createDataFrame(path, "src string, dst string")
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        kcore(edges, 2, max_iter=3)
+    # and with room to converge, the true 2-core of a path is empty
+    assert kcore(edges, 2, max_iter=30).count() == 0

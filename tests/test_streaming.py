@@ -385,3 +385,58 @@ def test_stream_static_enrichment(spark, events_dir):
         if r.user_id in (1, 2)
     }
     assert got == expect and got, "stream-static join diverged from batch"
+
+
+@pytest.fixture(scope="module")
+def late_events_dir(spark, tmp_path_factory):
+    """Three batches with WITHIN-WATERMARK late data: u9's batch-2
+    event predates its open session start by less than the gap (must
+    extend the session backward); u8's predates its session by more
+    than the gap (must become its own closed earlier session)."""
+    path = tmp_path_factory.mktemp("events_late")
+    mk = lambda rows: spark.createDataFrame(rows, schema=EVENTS_NANOS_SCHEMA)
+    mk(
+        [
+            (1, (BASE + 1200) * 10**9, 9, "click", 1.0, "{}"),
+            (2, (BASE + 7200) * 10**9, 8, "click", 5.0, "{}"),
+        ]
+    ).coalesce(1).write.parquet(str(path / "b1"))
+    mk(
+        [
+            (3, (BASE + 900) * 10**9, 9, "click", 2.0, "{}"),  # gap-near late
+            (4, BASE * 10**9, 8, "click", 7.0, "{}"),  # far late
+        ]
+    ).coalesce(1).write.parquet(str(path / "b2"))
+    mk([(5, (BASE + 50000) * 10**9, 9, "click", 9.0, "{}")]).coalesce(1).write.parquet(
+        str(path / "b3")
+    )
+    import glob, os, shutil, time
+
+    flat = tmp_path_factory.mktemp("events_late_flat")
+    now = time.time()
+    for i, sub in enumerate(["b1", "b2", "b3"]):
+        src = glob.glob(str(path / sub / "*.parquet"))[0]
+        dst = str(flat / f"{i}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (now + i, now + i))
+    return str(flat)
+
+
+def test_sessionize_late_events_extend_or_split(spark, late_events_dir):
+    """Round-4 self-review semantics: a within-gap late event extends
+    the open session BACKWARD (start_s moves earlier); a beyond-gap
+    late event becomes its own closed single-event session instead of
+    being swallowed."""
+    stream = es.read_events_stream(spark, late_events_dir, max_files_per_trigger=1)
+    out = es.run_to_memory(
+        es.sessionize_custom_state(stream, gap_s=1800, watermark="10 hours"),
+        "t_late_sessions",
+        "append",
+    ).collect()
+    got = {(r.user_id, r.start_s): (r.end_s, r.n_events, r.total_value) for r in out}
+    # u9: batch-2's BASE+900 event merged backward into the BASE+1200
+    # session; closed by batch 3's far-future event.
+    assert got[(9, BASE + 900)] == (BASE + 1200, 2, 3.0)
+    # u8: batch-2's BASE event is > gap before its BASE+7200 session —
+    # emitted as its own already-closed session, not merged.
+    assert got[(8, BASE)] == (BASE, 1, 7.0)

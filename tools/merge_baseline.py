@@ -34,6 +34,14 @@ def main() -> int:
                 first_row = i
             last_row = i
     assert first_row is not None, "no minima table found"
+    # The splice below replaces lines[first_row..last_row] wholesale —
+    # refuse to run if anything non-row sits inside that span (a
+    # header or second table would be silently deleted otherwise).
+    for i in range(first_row, last_row + 1):
+        assert ROW.match(lines[i]), (
+            f"non-table line inside the minima span at {i + 1}: "
+            f"{lines[i]!r} — refusing to rewrite"
+        )
     breaches, improved, added = [], 0, 0
     for q, t in sorted(times.items()):
         if not isinstance(t, (int, float)):
