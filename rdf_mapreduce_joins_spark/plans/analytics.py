@@ -1128,3 +1128,131 @@ def agg_regression_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("y", "x"), 6).alias("intercept"),
         F.round(F.corr("y", "x"), 6).alias("r"),
     )
+
+
+BASKET_MIN_SUPPORT = 50
+BASKET_TOPK = 20
+
+
+@query(
+    "basket_brand_affinity",
+    oracle=f"""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    nb AS (SELECT p_brand, COUNT(*) AS n FROM ob GROUP BY p_brand),
+    total AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob),
+    pairs AS (
+      SELECT a.p_brand AS b1, b.p_brand AS b2, COUNT(*) AS n_both
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY a.p_brand, b.p_brand
+      HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+    )
+    SELECT b1, b2, CAST(n_both AS BIGINT) AS n_both,
+           CAST(FLOOR(n_both * 1000000.0 / n1.n + 0.5) AS BIGINT)
+             AS confidence_e6,
+           CAST(FLOOR(n_both * 1.0 * t.n_orders * 1000000.0
+                      / (n1.n * 1.0 * n2.n) + 0.5) AS BIGINT) AS lift_e6
+    FROM pairs
+    JOIN nb n1 ON b1 = n1.p_brand
+    JOIN nb n2 ON b2 = n2.p_brand
+    CROSS JOIN total t
+    ORDER BY n_both DESC, b1, b2
+    LIMIT {BASKET_TOPK}
+    """,
+)
+def basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity (association-rules primitives): top
+    co-occurring brand pairs per order with support, confidence
+    P(b2|b1) and lift. The pair join is the classic self-join on the
+    basket id over the DISTINCT (order, brand) incidence — fan-out is
+    per-order distinct-brand count squared (item-domain-bounded: 25
+    brands, never raw line items), and a min-support HAVING prunes
+    the tail before the stats joins. Scores ship as integer
+    millionths via floor(x+.5); the 1-row order-total frame rides a
+    broadcast. At catalog scale the same plan runs on a hashed item
+    id with a frequency cap — identical shape."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    nb = ob.groupBy("p_brand").agg(F.count("*").alias("n"))
+    total = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("b1"))
+    b = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("b2"))
+    pairs = (
+        a.join(b, on="l_orderkey")
+        .filter(F.col("b1") < F.col("b2"))
+        .groupBy("b1", "b2")
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= BASKET_MIN_SUPPORT)
+    )
+    n1 = nb.select(F.col("p_brand").alias("b1"), F.col("n").alias("n1"))
+    n2 = nb.select(F.col("p_brand").alias("b2"), F.col("n").alias("n2"))
+    j = (
+        pairs.join(F.broadcast(n1), on="b1")
+        .join(F.broadcast(n2), on="b2")
+        .crossJoin(F.broadcast(total))
+    )
+    conf = F.floor(F.col("n_both") * 1000000.0 / F.col("n1") + 0.5)
+    lift = F.floor(
+        F.col("n_both") * 1.0 * F.col("n_orders") * 1000000.0
+        / (F.col("n1") * 1.0 * F.col("n2"))
+        + 0.5
+    )
+    return (
+        j.select(
+            "b1",
+            "b2",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            conf.cast("bigint").alias("confidence_e6"),
+            lift.cast("bigint").alias("lift_e6"),
+        )
+        .orderBy(F.col("n_both").desc(), "b1", "b2")
+        .limit(BASKET_TOPK)
+    )
+
+
+@query(
+    "events_top_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+    )
+    SELECT event_type AS e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY event_type, e2, e3
+    ORDER BY n DESC, e1, e2, e3
+    LIMIT 15
+    """,
+)
+def events_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence mining one level past the Markov pair
+    matrix (events_transition_counts): the top event-type TRIGRAMS
+    per user stream, via two stacked lead() offsets on ONE window
+    spec — a single shuffle+sort on user_id produces both lookaheads,
+    and the aggregate runs on the tiny type³ key domain. The funnel
+    designer's raw material: which 3-step paths actually happen."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "e1", "e2", "e3")
+        .limit(15)
+    )

@@ -219,6 +219,8 @@ R4_DETERMINISTIC = [
     "events_rolling_median_counts",
     "agg_regression_funcs",
     "docs_dataset_card",
+    "basket_brand_affinity",
+    "events_top_trigrams",
 ]
 
 

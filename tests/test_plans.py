@@ -54,6 +54,10 @@ _BOUNDED_BUILD_SIDE_OK = {
     # 1-row broadcast sum(sqrt(lang_count)) normalizer crossJoined to
     # the per-language count frame — scalar-subquery shape again.
     "docs_temperature_mixture",
+    # 1-row broadcast order-count frame (the lift denominator)
+    # crossJoined to the min-support-pruned pair frame — scalar
+    # subquery shape again.
+    "basket_brand_affinity",
 }
 
 
