@@ -323,6 +323,13 @@ def connected_components(
         labels = new_labels.drop("chg")
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            "rounds (graph diameter exceeds it) — the labels would be "
+            "non-minimal. Re-run with a larger max_iter."
+        )
     edges.unpersist()
     return labels
 

@@ -335,6 +335,18 @@ def shortest_hops(
         )
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
+    else:
+        # A live frontier after max_iter rounds means reachable nodes
+        # are MISSING from the result — raise rather than return the
+        # silently truncated set (round-4 operator review; kcore got
+        # the same fail-loud contract first).
+        if frontier.limit(1).count() != 0:
+            adj.unpersist()
+            raise RuntimeError(
+                f"shortest_hops frontier still live after {max_iter} "
+                "rounds (graph diameter exceeds it) — nodes beyond the "
+                "horizon would be missing. Re-run with a larger max_iter."
+            )
     adj.unpersist()
     return visited
 

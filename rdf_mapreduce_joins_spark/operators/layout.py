@@ -30,7 +30,17 @@ def zorder_value(cols: list[Column], bits: int = 8) -> Column:
     b*len(cols)+i). Inputs must be non-negative integers already
     scaled into [0, 2^bits); callers bucketize floats first
     (e.g. ``F.least(F.floor(x / width), F.lit(2**bits - 1))``).
-    Disjoint target bits, so OR composes them losslessly."""
+    Disjoint target bits, so OR composes them losslessly.
+
+    bits * len(cols) must stay <= 63: position 63 is the BIGINT sign
+    bit (rows landing there sort NEGATIVE, breaking the curve) and
+    shifts >= 64 wrap under the JVM's shift masking, colliding
+    dimensions silently (round-4 review)."""
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"bits*len(cols) = {bits * len(cols)} > 63 overflows the "
+            "BIGINT z-value — lower bits or interleave fewer columns"
+        )
     z = F.lit(0).cast("bigint")
     for b in range(bits):
         for i, c in enumerate(cols):

@@ -64,8 +64,11 @@ def decode_image(
     """Extract (width, height, channels) from media blobs via
     mapInPandas (Arrow-batched; one Python hop, no per-row pickling).
 
-    ``fake=False`` is the real-decoder path: stubbed with
-    NotImplementedError until an image library is present.
+    ``fake=False`` is the real-decoder path: stubbed with an
+    UNCONDITIONAL NotImplementedError — this build ships no validated
+    real decoder, and the earlier import-probe gate silently ran the
+    FAKE decoder whenever PIL happened to be installed, returning
+    fabricated dimensions as if real (round-4 operator review).
 
     ``parallelize=True`` repartitions the blobs before the Python
     stage. A real decoder is CPU-bound (~ms/image) and wants every
@@ -73,13 +76,11 @@ def decode_image(
     fake is ~µs/image, so shuffling the binary content costs more
     than it saves — measured 2x on the bench — hence opt-in."""
     if not fake:
-        try:
-            import PIL  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "real image decode requires PIL; pass fake=True for the "
-                "deterministic fake decoder"
-            ) from e
+        raise NotImplementedError(
+            "the real image decode path is not implemented in this "
+            "build (no media library validated); pass fake=True for "
+            "the deterministic fake decoder"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -150,17 +151,15 @@ def resize_image(
     ``fake=True`` uses a deterministic stand-in (stride-sampled bytes
     to width*height, digested) so the Spark-side plumbing — binary in,
     binary-derived out, Arrow batching, schema — is tested without an
-    image library. ``fake=False`` is the real path, stubbed with
-    NotImplementedError until PIL is available. ``parallelize`` as in
+    image library. ``fake=False`` is the real path, stubbed with an
+    unconditional NotImplementedError (see :func:`decode_image` — the
+    import-probe gate lied when PIL existed). ``parallelize`` as in
     :func:`decode_image` (a real resampler is CPU-bound and wants it)."""
     if not fake:
-        try:
-            import PIL  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "real image resize requires PIL; pass fake=True for the "
-                "deterministic fake resizer"
-            ) from e
+        raise NotImplementedError(
+            "the real image resize path is not implemented in this "
+            "build; pass fake=True for the deterministic fake resizer"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
@@ -194,7 +193,12 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     extraction), exploded to one row per frame — pure built-ins, no
     Python."""
     total = F.octet_length("content")
-    step = F.greatest((total / n_frames).cast("int"), F.lit(1))
+    # ceil, not floor: a truncated step leaves the stream's tail
+    # (up to n_frames-1 bytes per frame) in NO frame — 43% of a
+    # 7-byte blob at n_frames=4 simply vanished (round-4 operator
+    # review). ceil makes the n frames cover every byte; the last
+    # frame may run short (or empty for tiny blobs), never lossy.
+    step = F.greatest(F.ceil(total / n_frames).cast("int"), F.lit(1))
     frames = F.transform(
         F.sequence(F.lit(0), F.lit(n_frames - 1)),
         lambda i: F.struct(

@@ -179,8 +179,13 @@ def ivf_build_index(
     spark = embeddings.sparkSession
     centroids = ivf_train(embeddings, n_centroids, n_iter, id_col, vec_col)
     dbl = as_double_array(vec_col)
+    # The store always carries the id as `vec_id` — the probes
+    # (ivf_topk_indexed) are builder-agnostic and read that name; a
+    # caller-named id column used to crash the probe (round-4 review).
     assigned = embeddings.select(
-        F.col(id_col), dbl.alias("v"), _assign_expr(dbl, centroids).alias("cid")
+        F.col(id_col).alias("vec_id"),
+        dbl.alias("v"),
+        _assign_expr(dbl, centroids).alias("cid"),
     )
     assigned.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/vectors")
     cent_df = spark.createDataFrame(
@@ -248,7 +253,8 @@ def lsh_build_index(
             embeddings.select(
                 F.lit(t).alias("t"),
                 lsh_bucket(dbl, planes).alias("bucket"),
-                F.col(id_col),
+                # normalized store name, see ivf_build_index
+                F.col(id_col).alias("vec_id"),
                 dbl.alias("v"),
             )
         )
@@ -498,6 +504,12 @@ def ivf_train(
         .collect()
     )
     centroids = [list(r.v) for r in seed_rows]
+    if not centroids:
+        raise ValueError("ivf_train: empty corpus — nothing to cluster")
+    # A corpus smaller than n_centroids seeds fewer centroids; the
+    # Lloyd loop must iterate over the ACTUAL count or the rebuild
+    # list below KeyErrors on the phantom ids (round-4 review).
+    k_eff = len(centroids)
     for _ in range(n_iter):
         assigned = embeddings.select(
             _assign_expr(dbl, centroids).alias("cid"), dbl.alias("v")
@@ -514,7 +526,7 @@ def ivf_train(
             acc.setdefault(r.cid, {})[r.pos] = r.m
         for cid, dims in acc.items():
             new[cid] = [dims[i] for i in range(len(centroids[0]))]
-        centroids = [new[cid] for cid in range(n_centroids)]
+        centroids = [new[cid] for cid in range(k_eff)]
     return centroids
 
 

@@ -56,16 +56,26 @@ def quality_metrics(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
     n_chars = F.length(F.col(text_col))
     alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^a-z]", ""))
     short_toks = F.size(F.filter(w, lambda t: F.length(t) <= 3))
-    mean_tok_len = (n_chars - (n_tok - 1)) / n_tok  # single-space separated
+    # nullif denominators: an empty document must score 0 on every
+    # ratio, not kill the whole job with ANSI DIVIDE_BY_ZERO (round-4
+    # operator review, reproduced empirically on text='').
+    safe_tok = F.nullif(n_tok, F.lit(0))
+    safe_chars = F.nullif(n_chars, F.lit(0))
+    mean_tok_len = (n_chars - (n_tok - 1)) / safe_tok  # single-space separated
     return docs.select(
         F.col(id_col),
         n_tok.cast("int").alias("n_tokens"),
         n_chars.cast("int").alias("n_chars_text"),
-        F.round(mean_tok_len, 4).alias("mean_token_len"),
-        F.round(short_toks / n_tok, 4).alias("short_token_ratio"),
-        F.round(alpha_chars / n_chars, 4).alias("alpha_ratio"),
-        F.round(
-            (alpha_chars / n_chars) * (1 - short_toks / n_tok), 4
+        F.coalesce(F.round(mean_tok_len, 4), F.lit(0.0)).alias("mean_token_len"),
+        F.coalesce(F.round(short_toks / safe_tok, 4), F.lit(0.0)).alias(
+            "short_token_ratio"
+        ),
+        F.coalesce(F.round(alpha_chars / safe_chars, 4), F.lit(0.0)).alias(
+            "alpha_ratio"
+        ),
+        F.coalesce(
+            F.round((alpha_chars / safe_chars) * (1 - short_toks / safe_tok), 4),
+            F.lit(0.0),
         ).alias("quality_score"),
     )
 
@@ -77,10 +87,26 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return docs.select(F.col(id_col), fp.alias("fingerprint"))
 
 
-def rolling_hash(text_col: str, mod: int = (1 << 61) - 1, base: int = 257) -> F.Column:
-    """Polynomial rolling hash over tokens (deterministic integer fold;
-    stays below 2^62 so ANSI mode never overflows). Used as a cheap
-    shift-resistant document fingerprint."""
+ROLLING_HASH_MOD = (1 << 54) - 33  # largest prime < 2^54
+
+
+def rolling_hash(
+    text_col: str, mod: int = ROLLING_HASH_MOD, base: int = 257
+) -> F.Column:
+    """Polynomial rolling hash over tokens (deterministic integer
+    fold). Used as a cheap shift-resistant document fingerprint.
+
+    The modulus must satisfy mod * base + 2^31 < 2^63 or the fold
+    overflows BIGINT and ANSI mode kills the job — the original
+    2^61-1 Mersenne modulus did exactly that on any document past a
+    handful of tokens (acc*257 ≈ 2^69; round-4 operator review,
+    reproduced empirically). The largest prime below 2^54 keeps the
+    worst intermediate at ~2^62.01."""
+    if mod * base + (1 << 31) >= (1 << 63):
+        raise ValueError(
+            f"mod*base={mod*base:#x} would overflow BIGINT in the fold; "
+            "need mod * base + 2^31 < 2^63"
+        )
     h0 = lambda t: F.pmod(F.xxhash64(t), F.lit(1 << 31))  # noqa: E731
     return F.aggregate(
         tokens(text_col),
@@ -103,8 +129,19 @@ def language_id(
 
         score(d, L) = Σ_tok ln((count(tok, L) + 1) / (count(L) + V))
 
-    Everything is one token explode reused for train and apply: the
-    profile (lang × token) is tiny and broadcast into the scoring join.
+    with add-one smoothing: a token UNSEEN in language L contributes
+    ln(1 / (count(L) + V)). The earlier inner-join version silently
+    dropped unseen tokens, which inverted the ranking whenever a
+    wrong language shared fewer tokens (fewer penalty terms beat more
+    true matches — round-4 operator review). The smoothed score
+    decomposes as
+
+        Σ_seen ln(count+1)  −  n_d · ln(count(L) + V)
+
+    (ln(0+1) = 0 for unseen tokens), so the seen part stays a sparse
+    join against the tiny broadcast profile and the penalty rides the
+    per-(doc, lang) frame — no dense doc×vocab join. The candidate
+    frame is doc × languages (label-domain-bounded broadcast).
     Output: (id, lang, lang_pred, score). Deterministic: ties break on
     lang ascending."""
     toks = spread(docs).select(
@@ -115,18 +152,35 @@ def language_id(
     profile = (
         toks.groupBy(label_col, "tok")
         .agg(F.count(F.lit(1)).alias("tok_n"))
-        .join(lang_totals, on=label_col)
         .select(
             F.col(label_col).alias("cand_lang"),
             "tok",
-            F.log((F.col("tok_n") + 1) / (F.col("lang_n") + vocab_size)).alias("ll"),
+            F.log(F.col("tok_n") + 1).alias("lnum"),
         )
     )
-    doc_toks = toks.select(id_col, F.col(label_col).alias("true_lang"), "tok")
-    scored = (
-        doc_toks.join(F.broadcast(profile), on="tok")
-        .groupBy(id_col, "true_lang", "cand_lang")
-        .agg(F.round(F.sum("ll"), 6).alias("score"))
+    doc_n = toks.groupBy(id_col, F.col(label_col).alias("true_lang")).agg(
+        F.count(F.lit(1)).alias("n_d")
+    )
+    seen = (
+        toks.select(id_col, "tok")
+        .join(F.broadcast(profile), on="tok")
+        .groupBy(id_col, "cand_lang")
+        .agg(F.sum("lnum").alias("seen_ll"))
+    )
+    cand = doc_n.crossJoin(
+        F.broadcast(
+            lang_totals.select(F.col(label_col).alias("cand_lang"), "lang_n")
+        )
+    )
+    scored = cand.join(seen, on=[id_col, "cand_lang"], how="left").select(
+        id_col,
+        "true_lang",
+        "cand_lang",
+        F.round(
+            F.coalesce(F.col("seen_ll"), F.lit(0.0))
+            - F.col("n_d") * F.log(F.col("lang_n") + vocab_size),
+            6,
+        ).alias("score"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("cand_lang").asc())
     return (

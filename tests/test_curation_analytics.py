@@ -243,3 +243,10 @@ def test_r4_queries_partitioning_invariant(spark, sf_dir, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert base == alt
+
+
+def test_zorder_rejects_bit_overflow(spark):
+    with pytest.raises(ValueError, match="63"):
+        zorder_value([F.col("x")] * 8, bits=8)
+    with pytest.raises(ValueError, match="63"):
+        zorder_value([F.col("x"), F.col("y"), F.col("z")], bits=22)

@@ -25,15 +25,14 @@ def test_media_schema(media):
     assert bytes(r.content) == b"hello world"
 
 
-def test_decode_image_stub_raises_without_pil(media):
-    try:
-        import PIL  # noqa: F401
-
-        pytest.skip("PIL present; stub gate not reachable")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError, match="PIL"):
+def test_decode_image_real_path_is_honestly_stubbed(media):
+    """fake=False must ALWAYS raise — this build ships no validated
+    real decoder, and the old import-probe gate silently ran the FAKE
+    decoder whenever PIL happened to be installed (round-4 review)."""
+    with pytest.raises(NotImplementedError, match="not implemented"):
         multimodal.decode_image(media, fake=False)
+    with pytest.raises(NotImplementedError, match="not implemented"):
+        multimodal.resize_image(media, fake=False)
 
 
 def test_decode_image_fake_deterministic(media):
@@ -67,6 +66,14 @@ def test_sample_frames_partition_of_bytes(media):
         F.count(F.lit(1)).alias("n"), F.sum("frame_n_bytes").alias("tot")
     ).collect()
     assert all(r.n == 4 for r in out)
+    # ceil-step coverage: the frames together account for EVERY byte
+    # of the blob (the old floor step dropped the tail remainder).
+    totals = {r.id: r.tot for r in out}
+    blob_sizes = {
+        r.id: r.n_bytes
+        for r in media.selectExpr("id", "octet_length(content) n_bytes").collect()
+    }
+    assert totals == blob_sizes
 
 
 def test_resize_deterministic_and_sized(media):

@@ -663,3 +663,28 @@ def test_ewma_matches_python_recursion(spark, sf_dir):
     assert len(got) == len(want)
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-9, (k, got[k], v)
+
+
+def test_ivf_train_small_corpus_clamps_centroids(spark):
+    """Fewer rows than n_centroids must train that many centroids, not
+    KeyError in the Lloyd rebuild (round-4 review)."""
+    from rdf_mapreduce_joins_spark.operators import similarity
+
+    rows = [(i, [float(i), float(-i)]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.ivf_train(df, n_centroids=8, n_iter=2)
+    assert len(cents) == 5
+    assert all(len(c) == 2 for c in cents)
+
+
+def test_indexed_probes_accept_custom_id_col(spark, tmp_path):
+    """ivf_build_index(id_col='doc_id') must be probe-compatible: the
+    store normalizes the id to vec_id (round-4 review)."""
+    from rdf_mapreduce_joins_spark.operators import similarity
+
+    rows = [(10 + i, [1.0 * (i == j) for j in range(4)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    path = str(tmp_path / "ivf_custom_id")
+    similarity.ivf_build_index(df, path, n_centroids=2, id_col="doc_id")
+    out = similarity.ivf_topk_indexed(spark, path, [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert len(out) == 2 and all(r.vec_id >= 10 for r in out)

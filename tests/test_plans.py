@@ -58,6 +58,10 @@ _BOUNDED_BUILD_SIDE_OK = {
     # crossJoined to the min-support-pruned pair frame — scalar
     # subquery shape again.
     "basket_brand_affinity",
+    # label-domain-bounded broadcast: the candidate frame is
+    # doc x languages (a handful of rows on the build side) for the
+    # smoothed naive-Bayes penalty term.
+    "text_lang_id",
 }
 
 

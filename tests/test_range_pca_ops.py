@@ -365,3 +365,24 @@ def test_kcore_raises_instead_of_returning_superset(spark):
         kcore(edges, 2, max_iter=3)
     # and with room to converge, the true 2-core of a path is empty
     assert kcore(edges, 2, max_iter=30).count() == 0
+
+
+def test_shortest_hops_and_components_fail_loud_on_exhaustion(spark):
+    """Iteration caps must raise, not silently truncate (kcore's
+    contract, extended to its siblings in the round-4 review)."""
+    import pytest as _pytest
+
+    from rdf_mapreduce_joins_spark.operators.dedup import connected_components
+    from rdf_mapreduce_joins_spark.operators.graph import shortest_hops
+
+    chain = [(f"n{i}", f"n{i+1}") for i in range(8)]
+    edges = spark.createDataFrame(chain, "src string, dst string")
+    with _pytest.raises(RuntimeError, match="frontier still live"):
+        shortest_hops(edges, "n0", max_iter=3)
+    got = {r.node: r.dist for r in shortest_hops(edges, "n0", max_iter=10).collect()}
+    assert got[f"n{8}"] == 8
+    pairs = spark.createDataFrame(chain, "d1 string, d2 string")
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(pairs, max_iter=2)
+    comp = connected_components(pairs, max_iter=12).collect()
+    assert {r.component for r in comp} == {"n0"}

@@ -241,12 +241,13 @@ def test_lang_id_matches_python_reference(spark):
     for d, toks in toks_by_doc.items():
         scores = []
         for lang in sorted(lang_n):
+            # add-one smoothing over the FULL token list: unseen
+            # tokens contribute ln(1/(lang_n+V)) (the fixed operator
+            # semantics — the old inner join dropped them).
             s = 0.0
-            known = [tok for tok in toks if (lang, tok) in tok_n]
-            if not known:
-                continue  # inner join drops (doc, lang) with no profile hit
-            for tok in known:
-                s += math.log((tok_n[(lang, tok)] + 1) / (lang_n[lang] + V))
+            for tok in toks:
+                c = tok_n.get((lang, tok), 0)
+                s += math.log((c + 1) / (lang_n[lang] + V))
             scores.append((round(s, 6), lang))
         best = max(scores, key=lambda p: (p[0], [-ord(c) for c in p[1]]))
         want[d] = (lang_by_doc[d], best[1], best[0])
@@ -320,7 +321,7 @@ def test_multimodal_frame_sample_matches_python_reference(spark):
     n_frames = 4
     want = set()
     for d, b in _doc_bytes().items():
-        step = max(len(b) // n_frames, 1)
+        step = max(-(-len(b) // n_frames), 1)  # ceil — frames cover every byte
         for i in range(n_frames):
             frame = b[i * step : i * step + step]
             want.add((d, i, hashlib.md5(frame).hexdigest(), len(frame)))
