@@ -336,17 +336,27 @@ def shortest_hops(
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
     else:
-        # A live frontier after max_iter rounds means reachable nodes
-        # are MISSING from the result — raise rather than return the
-        # silently truncated set (round-4 operator review; kcore got
-        # the same fail-loud contract first).
+        # A live frontier after max_iter rounds only means truncation
+        # when those frontier nodes still have UNVISITED neighbors — a
+        # diameter of exactly max_iter leaves the last-discovered nodes
+        # in the frontier with nothing left to explore, and raising
+        # there was a false positive (round-5 advice). One extra
+        # expansion probe decides; raise only on genuine truncation
+        # (round-4 operator review set the fail-loud contract).
         if frontier.limit(1).count() != 0:
-            adj.unpersist()
-            raise RuntimeError(
-                f"shortest_hops frontier still live after {max_iter} "
-                "rounds (graph diameter exceeds it) — nodes beyond the "
-                "horizon would be missing. Re-run with a larger max_iter."
+            unexplored = (
+                frontier.join(adj, frontier["node"] == adj["a"])
+                .select(F.col("b").alias("node"))
+                .distinct()
+                .join(visited.select("node"), "node", "left_anti")
             )
+            if unexplored.limit(1).count() != 0:
+                adj.unpersist()
+                raise RuntimeError(
+                    f"shortest_hops frontier still live after {max_iter} "
+                    "rounds (graph diameter exceeds it) — nodes beyond the "
+                    "horizon would be missing. Re-run with a larger max_iter."
+                )
     adj.unpersist()
     return visited
 

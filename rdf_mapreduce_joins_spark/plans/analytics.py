@@ -997,10 +997,14 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FK checks as LEFT JOIN + conditional count: violations and the
     # checked total come from ONE pass over the join (a separate
     # anti-join + crossJoined COUNT(*) would plan a 1-row BNLJ and
-    # scan the fact table twice).
+    # scan the fact table twice). The key projections are .distinct()
+    # so a duplicate dimension key can't fan fact rows out and inflate
+    # both counts — the FK check must stay correct even when the PK
+    # uniqueness constraint beside it is the one being violated
+    # (round-5 advice).
     c_keys = c.select(
         F.col("c_custkey").alias("o_custkey"), F.lit(1).alias("__hit")
-    )
+    ).distinct()
     fk_orders = shape(
         "orders_custkey_fk",
         o.join(F.broadcast(c_keys), on="o_custkey", how="left").agg(
@@ -1017,7 +1021,7 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o_keys = o.select(
         F.col("o_orderkey").alias("l_orderkey"), F.lit(1).alias("__hit")
-    )
+    ).distinct()
     fk_lineitem = shape(
         "lineitem_orderkey_fk",
         li.join(o_keys, on="l_orderkey", how="left").agg(

@@ -38,11 +38,16 @@ _REPETITION_CTES = """
              CAST(MAX(c) AS BIGINT) AS top_c
       FROM wc GROUP BY doc_id
     ),
+    postok AS (
+      SELECT doc_id, unnest(w) AS w1, generate_subscripts(w, 1) AS pos FROM t
+    ),
+    nbr AS (
+      SELECT doc_id, w1,
+             lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM postok
+    ),
     bi AS (
-      SELECT doc_id,
-             w[CAST(i AS INTEGER)] || ' ' || w[CAST(i + 1 AS INTEGER)] AS bg
-      FROM t, range(1, 1001) r(i)
-      WHERE i <= len(w) - 1
+      SELECT doc_id, w1 || ' ' || w2 AS bg FROM nbr WHERE w2 IS NOT NULL
     ),
     bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY doc_id, bg),
     bs AS (

@@ -148,10 +148,12 @@ def docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
     ),
+    postok AS (
+      SELECT doc_id, unnest(w) AS w1, generate_subscripts(w, 1) AS pos FROM t
+    ),
     bg AS (
-      SELECT w[CAST(i AS INTEGER)] AS w1, w[CAST(i + 1 AS INTEGER)] AS w2
-      FROM t, range(1, 1001) r(i)
-      WHERE i <= len(w) - 1
+      SELECT w1, lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM postok QUALIFY w2 IS NOT NULL
     ),
     cnt AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY w1, w2),
     tot AS (SELECT w1, SUM(n) AS n1 FROM cnt GROUP BY w1)
@@ -206,12 +208,17 @@ PHRASE = ("table", "hash")
     WITH t AS (
       SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
     ),
+    postok AS (
+      SELECT doc_id, unnest(w) AS w1, generate_subscripts(w, 1) AS pos FROM t
+    ),
+    bg AS (
+      SELECT doc_id, w1,
+             lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM postok
+    ),
     hits AS (
-      SELECT doc_id
-      FROM t, range(1, 1001) r(i)
-      WHERE i <= len(w) - 1
-        AND w[CAST(i AS INTEGER)] = '{PHRASE[0]}'
-        AND w[CAST(i + 1 AS INTEGER)] = '{PHRASE[1]}'
+      SELECT doc_id FROM bg
+      WHERE w1 = '{PHRASE[0]}' AND w2 = '{PHRASE[1]}'
     )
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
     FROM hits GROUP BY doc_id
@@ -256,11 +263,17 @@ text_search_phrase.__doc__ = text_search_phrase.__doc__.format(
     WITH t AS (
       SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
     ),
+    postok AS (
+      SELECT doc_id, unnest(w) AS w1, generate_subscripts(w, 1) AS pos FROM t
+    ),
+    nbr AS (
+      SELECT doc_id, w1,
+             lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM postok
+    ),
     bi AS (
-      SELECT DISTINCT doc_id,
-             w[CAST(i AS INTEGER)] || ' ' || w[CAST(i + 1 AS INTEGER)] AS bg
-      FROM t, range(1, 1001) r(i)
-      WHERE i <= len(w) - 1
+      SELECT DISTINCT doc_id, w1 || ' ' || w2 AS bg
+      FROM nbr WHERE w2 IS NOT NULL
     ),
     first_seen AS (
       SELECT bg, MIN(doc_id) AS first_doc FROM bi GROUP BY bg

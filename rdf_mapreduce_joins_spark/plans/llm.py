@@ -27,11 +27,19 @@ TOPK = 10
 # the edge set of dedup_cluster_components' recursive oracle.
 _JACCARD_PAIRS_CTES = """
     t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+    postok AS (
+      SELECT doc_id, lang, unnest(w) AS w1,
+             generate_subscripts(w, 1) AS pos
+      FROM t
+    ),
+    nbr AS (
+      SELECT doc_id, lang, w1,
+             lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM postok
+    ),
     bi AS (
-      SELECT DISTINCT doc_id, lang,
-             w[CAST(i AS INTEGER)] || ' ' || w[CAST(i + 1 AS INTEGER)] AS bigram
-      FROM t, range(1, 1001) r(i)  -- bound ≥ max tokens/doc at oracle sf (99 at sf0.01)
-      WHERE i <= len(w) - 1
+      SELECT DISTINCT doc_id, lang, w1 || ' ' || w2 AS bigram
+      FROM nbr WHERE w2 IS NOT NULL
     ),
     sz AS (SELECT doc_id, COUNT(*) AS n FROM bi GROUP BY doc_id),
     inter AS (
@@ -159,11 +167,19 @@ NGRAM_DF_CAP_FRAC = 0.04  # a "hub" shingle appears in > 4% of documents
     "dedup_ngram_jaccard_capped",
     oracle=f"""
     WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+    postok AS (
+      SELECT doc_id, lang, unnest(w) AS w1,
+             generate_subscripts(w, 1) AS pos
+      FROM t
+    ),
+    nbr AS (
+      SELECT doc_id, lang, w1,
+             lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM postok
+    ),
     bi AS (
-      SELECT DISTINCT doc_id, lang,
-             w[CAST(i AS INTEGER)] || ' ' || w[CAST(i + 1 AS INTEGER)] AS bigram
-      FROM t, range(1, 1001) r(i)
-      WHERE i <= len(w) - 1
+      SELECT DISTINCT doc_id, lang, w1 || ' ' || w2 AS bigram
+      FROM nbr WHERE w2 IS NOT NULL
     ),
     hub AS (
       SELECT lang, bigram
@@ -1374,15 +1390,16 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_lm_score",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    toks AS (
-      SELECT doc_id, w[CAST(i AS INTEGER)] AS token
-      FROM t, range(1, 1001) r(i) WHERE i <= len(w)
+    postok AS (
+      SELECT doc_id, unnest(w) AS w1, generate_subscripts(w, 1) AS pos FROM t
     ),
+    toks AS (SELECT doc_id, w1 AS token FROM postok),
     bg AS (
-      SELECT doc_id,
-             w[CAST(i AS INTEGER)] AS w1,
-             w[CAST(i AS INTEGER)] || ' ' || w[CAST(i + 1 AS INTEGER)] AS bigram
-      FROM t, range(1, 1001) r(i) WHERE i <= len(w) - 1
+      SELECT doc_id, w1, w1 || ' ' || w2 AS bigram FROM (
+        SELECT doc_id, w1,
+               lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM postok
+      ) WHERE w2 IS NOT NULL
     ),
     ugc AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
     bgc AS (SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram),
@@ -1571,11 +1588,19 @@ CONTAINMENT_NUM, CONTAINMENT_DEN = 8, 10  # keep pairs with |A∩B|/|A| >= 0.8
     "dedup_containment",
     oracle=f"""
     WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+    postok AS (
+      SELECT doc_id, lang, unnest(w) AS w1,
+             generate_subscripts(w, 1) AS pos
+      FROM t
+    ),
+    nbr AS (
+      SELECT doc_id, lang, w1,
+             lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM postok
+    ),
     bi AS (
-      SELECT DISTINCT doc_id, lang,
-             w[CAST(i AS INTEGER)] || ' ' || w[CAST(i + 1 AS INTEGER)] AS bigram
-      FROM t, range(1, 1001) r(i)
-      WHERE i <= len(w) - 1
+      SELECT DISTINCT doc_id, lang, w1 || ' ' || w2 AS bigram
+      FROM nbr WHERE w2 IS NOT NULL
     ),
     sz AS (SELECT doc_id, COUNT(*) AS n FROM bi GROUP BY doc_id),
     inter AS (

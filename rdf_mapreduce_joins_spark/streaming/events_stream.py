@@ -186,11 +186,19 @@ def sessionize_custom_state(
             elif ts_s < cur[0] - gap:
                 # Within-watermark late event from BEFORE the open
                 # session's own gap window: it belongs to an earlier,
-                # disjoint session. Batches arrive time-sorted, so
-                # nothing later in this batch can extend it — emit it
-                # closed rather than swallowing it into the wrong
-                # session (round-4 self-review).
-                closed.append([ts_s, ts_s, 1, value])
+                # disjoint session, emitted closed rather than swallowed
+                # into the wrong session (round-4 self-review). Batches
+                # arrive time-sorted, so far-late events all precede any
+                # gap-closure append — closed[-1] is therefore always the
+                # previous far-late session, and two far-late events
+                # within gap of each other MERGE into one session, the
+                # native session_window semantics (round-5 advice).
+                if closed and ts_s - closed[-1][1] <= gap:
+                    closed[-1][1] = ts_s
+                    closed[-1][2] += 1
+                    closed[-1][3] += value
+                else:
+                    closed.append([ts_s, ts_s, 1, value])
             elif ts_s - cur[1] > gap:
                 closed.append(cur)
                 cur = [ts_s, ts_s, 1, value]

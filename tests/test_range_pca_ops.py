@@ -381,6 +381,11 @@ def test_shortest_hops_and_components_fail_loud_on_exhaustion(spark):
         shortest_hops(edges, "n0", max_iter=3)
     got = {r.node: r.dist for r in shortest_hops(edges, "n0", max_iter=10).collect()}
     assert got[f"n{8}"] == 8
+    # Diameter EXACTLY max_iter: the final round discovers the last
+    # node, the frontier is non-empty but has no unvisited neighbors —
+    # must return complete, not raise (round-5 advice false positive).
+    exact = {r.node: r.dist for r in shortest_hops(edges, "n0", max_iter=8).collect()}
+    assert exact == got
     pairs = spark.createDataFrame(chain, "d1 string, d2 string")
     with _pytest.raises(RuntimeError, match="converge"):
         connected_components(pairs, max_iter=2)

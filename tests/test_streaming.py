@@ -399,12 +399,18 @@ def late_events_dir(spark, tmp_path_factory):
         [
             (1, (BASE + 1200) * 10**9, 9, "click", 1.0, "{}"),
             (2, (BASE + 7200) * 10**9, 8, "click", 5.0, "{}"),
+            (6, (BASE + 7200) * 10**9, 7, "click", 4.0, "{}"),
         ]
     ).coalesce(1).write.parquet(str(path / "b1"))
     mk(
         [
             (3, (BASE + 900) * 10**9, 9, "click", 2.0, "{}"),  # gap-near late
             (4, BASE * 10**9, 8, "click", 7.0, "{}"),  # far late
+            # u7: TWO far-late events within gap of EACH OTHER — they
+            # must merge into ONE closed session (round-5 advice), not
+            # two singletons.
+            (7, BASE * 10**9, 7, "click", 1.5, "{}"),
+            (8, (BASE + 600) * 10**9, 7, "click", 2.5, "{}"),
         ]
     ).coalesce(1).write.parquet(str(path / "b2"))
     mk([(5, (BASE + 50000) * 10**9, 9, "click", 9.0, "{}")]).coalesce(1).write.parquet(
@@ -440,3 +446,8 @@ def test_sessionize_late_events_extend_or_split(spark, late_events_dir):
     # u8: batch-2's BASE event is > gap before its BASE+7200 session —
     # emitted as its own already-closed session, not merged.
     assert got[(8, BASE)] == (BASE, 1, 7.0)
+    # u7: the two far-late events at BASE and BASE+600 (within gap of
+    # each other) merge into ONE closed session, mirroring the native
+    # session_window merge semantics.
+    assert got[(7, BASE)] == (BASE + 600, 2, 4.0)
+    assert (7, BASE + 600) not in got

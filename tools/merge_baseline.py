@@ -15,7 +15,12 @@ import sys
 
 BASELINE = "BASELINE.md"
 BENCH = ".bench_latest.json"
-ROW = re.compile(r"^\| (\S+) \| 0\.1 \| ([0-9.]+) \| (\d{4}-\d{2}-\d{2}) \|$")
+# sf is captured, not pinned — a future row at another scale factor
+# must neither be dropped from the table nor trip the span assertion
+# (round-5 advice).
+ROW = re.compile(
+    r"^\| (\S+) \| ([0-9.]+) \| ([0-9.]+) \| (\d{4}-\d{2}-\d{2}) \|$"
+)
 
 
 def main() -> int:
@@ -23,13 +28,14 @@ def main() -> int:
     today = datetime.date.today().isoformat()
     bench = json.load(open(BENCH))
     times = bench["queries"] if "queries" in bench else bench
+    bench_sf = str(bench.get("sf", "0.1")) if isinstance(bench, dict) else "0.1"
     lines = open(BASELINE).read().splitlines(keepends=False)
-    table: dict[str, tuple[float, str]] = {}
+    table: dict[tuple[str, str], tuple[float, str]] = {}
     first_row = last_row = None
     for i, ln in enumerate(lines):
         m = ROW.match(ln)
         if m:
-            table[m.group(1)] = (float(m.group(2)), m.group(3))
+            table[(m.group(1), m.group(2))] = (float(m.group(3)), m.group(4))
             if first_row is None:
                 first_row = i
             last_row = i
@@ -46,19 +52,23 @@ def main() -> int:
     for q, t in sorted(times.items()):
         if not isinstance(t, (int, float)):
             continue
-        if q in table:
-            old, d = table[q]
+        key = (q, bench_sf)
+        if key in table:
+            old, _ = table[key]
             if t > 2 * old:
                 breaches.append((q, t, old))
             if t < old:
-                table[q] = (round(t, 3), d)
+                # the date tracks the MEASUREMENT that set the minimum
+                # (round-5 advice) — an improved row is a new record
+                table[key] = (round(t, 3), today)
                 improved += 1
         else:
-            table[q] = (round(t, 3), today)
+            table[key] = (round(t, 3), today)
             added += 1
-    stale = [q for q in table if q not in times]
+    stale = [q for (q, sf) in table if sf == bench_sf and q not in times]
     new_rows = [
-        f"| {q} | 0.1 | {v:.3f} | {d} |" for q, (v, d) in sorted(table.items())
+        f"| {q} | {sf} | {v:.3f} | {d} |"
+        for (q, sf), (v, d) in sorted(table.items())
     ]
     out = lines[:first_row] + new_rows + lines[last_row + 1 :]
     print(
