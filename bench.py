@@ -15,6 +15,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from rdf_mapreduce_joins_spark import get_spark  # noqa: E402
@@ -39,6 +41,24 @@ def main() -> None:
     # Warm the JVM/codegen once on a trivial plan so query 1 doesn't
     # absorb session startup.
     spark.range(1000).selectExpr("sum(id)").collect()
+
+    # Warm the Python/Arrow worker pool too: the first pandas_udf /
+    # mapInPandas job forks the Python workers and ships the Arrow
+    # serializers, which billed ~0.3-0.5 s to whichever Arrow-path
+    # query ran first (text_normalize_udf flagged 3.98x its idle
+    # minimum in BENCH_r04 purely from this — VERDICT r4 #4). One
+    # untimed throwaway of each flavor moves that cost off the books.
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    warm_df = spark.range(32, numPartitions=32)
+    warm_df.select(_warm("id")).write.format("noop").mode("overwrite").save()
+    warm_df.mapInPandas(lambda it: it, "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     # Per-query error isolation: one broken query must not zero the
     # whole artifact — it gets null and the JSON line still prints.

@@ -1498,7 +1498,38 @@ def _supplier_tree_ring(
 KCORE_K = 2
 
 
-@query("rdf_kcore_members")  # rows-only: peeling fixpoint not SQL-expressible
+@query(
+    "rdf_kcore_members",
+    oracle="""
+    WITH e AS (
+      SELECT 'supplier/' || s_suppkey AS a, 'supplier/' || (s_suppkey // 2) AS b
+      FROM supplier WHERE s_suppkey >= 1
+      UNION ALL
+      SELECT 'supplier/' || s_suppkey, 'supplier/' || (s_suppkey + 1)
+      FROM supplier WHERE s_suppkey + 1 <= (SELECT MAX(s_suppkey) FROM supplier)
+    ), sym AS (
+      SELECT DISTINCT a, b
+      FROM (SELECT a, b FROM e UNION ALL SELECT b, a FROM e) WHERE a <> b
+    ),
+    s1 AS (SELECT a AS node FROM sym GROUP BY a HAVING COUNT(*) >= 2),
+    s2 AS (SELECT a AS node FROM sym JOIN s1 ka ON sym.a = ka.node
+           JOIN s1 kb ON sym.b = kb.node GROUP BY a HAVING COUNT(*) >= 2),
+    s3 AS (SELECT a AS node FROM sym JOIN s2 ka ON sym.a = ka.node
+           JOIN s2 kb ON sym.b = kb.node GROUP BY a HAVING COUNT(*) >= 2),
+    s4 AS (SELECT a AS node FROM sym JOIN s3 ka ON sym.a = ka.node
+           JOIN s3 kb ON sym.b = kb.node GROUP BY a HAVING COUNT(*) >= 2),
+    s5 AS (SELECT a AS node FROM sym JOIN s4 ka ON sym.a = ka.node
+           JOIN s4 kb ON sym.b = kb.node GROUP BY a HAVING COUNT(*) >= 2),
+    s6 AS (SELECT a AS node FROM sym JOIN s5 ka ON sym.a = ka.node
+           JOIN s5 kb ON sym.b = kb.node GROUP BY a HAVING COUNT(*) >= 2),
+    chk AS (
+      SELECT CASE WHEN (SELECT COUNT(*) FROM s5) <> (SELECT COUNT(*) FROM s6)
+                  THEN error('kcore oracle: not converged in 6 unrolled rounds')
+                  ELSE 1 END AS ok
+    )
+    SELECT node FROM s6, chk WHERE chk.ok = 1 ORDER BY node
+    """,
+)
 def rdf_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core membership (k=2) over the manager tree + sibling ring —
     the cohesion filter that strips the acyclic fringe before
@@ -1506,10 +1537,13 @@ def rdf_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty; every member here survives only via ring-tree cycles).
     Iterative peeling in operators/graph.py::kcore: per-round degree
     aggregation + two semi-joins over the shrinking edge set, rounds
-    bounded by peeling depth. Deterministic node set, but the
-    fixpoint is not ANSI-SQL-expressible — rows-only for the driver,
-    value-matched against an independent Python peeling reference in
-    tests (full graph at sf0.001)."""
+    bounded by peeling depth. Oracle (round-5 promotion, the
+    events_ewma pattern): the peeling fixpoint unrolled as 6 bounded
+    degree-filter rounds — this fixture's ring+tree graph peels only
+    node 0 (degree 1) and converges in 2 — with an error() guard that
+    fails the oracle loudly rather than hash-mismatching silently if
+    a future fixture needs deeper peeling. Also value-matched against
+    an independent Python peeling reference in tests."""
     from rdf_mapreduce_joins_spark.operators.graph import kcore
 
     return kcore(
