@@ -306,6 +306,32 @@ def test_ngram_jaccard_capped_subset_with_exact_jaccard(spark, sf_dir):
     assert set(capped) <= set(base)
     for pair, j in capped.items():
         assert j == base[pair]
+    # On this near-uniform fixture the skew gate disengages the cap
+    # entirely (hubs carry ~1.6% of Σ df² at sf0.001, far below the
+    # 50% engage threshold) — the capped query routes to the plain
+    # exact plan and the outputs are IDENTICAL, not merely a subset.
+    assert capped == base
+
+
+def test_ngram_jaccard_cap_skew_gate_engages_on_hub_corpus(spark, tmp_path):
+    """The df-skew probe (round-5): on a corpus whose candidate
+    self-join cost is hub-dominated the cap ENGAGES — pairs connected
+    only through hub bigrams are pruned — while the near-uniform
+    fixture case above shows it disengaging. 10 docs sharing the
+    'common hub'/'hub common' bigrams (df=10 each, cap=1, hub Σdf² =
+    200 of 210): uncapped finds all 45 pairs at jaccard 0.5; capped
+    leaves only df=1 bigrams, so zero candidates survive."""
+    import os
+
+    from rdf_mapreduce_joins_spark.plans import llm
+
+    rows = [(i, "en", f"x{i} common hub common") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    d = str(tmp_path / "skew")
+    os.makedirs(d)
+    docs.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    assert llm.dedup_ngram_jaccard(spark, d).count() == 45
+    assert llm.dedup_ngram_jaccard_capped(spark, d).count() == 0
 
 
 # -- Persisted IVF / LSH index tables --------------------------------------
