@@ -17,6 +17,7 @@ from rdf_mapreduce_joins_spark.plans import (  # noqa: F401
     sketches,
     sparql,
     tpch,
+    web,
 )
 from rdf_mapreduce_joins_spark.plans.registry import ORACLES, QUERIES
 

@@ -1,0 +1,533 @@
+"""Web-corpus curation queries (SURVEY.md §2.10, round-5 extension —
+VERDICT r4 #9): URL canonicalization + URL-level dedup, public-suffix
+registered-domain analytics, robots-style path filtering, and template
+boilerplate stripping over the ``documents`` table.
+
+These are the web-pipeline stages that run BEFORE text-level dedup in
+a crawl-derived training-data pipeline (the CommonCrawl/C4/Gopher
+shape): collapse URL aliases, group by registered domain for
+per-domain quotas, honor robots disallow rules, strip site-template
+boilerplate. All four are regex/built-in-only (no UDFs anywhere) and
+carry full DuckDB oracles.
+
+The fixture has no URL column, so each query derives a deterministic
+messy URL (scheme/WWW case noise, default :443 port, trailing slash,
+utm tracking params, fragments) from ``source`` + ``doc_id`` via an
+identical expression on both engines — the same adapter pattern as the
+supplier tree+ring graph in plans/rdf.py: the thing under test is the
+normalization/dedup machinery, not the synthetic column.
+
+Scale posture: every query is one or two aggregations on bounded keys
+(canonical URL, registered domain). URL parsing is pure JVM regex in
+whole-stage codegen; the robots rule set is a broadcast of a few rows;
+boilerplate vocabulary is per-source-bounded and joined on the
+(source, bigram) key — never all-pairs, never collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rdf_mapreduce_joins_spark.plans.registry import query
+from rdf_mapreduce_joins_spark.sources.tables import load_table, spread
+
+# Tracking parameters stripped by canonicalization (the ad-tech set).
+TRACKING_RE = "^(utm_[a-z]+|fbclid|gclid)="
+
+# Mini public-suffix list: multi-label suffixes that are NOT
+# registrable domains themselves (the PSL's reason to exist). The
+# fixture's TLD mix exercises the longest-suffix-match rule via co.uk.
+MULTI_LABEL_SUFFIXES = ("co.uk",)
+
+BOILERPLATE_DF_FRAC = 0.6  # a (source, bigram) in >= 60% of the source's docs
+
+# Deterministic messy-URL recipe (shared Spark/SQL semantics):
+#   scheme   https:// (upper-cased for odd ids)
+#   host     WWW./www. + source + .example. + tld(doc_id%4: com/org/net/co.uk)
+#   port     explicit :443 for ids % 5 == 0 (the https default port)
+#   path     /articles/<doc_id%40> (+ trailing slash for ids % 4 == 0)
+#   query    utm_source=feed (ids % 2 == 0) & ref=<doc_id%2>
+#   fragment #top for ids % 7 == 0
+# Canonical form therefore collapses to (source, tld, doc_id%40,
+# doc_id%2) — real alias groups at every fixture scale.
+_RAW_URL_SQL = """
+      CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END ||
+      CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END ||
+      source || '.example.' ||
+      CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                      WHEN 2 THEN 'net' ELSE 'co.uk' END ||
+      CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+      '/articles/' || CAST(doc_id % 40 AS VARCHAR) ||
+      CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+      '?' ||
+      CASE WHEN doc_id % 2 = 0 THEN 'utm_source=feed&' ELSE '' END ||
+      'ref=' || CAST(doc_id % 2 AS VARCHAR) ||
+      CASE WHEN doc_id % 7 = 0 THEN '#top' ELSE '' END
+"""
+
+
+def _raw_url() -> Column:
+    """The Spark twin of _RAW_URL_SQL (element-for-element)."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("HTTPS://")),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("www.")),
+        F.col("source"),
+        F.lit(".example."),
+        F.when(d % 4 == 0, F.lit("com"))
+        .when(d % 4 == 1, F.lit("org"))
+        .when(d % 4 == 2, F.lit("net"))
+        .otherwise(F.lit("co.uk")),
+        F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/articles/"),
+        (d % 40).cast("string"),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?"),
+        F.when(d % 2 == 0, F.lit("utm_source=feed&")).otherwise(F.lit("")),
+        F.lit("ref="),
+        (d % 2).cast("string"),
+        F.when(d % 7 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+
+
+def _canonical_parts(url: Column) -> dict[str, Column]:
+    """URL canonicalization as pure Spark SQL expressions: lowercase
+    scheme and host, strip a leading www., strip the https default
+    port, strip one trailing slash from a non-root path, drop tracking
+    params (keeping the relative order of survivors — RFC 3986 says
+    query order is significant), drop the fragment."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
+    host0 = F.lower(F.regexp_extract(url, r"://([^/:?#]+)", 1))
+    host = F.regexp_replace(host0, r"^www\.", "")
+    port = F.regexp_extract(url, r"^[A-Za-z]+://[^/:?#]+:(\d+)", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "https") & (port == "443"))
+        & ~((scheme == "http") & (port == "80"))
+    )
+    hostport = F.concat(
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]*([^?#]*)", 1),
+        r"(.)/$",
+        r"$1",
+    )
+    q0 = F.regexp_extract(url, r"\?([^#]*)", 1)
+    kept = F.filter(
+        F.split(q0, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_RE),
+    )
+    q = F.array_join(kept, "&")
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        hostport,
+        path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+    return {"scheme": scheme, "host": host, "path": path, "canonical": canonical}
+
+
+# The same canonicalization in DuckDB SQL over a `u(doc_id, …, url)` CTE.
+_CANON_SQL = """
+      lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://' ||
+      regexp_replace(lower(regexp_extract(url, '://([^/:?#]+)', 1)),
+                     '^www\\.', '') ||
+      CASE WHEN regexp_extract(url, '^[A-Za-z]+://[^/:?#]+:(\\d+)', 1) <> ''
+            AND NOT (lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) = 'https'
+                     AND regexp_extract(url, '^[A-Za-z]+://[^/:?#]+:(\\d+)', 1) = '443')
+            AND NOT (lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) = 'http'
+                     AND regexp_extract(url, '^[A-Za-z]+://[^/:?#]+:(\\d+)', 1) = '80')
+           THEN ':' || regexp_extract(url, '^[A-Za-z]+://[^/:?#]+:(\\d+)', 1)
+           ELSE '' END ||
+      regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1),
+                     '(.)/$', '\\1') ||
+      CASE WHEN array_to_string(list_filter(
+                  string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                  p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_RE}')
+                ), '&') <> ''
+           THEN '?' || array_to_string(list_filter(
+                  string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                  p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_RE}')
+                ), '&')
+           ELSE '' END
+""".replace("{TRACKING_RE}", TRACKING_RE)
+
+_REGDOM_SQL = """
+      CASE WHEN host LIKE '%.co.uk'
+           THEN regexp_extract(host, '([^.]+\\.co\\.uk)$', 1)
+           ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END
+"""
+
+
+def _registered_domain(host: Column) -> Column:
+    """PSL longest-suffix-match registered domain: one more label than
+    the matched public suffix. The suffix table is the module constant
+    MULTI_LABEL_SUFFIXES + the implicit single-label default."""
+    expr = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    for suf in MULTI_LABEL_SUFFIXES:
+        esc = suf.replace(".", r"\.")
+        expr = F.when(
+            host.endswith("." + suf),
+            F.regexp_extract(host, rf"([^.]+\.{esc})$", 1),
+        ).otherwise(expr)
+    return expr
+
+
+@query(
+    "web_url_canonical_dedup",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, ({_RAW_URL_SQL.strip()}) AS url FROM documents
+    ),
+    c AS (SELECT doc_id, ({_CANON_SQL.strip()}) AS canonical_url FROM u)
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_aliases,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+    FROM c GROUP BY canonical_url
+    """,
+)
+def web_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (the first dedup stage of every crawl
+    pipeline): canonicalize each document's URL — lowercase scheme and
+    host, strip www., drop the https default port, strip the trailing
+    slash, drop utm_*/fbclid/gclid tracking params, drop the fragment
+    — then collapse alias groups to (canonical, alias count, keeper =
+    min doc_id). One groupBy on the canonical key; the parsing is pure
+    JVM regex inside whole-stage codegen, so at crawl scale this is a
+    single shuffle over (url-hash)-sized rows — text never moves."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    u = d.select("doc_id", _raw_url().alias("url"))
+    c = u.select(
+        "doc_id", _canonical_parts(F.col("url"))["canonical"].alias("canonical_url")
+    )
+    return c.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_aliases"),
+        F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+    )
+
+
+@query(
+    "web_domain_stats",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, lang, text, ({_RAW_URL_SQL.strip()}) AS url FROM documents
+    ),
+    h AS (
+      SELECT doc_id, lang, text,
+             regexp_replace(lower(regexp_extract(url, '://([^/:?#]+)', 1)),
+                            '^www\\.', '') AS host
+      FROM u
+    ),
+    r AS (SELECT doc_id, lang, text, host, ({_REGDOM_SQL.strip()}) AS registered_domain FROM h)
+    SELECT registered_domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM r GROUP BY registered_domain
+    """,
+)
+def web_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain rollup (the per-domain quota/mixture report
+    of web-corpus curation): extract the registrable domain with PSL
+    longest-suffix-match semantics — 'a.example.co.uk' rolls up to
+    'example.co.uk', not 'co.uk' — and aggregate docs, distinct hosts,
+    languages, and token volume per domain. The PSL here is a 1-entry
+    inline table (co.uk) exercising the same CASE-on-suffix shape a
+    full snapshot compiles to; at crawl scale the suffix list is a
+    broadcast lookup and this stays one aggregation on the domain key."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "source"
+    )
+    u = d.withColumn("url", _raw_url())
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(F.col("url"), r"://([^/:?#]+)", 1)),
+        r"^www\.",
+        "",
+    )
+    r = u.select(
+        "doc_id",
+        "lang",
+        "text",
+        host.alias("host"),
+    ).withColumn("registered_domain", _registered_domain(F.col("host")))
+    return r.groupBy("registered_domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("host").cast("bigint").alias("n_hosts"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias(
+            "total_tokens"
+        ),
+    )
+
+
+# Robots disallow rules: (registered_domain | '*', path_prefix). Robots
+# semantics ARE prefix semantics (RFC 9309 §2.2.2), so startswith is
+# the real matcher, not a simplification.
+ROBOTS_RULES: tuple[tuple[str, str], ...] = (
+    ("example.com", "/articles/1"),
+    ("example.org", "/articles/2"),
+    ("*", "/articles/39"),
+)
+
+
+@query(
+    "web_robots_filter",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, ({_RAW_URL_SQL.strip()}) AS url FROM documents
+    ),
+    p AS (
+      SELECT doc_id,
+             regexp_replace(lower(regexp_extract(url, '://([^/:?#]+)', 1)),
+                            '^www\\.', '') AS host,
+             regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS path
+      FROM u
+    ),
+    r AS (SELECT doc_id, path, ({_REGDOM_SQL.strip()}) AS registered_domain FROM p),
+    rules(dom, prefix) AS (VALUES {", ".join(f"('{d}', '{pfx}')" for d, pfx in ROBOTS_RULES)}),
+    flagged AS (
+      SELECT r.*,
+             EXISTS (
+               SELECT 1 FROM rules
+               WHERE (rules.dom = r.registered_domain OR rules.dom = '*')
+                 AND starts_with(r.path, rules.prefix)
+             ) AS blocked
+      FROM r
+    )
+    SELECT registered_domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+           CAST(SUM(CASE WHEN blocked THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+    FROM flagged GROUP BY registered_domain
+    """,
+)
+def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-style disallow filtering (RFC 9309 prefix semantics):
+    per-domain and wildcard path-prefix rules mark documents blocked;
+    report per registered domain how many docs the crawl keeps. The
+    rule set splits into domain rules (broadcast EQUI-join on the
+    domain key, then prefix filter) and wildcard rules (a bounded
+    crossJoin — |wildcard rules| rows, the sanctioned small-build-side
+    shape) — no OR-condition nested-loop join over the corpus. At
+    crawl scale rules stay broadcast-sized (robots lines per domain
+    are tiny) and the blocked set is a distinct on doc_id."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    u = d.withColumn("url", _raw_url())
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(F.col("url"), r"://([^/:?#]+)", 1)),
+        r"^www\.",
+        "",
+    )
+    path = F.regexp_extract(F.col("url"), r"^[A-Za-z]+://[^/?#]*([^?#]*)", 1)
+    r = u.select(
+        "doc_id",
+        path.alias("path"),
+        _registered_domain(host).alias("registered_domain"),
+    )
+    spark_rules = spark.createDataFrame(
+        list(ROBOTS_RULES), "dom string, prefix string"
+    )
+    dom_rules = spark_rules.filter(F.col("dom") != "*")
+    wild_rules = spark_rules.filter(F.col("dom") == "*").select("prefix")
+    blocked_dom = (
+        r.join(
+            F.broadcast(dom_rules),
+            r["registered_domain"] == dom_rules["dom"],
+        )
+        .filter(F.col("path").startswith(F.col("prefix")))
+        .select("doc_id")
+    )
+    blocked_wild = (
+        r.crossJoin(F.broadcast(wild_rules))
+        .filter(F.col("path").startswith(F.col("prefix")))
+        .select("doc_id")
+    )
+    blocked = blocked_dom.unionByName(blocked_wild).distinct()
+    flagged = r.join(
+        blocked.withColumn("blocked", F.lit(True)), on="doc_id", how="left"
+    ).withColumn("blocked", F.coalesce(F.col("blocked"), F.lit(False)))
+    return flagged.groupBy("registered_domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("blocked"), 1).otherwise(0)).cast("bigint").alias(
+            "n_blocked"
+        ),
+        F.sum(F.when(F.col("blocked"), 0).otherwise(1)).cast("bigint").alias(
+            "n_kept"
+        ),
+    )
+
+
+# The injected per-source site template (the fixture corpus has no
+# natural boilerplate — near-uniform bigram df, max ~28% per source —
+# so the template provides REAL positives for the detector while the
+# fixture text provides real negatives; same adapter rationale as the
+# URL column).
+_TEMPLATE_SQL = "'subscribe to ' || source || ' newsletter follow ' || source || ' updates'"
+
+
+@query(
+    "web_boilerplate_strip",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             string_split(({_TEMPLATE_SQL}) || ' ' || text, ' ') AS w
+      FROM documents
+    ),
+    postok AS (
+      SELECT doc_id, source, unnest(w) AS w1, generate_subscripts(w, 1) AS pos
+      FROM t
+    ),
+    nbr AS (
+      SELECT doc_id, source, pos, w1,
+             lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM postok
+    ),
+    bi AS (
+      SELECT DISTINCT doc_id, source, w1 || ' ' || w2 AS bg
+      FROM nbr WHERE w2 IS NOT NULL
+    ),
+    sdocs AS (SELECT source, COUNT(DISTINCT doc_id) AS nd FROM t GROUP BY source),
+    bp AS (
+      SELECT b.source, b.bg
+      FROM (SELECT source, bg, COUNT(*) AS df FROM bi GROUP BY source, bg) b
+      JOIN sdocs s ON b.source = s.source
+      WHERE b.df >= {BOILERPLATE_DF_FRAC} * s.nd
+    ),
+    endbg AS (
+      SELECT doc_id, source, pos + 1 AS pos, w1 || ' ' || w2 AS bg
+      FROM nbr WHERE w2 IS NOT NULL
+    ),
+    marked AS (
+      SELECT n.doc_id, n.pos, n.w1,
+             (bs.bg IS NOT NULL OR be.bg IS NOT NULL) AS covered
+      FROM nbr n
+      LEFT JOIN bp bs
+        ON bs.source = n.source AND n.w2 IS NOT NULL
+       AND bs.bg = n.w1 || ' ' || n.w2
+      LEFT JOIN (
+        SELECT e.doc_id, e.pos, e.bg FROM endbg e
+        JOIN bp ON bp.source = e.source AND bp.bg = e.bg
+      ) be ON be.doc_id = n.doc_id AND be.pos = n.pos
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(CASE WHEN covered THEN NULL ELSE w1 END,
+                               ' ' ORDER BY pos), '') AS clean_text
+    FROM marked GROUP BY doc_id
+    """,
+)
+def web_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-template boilerplate stripping (the C4/Gopher 'remove the
+    nav/footer' stage, corpus-statistical form): a bigram occurring in
+    >= 60% of a SOURCE's documents is template text; every token
+    position covered by a template bigram is removed and the document
+    is re-assembled from the survivors in position order. Detection is
+    per-source df aggregation (bounded by source vocabulary), marking
+    is an equi-join on (source, bigram) — no pairwise work, no UDFs;
+    reassembly is one ordered aggregation per doc. The fixture corpus
+    is near-uniform (no natural bigram reaches the threshold), so the
+    query injects a deterministic per-source template prefix as real
+    positives — fixture tokens are the negatives that must survive."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    template = F.concat(
+        F.lit("subscribe to "),
+        F.col("source"),
+        F.lit(" newsletter follow "),
+        F.col("source"),
+        F.lit(" updates"),
+    )
+    t = spread(d, "doc_id").select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.concat(template, F.lit(" "), F.col("text")), " "))
+        .alias("pos0", "w1"),
+    ).withColumn("pos", F.col("pos0") + 1)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    nbr = t.select(
+        "doc_id",
+        "source",
+        "pos",
+        "w1",
+        F.lead("w1").over(w).alias("w2"),
+    )
+    bi = (
+        nbr.filter(F.col("w2").isNotNull())
+        .select("doc_id", "source", F.concat_ws(" ", "w1", "w2").alias("bg"))
+        .distinct()
+    )
+    sdocs = bi.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    bp = (
+        bi.groupBy("source", "bg")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(sdocs, on="source")
+        .filter(F.col("df") >= BOILERPLATE_DF_FRAC * F.col("nd"))
+        .select("source", "bg")
+    )
+    # A position is covered if the bigram STARTING there or the bigram
+    # ENDING there is boilerplate: left-join each form against bp.
+    start_bg = nbr.select(
+        "doc_id",
+        "source",
+        "pos",
+        "w1",
+        F.when(
+            F.col("w2").isNotNull(), F.concat_ws(" ", "w1", "w2")
+        ).alias("bg_start"),
+    )
+    prev = nbr.filter(F.col("w2").isNotNull()).select(
+        "doc_id",
+        F.col("source").alias("_s2"),
+        (F.col("pos") + 1).alias("pos"),
+        F.concat_ws(" ", "w1", "w2").alias("bg_end"),
+    )
+    bp_s = bp.select(F.col("source").alias("_bs"), F.col("bg").alias("_bg_s"))
+    bp_e = bp.select(F.col("source").alias("_be"), F.col("bg").alias("_bg_e"))
+    marked = (
+        start_bg.join(prev.select("doc_id", "pos", "_s2", "bg_end"), on=["doc_id", "pos"], how="left")
+        .join(
+            bp_s,
+            (F.col("source") == F.col("_bs")) & (F.col("bg_start") == F.col("_bg_s")),
+            how="left",
+        )
+        .join(
+            bp_e,
+            (F.col("source") == F.col("_be")) & (F.col("bg_end") == F.col("_bg_e")),
+            how="left",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            "w1",
+            (F.col("_bg_s").isNotNull() | F.col("_bg_e").isNotNull()).alias(
+                "covered"
+            ),
+        )
+    )
+    kept = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        ~F.col("covered"), F.struct(F.col("pos"), F.col("w1"))
+                    )
+                )
+            ),
+            lambda s: s["w1"],
+        ),
+        " ",
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("covered"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        kept.alias("clean_text"),
+    )
