@@ -12,6 +12,8 @@ from SURVEY.md §2.10 self-registers into the plans registry on import.
 from __future__ import annotations
 
 import glob
+import hashlib
+import inspect
 import json
 import os
 from collections.abc import Callable
@@ -19,6 +21,50 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 SF0001_DIR = "/root/testdata/sf0.001"
+
+
+def _source_fingerprint(fn: Callable, oracle: str | None) -> str:
+    """sha1 over the query's def-site source + its RESOLVED oracle SQL
+    (the resolved string, not the f-string literal, so a changed module
+    constant like KCORE_K changes the fingerprint too)."""
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        src = getattr(fn, "__qualname__", repr(fn))
+    h = hashlib.sha1()
+    h.update(src.encode())
+    h.update(b"\x00")
+    h.update((oracle or "").encode())
+    return h.hexdigest()
+
+
+def _changed_fingerprints() -> set[str]:
+    """Names whose CURRENT source/oracle fingerprint differs from the
+    recorded last-driver-verified fingerprint
+    (``tools/query_fingerprints.json``, refreshed per round by
+    ``tools/refresh_fingerprints.py``). A rewritten query must NOT hide
+    behind an old hash-match row (VERDICT r5 #3): these names requeue
+    in the unverified tier so the next driver sample re-proves them.
+    Missing file or missing entry → not 'changed' (never-verified names
+    are already tier 2 via the history)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tools",
+        "query_fingerprints.json",
+    )
+    try:
+        with open(path) as fh:
+            recorded = json.load(fh)
+    except (OSError, ValueError):
+        return set()
+    from rdf_mapreduce_joins_spark.plans import ORACLES, QUERIES
+
+    return {
+        n
+        for n, fp in recorded.items()
+        if n in QUERIES
+        and _source_fingerprint(QUERIES[n], ORACLES.get(n)) != fp
+    }
 
 
 def _driver_history() -> tuple[dict[str, dict], int]:
@@ -100,6 +146,10 @@ def _driver_priority_order(names: list[str]) -> list[str]:
 
     latest, nfiles = _driver_history()
     roster = _backlog_roster(names)
+    # Source-fingerprint guard (VERDICT r5 #3): a query whose code or
+    # resolved oracle changed since its last driver verification loses
+    # its "passed" standing — the old hash row proved the OLD plan.
+    changed = _changed_fingerprints()
     failed, unverified, passed, no_oracle = [], [], [], []
     for n in names:
         row = latest.get(n)
@@ -107,6 +157,8 @@ def _driver_priority_order(names: list[str]) -> list[str]:
             unverified.append(n)
         elif row.get("hash_match") is False:
             failed.append(n)
+        elif n in changed:
+            unverified.append(n)
         elif row.get("hash_match") is True:
             passed.append(n)
         elif row.get("err") == "no_oracle":

@@ -244,8 +244,10 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain exact-Jaccard plan. The oracle mirrors the same gate in SQL
     (its hub CTE empties when the skew test fails), so BOTH branches
     stay differential-tested. The probe itself is one aggregation over
-    the df table — the stage the capped path needs anyway; on the
-    uncapped route it is the bounded price of the decision.
+    the df table, and the bigram table is localCheckpoint-ed first so
+    the probe job and the main plan share one materialization of the
+    read+split+explode+distinct lineage (ADVICE r5 #2) — the probe's
+    marginal cost is the df aggregation alone, on both routes.
 
     Why this shape at 100 TB: the shared-shingle self-join costs
     Σ_b df(b)², so a handful of boilerplate "hub" shingles (df in the
@@ -277,6 +279,12 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lang", F.explode(text.word_ngrams("text", 2)).alias("bigram")
         )
         .distinct()
+        # Materialized ONCE (ADVICE r5 #2): the probe below and the main
+        # plan (either route) both read these blocks instead of
+        # recomputing the read+split+explode+distinct lineage twice.
+        # localCheckpoint is the repo's iterative-op idiom (graph.py);
+        # blocks are freed by the ContextCleaner once unreferenced.
+        .localCheckpoint()
     )
     dfs = bi.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("df"))
     # Skew probe: a 1-row bounded collect (like the corpus count above),

@@ -1500,7 +1500,7 @@ KCORE_K = 2
 
 @query(
     "rdf_kcore_members",
-    oracle="""
+    oracle=f"""
     WITH e AS (
       SELECT 'supplier/' || s_suppkey AS a, 'supplier/' || (s_suppkey // 2) AS b
       FROM supplier WHERE s_suppkey >= 1
@@ -1511,17 +1511,17 @@ KCORE_K = 2
       SELECT DISTINCT a, b
       FROM (SELECT a, b FROM e UNION ALL SELECT b, a FROM e) WHERE a <> b
     ),
-    s1 AS (SELECT a AS node FROM sym GROUP BY a HAVING COUNT(*) >= 2),
+    s1 AS (SELECT a AS node FROM sym GROUP BY a HAVING COUNT(*) >= {KCORE_K}),
     s2 AS (SELECT a AS node FROM sym JOIN s1 ka ON sym.a = ka.node
-           JOIN s1 kb ON sym.b = kb.node GROUP BY a HAVING COUNT(*) >= 2),
+           JOIN s1 kb ON sym.b = kb.node GROUP BY a HAVING COUNT(*) >= {KCORE_K}),
     s3 AS (SELECT a AS node FROM sym JOIN s2 ka ON sym.a = ka.node
-           JOIN s2 kb ON sym.b = kb.node GROUP BY a HAVING COUNT(*) >= 2),
+           JOIN s2 kb ON sym.b = kb.node GROUP BY a HAVING COUNT(*) >= {KCORE_K}),
     s4 AS (SELECT a AS node FROM sym JOIN s3 ka ON sym.a = ka.node
-           JOIN s3 kb ON sym.b = kb.node GROUP BY a HAVING COUNT(*) >= 2),
+           JOIN s3 kb ON sym.b = kb.node GROUP BY a HAVING COUNT(*) >= {KCORE_K}),
     s5 AS (SELECT a AS node FROM sym JOIN s4 ka ON sym.a = ka.node
-           JOIN s4 kb ON sym.b = kb.node GROUP BY a HAVING COUNT(*) >= 2),
+           JOIN s4 kb ON sym.b = kb.node GROUP BY a HAVING COUNT(*) >= {KCORE_K}),
     s6 AS (SELECT a AS node FROM sym JOIN s5 ka ON sym.a = ka.node
-           JOIN s5 kb ON sym.b = kb.node GROUP BY a HAVING COUNT(*) >= 2),
+           JOIN s5 kb ON sym.b = kb.node GROUP BY a HAVING COUNT(*) >= {KCORE_K}),
     chk AS (
       SELECT CASE WHEN (SELECT COUNT(*) FROM s5) <> (SELECT COUNT(*) FROM s6)
                   THEN error('kcore oracle: not converged in 6 unrolled rounds')

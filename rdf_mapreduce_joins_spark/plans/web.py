@@ -131,30 +131,34 @@ def _canonical_parts(url: Column) -> dict[str, Column]:
     return {"scheme": scheme, "host": host, "path": path, "canonical": canonical}
 
 
-# The same canonicalization in DuckDB SQL over a `u(doc_id, …, url)` CTE.
-_CANON_SQL = """
-      lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://' ||
+# The same canonicalization in DuckDB SQL, factored into a parsed-parts
+# projection (each regex appears exactly ONCE — ADVICE r5 #4: DuckDB
+# does not CSE regex calls across CASE branches, and single-occurrence
+# regexes keep the Spark/SQL twin-parity contract auditable) plus an
+# assembly expression over the extracted columns.
+_URL_PARTS_SQL = """
+      lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
       regexp_replace(lower(regexp_extract(url, '://([^/:?#]+)', 1)),
-                     '^www\\.', '') ||
-      CASE WHEN regexp_extract(url, '^[A-Za-z]+://[^/:?#]+:(\\d+)', 1) <> ''
-            AND NOT (lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) = 'https'
-                     AND regexp_extract(url, '^[A-Za-z]+://[^/:?#]+:(\\d+)', 1) = '443')
-            AND NOT (lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) = 'http'
-                     AND regexp_extract(url, '^[A-Za-z]+://[^/:?#]+:(\\d+)', 1) = '80')
-           THEN ':' || regexp_extract(url, '^[A-Za-z]+://[^/:?#]+:(\\d+)', 1)
-           ELSE '' END ||
+                     '^www\\.', '') AS host,
+      regexp_extract(url, '^[A-Za-z]+://[^/:?#]+:(\\d+)', 1) AS port,
       regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1),
-                     '(.)/$', '\\1') ||
-      CASE WHEN array_to_string(list_filter(
-                  string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
-                  p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_RE}')
-                ), '&') <> ''
-           THEN '?' || array_to_string(list_filter(
-                  string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
-                  p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_RE}')
-                ), '&')
-           ELSE '' END
+                     '(.)/$', '\\1') AS path,
+      array_to_string(list_filter(
+        string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+        p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_RE}')
+      ), '&') AS q
 """.replace("{TRACKING_RE}", TRACKING_RE)
+
+# Assembly over a CTE carrying the _URL_PARTS_SQL columns.
+_CANON_FROM_PARTS_SQL = """
+      scheme || '://' || host ||
+      CASE WHEN port <> ''
+            AND NOT (scheme = 'https' AND port = '443')
+            AND NOT (scheme = 'http' AND port = '80')
+           THEN ':' || port ELSE '' END ||
+      path ||
+      CASE WHEN q <> '' THEN '?' || q ELSE '' END
+"""
 
 _REGDOM_SQL = """
       CASE WHEN host LIKE '%.co.uk'
@@ -183,7 +187,9 @@ def _registered_domain(host: Column) -> Column:
     WITH u AS (
       SELECT doc_id, ({_RAW_URL_SQL.strip()}) AS url FROM documents
     ),
-    c AS (SELECT doc_id, ({_CANON_SQL.strip()}) AS canonical_url FROM u)
+    parts AS (SELECT doc_id, {_URL_PARTS_SQL.strip()} FROM u),
+    c AS (SELECT doc_id, ({_CANON_FROM_PARTS_SQL.strip()}) AS canonical_url
+          FROM parts)
     SELECT canonical_url,
            CAST(COUNT(*) AS BIGINT) AS n_aliases,
            CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
@@ -311,11 +317,14 @@ def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-domain and wildcard path-prefix rules mark documents blocked;
     report per registered domain how many docs the crawl keeps. The
     rule set splits into domain rules (broadcast EQUI-join on the
-    domain key, then prefix filter) and wildcard rules (a bounded
-    crossJoin — |wildcard rules| rows, the sanctioned small-build-side
-    shape) — no OR-condition nested-loop join over the corpus. At
-    crawl scale rules stay broadcast-sized (robots lines per domain
-    are tiny) and the blocked set is a distinct on doc_id."""
+    domain key, then prefix filter) and wildcard rules, which are
+    prefix-bucketed: startswith(path, p) == (substring(path, 1,
+    len(p)) = p), so for each distinct wildcard-prefix LENGTH (known
+    at plan time — the rules are a module constant) we emit one
+    broadcast HASH join on that substring key. No nested-loop join
+    anywhere in the plan (gated by tests/test_plans.py). At crawl
+    scale rules stay broadcast-sized (robots lines per domain are
+    tiny) and the blocked set is a distinct on doc_id."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     u = d.withColumn("url", _raw_url())
     host = F.regexp_replace(
@@ -329,11 +338,11 @@ def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         path.alias("path"),
         _registered_domain(host).alias("registered_domain"),
     )
-    spark_rules = spark.createDataFrame(
-        list(ROBOTS_RULES), "dom string, prefix string"
+    dom_rule_rows = [(d, p) for d, p in ROBOTS_RULES if d != "*"]
+    wild_prefixes = [p for d, p in ROBOTS_RULES if d == "*"]
+    dom_rules = spark.createDataFrame(
+        dom_rule_rows, "dom string, prefix string"
     )
-    dom_rules = spark_rules.filter(F.col("dom") != "*")
-    wild_rules = spark_rules.filter(F.col("dom") == "*").select("prefix")
     blocked_dom = (
         r.join(
             F.broadcast(dom_rules),
@@ -342,12 +351,18 @@ def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("path").startswith(F.col("prefix")))
         .select("doc_id")
     )
-    blocked_wild = (
-        r.crossJoin(F.broadcast(wild_rules))
-        .filter(F.col("path").startswith(F.col("prefix")))
-        .select("doc_id")
-    )
-    blocked = blocked_dom.unionByName(blocked_wild).distinct()
+    blocked = blocked_dom
+    for plen in sorted({len(p) for p in wild_prefixes}):
+        rules_l = spark.createDataFrame(
+            [(p,) for p in wild_prefixes if len(p) == plen], "prefix string"
+        )
+        blocked = blocked.unionByName(
+            r.join(
+                F.broadcast(rules_l),
+                F.substring(F.col("path"), 1, plen) == F.col("prefix"),
+            ).select("doc_id")
+        )
+    blocked = blocked.distinct()
     flagged = r.join(
         blocked.withColumn("blocked", F.lit(True)), on="doc_id", how="left"
     ).withColumn("blocked", F.coalesce(F.col("blocked"), F.lit(False)))

@@ -212,6 +212,18 @@ def sessionize_custom_state(
                 cur[2] += 1
                 cur[3] += value
         assert cur is not None  # non-timeout invocations always carry rows
+        # Bridge-fold (round-5 advice): an in-window late event can
+        # extend the open session BACKWARD (cur[0] shrinks), leaving a
+        # previously-closed far-late session within gap of the new
+        # start — native session_window would merge them. Fold such
+        # sessions back into cur; chained, because each fold lowers
+        # cur[0] and may expose the one before it.
+        while closed and cur[0] - closed[-1][1] <= gap:
+            prev = closed.pop()
+            cur[0] = min(cur[0], prev[0])
+            cur[1] = max(cur[1], prev[1])
+            cur[2] += prev[2]
+            cur[3] += prev[3]
         state.update(tuple(cur))
         # Fire once the watermark passes the session's close point; the
         # timestamp must sit above the current watermark or Spark

@@ -44,10 +44,8 @@ def test_oracle_keys_subset_of_queries():
         "agg_kll_quantiles",
         "agg_theta_distinct",
         "events_rolling_distinct_hll",
-        # r4 k-core: iterative peeling fixpoint, not SQL-expressible;
-        # value-matched against a Python peeling reference in
-        # tests/test_range_pca_ops.py and test_rowsonly_references.py.
-        "rdf_kcore_members",
+        # (rdf_kcore_members was promoted to a full oracle in r5 —
+        # 6-round unrolled SQL peeling with a convergence guard.)
     }
 
 
@@ -185,6 +183,41 @@ class TestDriverPriorityOrder:
         names = [f"q{i}" for i in range(10)]
         order = self._order(monkeypatch, {}, 0)(names)
         assert order == names  # registry order, nothing to reshuffle
+
+    def test_source_changed_query_outranks_passed_pool(self, monkeypatch):
+        """VERDICT r5 #3: a query whose source fingerprint changed since
+        its last driver verification must requeue in the unverified tier
+        (ahead of rotation/tier-4), not hide behind its old hash row."""
+        names = [f"q{i}" for i in range(30)]
+        hist = {n: {"hash_match": True, "err": None} for n in names}
+        monkeypatch.setattr(
+            entrymod, "_changed_fingerprints", lambda: {"q25"}
+        )
+        order = self._order(monkeypatch, hist, 1)(names)
+        assert order[0] == "q25"  # only unverified name → front
+        # and a recorded hash-fail still outranks a source change
+        hist["q7"] = {"hash_match": False, "err": None}
+        order = self._order(monkeypatch, hist, 1)(names)
+        assert order[:2] == ["q7", "q25"]
+
+    def test_live_fingerprints_cover_registry(self):
+        """The committed fingerprint file must track the live registry:
+        every recorded name exists, and any name with driver history has
+        a fingerprint (else a rewrite of it is invisible)."""
+        import json as _json
+        import os as _os
+
+        path = _os.path.join(
+            _os.path.dirname(_os.path.abspath(entrymod.__file__)),
+            "tools",
+            "query_fingerprints.json",
+        )
+        recorded = _json.load(open(path))
+        qs = entrymod.queries()
+        assert set(recorded) <= set(qs)
+        ever, _ = entrymod._driver_history()
+        missing = [n for n in qs if n in ever and n not in recorded]
+        assert not missing, f"verified-but-unfingerprinted: {missing}"
 
     def test_first_50_covers_fails_and_unchecked_now(self):
         """With the REAL committed CORRECTNESS files: every recorded

@@ -400,6 +400,7 @@ def late_events_dir(spark, tmp_path_factory):
             (1, (BASE + 1200) * 10**9, 9, "click", 1.0, "{}"),
             (2, (BASE + 7200) * 10**9, 8, "click", 5.0, "{}"),
             (6, (BASE + 7200) * 10**9, 7, "click", 4.0, "{}"),
+            (10, (BASE + 7200) * 10**9, 5, "click", 1.0, "{}"),
         ]
     ).coalesce(1).write.parquet(str(path / "b1"))
     mk(
@@ -411,6 +412,13 @@ def late_events_dir(spark, tmp_path_factory):
             # two singletons.
             (7, BASE * 10**9, 7, "click", 1.5, "{}"),
             (8, (BASE + 600) * 10**9, 7, "click", 2.5, "{}"),
+            # u5 BRIDGE ordering (round-5 advice #1): a far-late event
+            # at cur0-gap-1 closes provisionally, then an in-window
+            # event at cur0-gap extends the open session backward to
+            # within gap of it — ALL THREE must merge into one session
+            # (native session_window semantics), not two.
+            (11, (BASE + 7200 - 1801) * 10**9, 5, "click", 2.0, "{}"),
+            (12, (BASE + 7200 - 1800) * 10**9, 5, "click", 3.0, "{}"),
         ]
     ).coalesce(1).write.parquet(str(path / "b2"))
     mk([(5, (BASE + 50000) * 10**9, 9, "click", 9.0, "{}")]).coalesce(1).write.parquet(
@@ -451,3 +459,11 @@ def test_sessionize_late_events_extend_or_split(spark, late_events_dir):
     # session_window merge semantics.
     assert got[(7, BASE)] == (BASE + 600, 2, 4.0)
     assert (7, BASE + 600) not in got
+    # u5 bridge-fold: the far-late event at BASE+5399, the in-window
+    # event at BASE+5400 (which drags the open session's start back to
+    # within gap of it), and the original BASE+7200 event form ONE
+    # session — emitted by the event-time timeout after the watermark
+    # passes its close point.
+    u5 = [k for k in got if k[0] == 5]
+    assert u5 == [(5, BASE + 7200 - 1801)], u5
+    assert got[(5, BASE + 7200 - 1801)] == (BASE + 7200, 3, 6.0)
