@@ -87,6 +87,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    fixed_point_scale: float | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge relation.
 
@@ -99,9 +100,16 @@ def pagerank(
 
     Float summation order varies with partitioning, so results carry
     round-off nondeterminism in the last ulps — callers rank/round
-    before comparing (declared rows-only in the query registry; tests
-    pin the invariants: mass conservation, dangling handling, and a
-    hand-computed small-graph fixture)."""
+    before comparing (tests pin the invariants: mass conservation,
+    dangling handling, and a hand-computed small-graph fixture).
+    ``fixed_point_scale`` snaps every rank to round(rank*scale)/scale
+    at each ROUND BOUNDARY (the events_ewma fixed-point pattern): at
+    scale 1e9 the per-round summation-order error (~1e-13 absolute)
+    is far below the 5e-10 rounding threshold, so any engine running
+    the same recurrence with the same per-round rounding produces
+    bit-identical ranks — which is what makes a cross-engine SQL
+    oracle (rdf_pagerank's 10 unrolled rounds in DuckDB) hash-match
+    instead of drifting in the last ulps."""
     adj, nodes = _pagerank_setup(edges, src, dst)
     # Initial ranks are CHECKPOINTED before the first round: the nodes
     # frame shares lineage (attribute ids) with the cached adjacency,
@@ -118,7 +126,14 @@ def pagerank(
         # lineage cut is what keeps the plan O(1) per round; its
         # partitioning loss costs O(|V|) exchanges per round, small
         # next to the O(|E|) adjacency work the cache saves.
-        ranks = _pagerank_iteration(ranks, adj, n, damping).localCheckpoint()
+        nxt = _pagerank_iteration(ranks, adj, n, damping)
+        if fixed_point_scale is not None:
+            nxt = nxt.withColumn(
+                "rank",
+                F.round(F.col("rank") * fixed_point_scale)
+                / fixed_point_scale,
+            )
+        ranks = nxt.localCheckpoint()
     adj.unpersist()
     return ranks.drop("is_dangling")
 

@@ -1243,7 +1243,7 @@ _TRI_CTE = triples_sql()
 @query(
     "rdf_degree_distribution",
     oracle=f"""
-    WITH tri AS ({_TRI_CTE}),
+    WITH tri AS MATERIALIZED ({_TRI_CTE}),
     outs AS (SELECT subject AS node, COUNT(*) AS c FROM tri GROUP BY subject),
     ins  AS (SELECT object AS node, COUNT(*) AS c FROM tri GROUP BY object)
     SELECT COALESCE(o.node, i.node) AS node,
@@ -1269,23 +1269,98 @@ def rdf_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("rdf_pagerank")  # rows-only: float contributions, order-dependent ulps
+PR_ITER = 10
+PR_DAMPING = 0.85
+# Fixed-point scale for the cross-engine oracle (round-5 promotion,
+# VERDICT r5 #6 — the events_ewma pattern): rank snaps to
+# round(rank*1e9)/1e9 at each round boundary on BOTH engines, so
+# summation-order ulps (~1e-13) are rounded away (threshold 5e-10)
+# and the recurrence is bit-identical across engines.
+PR_SCALE = 1e9
+
+
+def _pagerank_oracle_sql() -> str:
+    """10 unrolled power-iteration rounds over the FK-edge subgraph —
+    the same unroll pattern as the kcore oracle. Every float literal
+    is cast to DOUBLE so DuckDB's DECIMAL literals can't change the
+    arithmetic; the per-round fixed-point round mirrors
+    operators/graph.py::pagerank(fixed_point_scale=1e9)."""
+    fk = sorted({s.pred for s in PRED_SPECS if s.obj_prefix is not None})
+    preds = ", ".join(f"'{p}'" for p in fk)
+    damp = "CAST(0.85 AS DOUBLE)"
+    base = "CAST(0.15 AS DOUBLE)"
+    rounds = []
+    prev = "r0"
+    for i in range(1, PR_ITER + 1):
+        cur = f"r{i}"
+        rounds.append(f"""
+    {cur} AS MATERIALIZED (
+      SELECT nodes.node, nodes.is_dangling,
+             round(({base} + {damp} *
+                    (COALESCE(m.in_mass, CAST(0 AS DOUBLE))
+                     + d.dm / (SELECT cnt FROM nn))) * 1e9) / 1e9 AS rank
+      FROM nodes
+      LEFT JOIN (SELECT a.dst AS node, SUM(p.rank * a.w) AS in_mass
+                 FROM {prev} p JOIN adj a ON p.node = a.node
+                 GROUP BY a.dst) m ON m.node = nodes.node
+      CROSS JOIN (SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS dm
+                  FROM {prev} WHERE is_dangling) d
+    )""")
+        prev = cur
+    return f"""
+    WITH tri AS MATERIALIZED ({_TRI_CTE}),
+    e AS MATERIALIZED (
+      SELECT DISTINCT subject AS src, object AS dst FROM tri
+      WHERE predicate IN ({preds})
+    ),
+    outd AS MATERIALIZED (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+    adj AS MATERIALIZED (
+      SELECT e.src AS node, e.dst, CAST(1.0 AS DOUBLE) / out_deg AS w
+      FROM e JOIN outd USING (src)
+    ),
+    alln AS MATERIALIZED (
+      SELECT DISTINCT node
+      FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+    ),
+    nodes AS MATERIALIZED (
+      SELECT node, node NOT IN (SELECT src FROM outd) AS is_dangling
+      FROM alln
+    ),
+    nn AS MATERIALIZED (SELECT COUNT(*) AS cnt FROM alln),
+    r0 AS MATERIALIZED (SELECT node, is_dangling, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+    {",".join(rounds)}
+    SELECT node, round(rank, 4) AS rank_r
+    FROM r{PR_ITER}
+    ORDER BY rank_r DESC, node
+    """
+
+
+@query("rdf_pagerank", oracle=_pagerank_oracle_sql())
 def rdf_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank over the FK-edge subgraph (IRI→IRI
     edges only — nation/region/customer/supplier/order/manager FKs;
     literal objects excluded so mass flows between entities). 10
-    rounds, damping 0.85; per round one shuffle join + one aggregation
+    rounds, damping 0.85; per round one shuffle join one aggregation
     + a 1-row dangling-mass broadcast (operators/graph.py::pagerank —
-    the scalable formulation, no driver-side state). Declared
-    rows-only: float summation order perturbs last ulps; tests pin
-    mass conservation and a hand-computed fixture."""
+    the scalable formulation, no driver-side state). Oracled since
+    round 6 (VERDICT r5 #6): ranks snap to a 1e-9 fixed-point grid at
+    each round boundary on both engines, which makes the recurrence
+    engine-independent — see _pagerank_oracle_sql; tests additionally
+    pin mass conservation and a hand-computed fixture."""
     from rdf_mapreduce_joins_spark.operators.graph import pagerank
 
     fk_preds = sorted(
         {s.pred for s in PRED_SPECS if s.obj_prefix is not None}
     )
     edges = triples(spark, sf_dir, preds=fk_preds)
-    pr = pagerank(edges, n_iter=10, src="subject", dst="object")
+    pr = pagerank(
+        edges,
+        n_iter=PR_ITER,
+        damping=PR_DAMPING,
+        src="subject",
+        dst="object",
+        fixed_point_scale=PR_SCALE,
+    )
     return pr.select(
         "node", F.round("rank", 4).alias("rank_r")
     ).orderBy(F.col("rank_r").desc(), "node")

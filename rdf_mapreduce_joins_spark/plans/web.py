@@ -5,10 +5,11 @@ boilerplate stripping over the ``documents`` table.
 
 These are the web-pipeline stages that run BEFORE text-level dedup in
 a crawl-derived training-data pipeline (the CommonCrawl/C4/Gopher
-shape): collapse URL aliases, group by registered domain for
-per-domain quotas, honor robots disallow rules, strip site-template
-boilerplate. All four are regex/built-in-only (no UDFs anywhere) and
-carry full DuckDB oracles.
+shape): parse WARC segments, collapse URL aliases, group by
+registered domain for per-domain quotas, admit documents under a
+per-domain token quota, honor robots disallow rules, strip
+site-template boilerplate. All six are regex/built-in-only (no UDFs
+anywhere) and carry full DuckDB oracles.
 
 The fixture has no URL column, so each query derives a deterministic
 messy URL (scheme/WWW case noise, default :443 port, trailing slash,
@@ -545,4 +546,200 @@ def web_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_removed"),
         kept.alias("clean_text"),
+    )
+
+
+# Per-registered-domain token quota (the CommonCrawl "no domain may
+# dominate the mixture" admission stage — VERDICT r5 #7a). Sized so
+# each of the fixture's 4 registered domains admits some but not all
+# of its documents at every sf.
+DOMAIN_TOKEN_QUOTA = 3000
+
+
+@query(
+    "web_domain_quota_admission",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, text, ({_RAW_URL_SQL.strip()}) AS url FROM documents
+    ),
+    h AS (
+      SELECT doc_id, text,
+             regexp_replace(lower(regexp_extract(url, '://([^/:?#]+)', 1)),
+                            '^www\\.', '') AS host
+      FROM u
+    ),
+    r AS (SELECT doc_id, text, ({_REGDOM_SQL.strip()}) AS registered_domain FROM h),
+    toks AS (
+      SELECT doc_id, registered_domain,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS rk
+      FROM r
+    ),
+    cum AS (
+      SELECT doc_id, registered_domain, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY registered_domain ORDER BY rk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM toks
+    )
+    SELECT registered_domain, doc_id, n_tokens, cum_tokens
+    FROM cum WHERE cum_tokens <= {DOMAIN_TOKEN_QUOTA}
+    """,
+)
+def web_domain_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota admission (VERDICT r5 #7a: the
+    docs_token_budget_sample pattern keyed by the registrable domain):
+    per registered domain, admit documents in md5(doc_id)
+    pseudo-random order until the cumulative whitespace-token count
+    reaches the domain quota — the anti-domination stage of web-corpus
+    mixture construction. One window (integer-exact running sum over a
+    content-free hash order, so the admitted set is reproducible
+    across re-runs and cluster layouts) + one filter; at crawl scale
+    this is a single shuffle on the domain key. Greedy boundary
+    semantics match docs_token_budget_sample: an overshooting doc is
+    dropped but later smaller docs may still fit (cum <= quota, not a
+    hard stop)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    u = d.withColumn("url", _raw_url())
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(F.col("url"), r"://([^/:?#]+)", 1)),
+        r"^www\.",
+        "",
+    )
+    toks = u.select(
+        "doc_id",
+        _registered_domain(host).alias("registered_domain"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias(
+            "n_tokens"
+        ),
+        F.md5(F.col("doc_id").cast("string")).alias("rk"),
+    )
+    w = (
+        Window.partitionBy("registered_domain")
+        .orderBy("rk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= DOMAIN_TOKEN_QUOTA)
+        .select("registered_domain", "doc_id", "n_tokens", "cum_tokens")
+    )
+
+
+# WARC-style record parsing (VERDICT r5 #7b: an S-family source twin
+# of the N-Triples reader). The fixture has no .warc files, so the
+# query SYNTHESIZES bounded WARC segment files from the documents
+# table with an identical expression on both engines (the messy-URL
+# adapter pattern), then PARSES them back — the thing under test is
+# the record splitter + header extractor + length validation, i.e.
+# exactly what a WARC reader does to a CommonCrawl segment.
+WARC_FILE_BUCKETS = 50
+
+
+@query(
+    "web_warc_records_parse",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, source, text, ({_RAW_URL_SQL.strip()}) AS url FROM documents
+    ),
+    rec AS (
+      SELECT doc_id, source, doc_id % {WARC_FILE_BUCKETS} AS bucket,
+             'WARC/1.0' || chr(10) ||
+             'WARC-Type: response' || chr(10) ||
+             'WARC-Record-ID: ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+             'WARC-Target-URI: ' || url || chr(10) ||
+             'Content-Length: ' ||
+               CAST(octet_length(encode(text)) AS VARCHAR) ||
+             chr(10) || chr(10) || text || chr(10) AS r
+      FROM u
+    ),
+    files AS (
+      SELECT source, bucket, string_agg(r, '' ORDER BY doc_id) AS warc_file
+      FROM rec GROUP BY source, bucket
+    ),
+    pieces AS (
+      SELECT unnest(string_split(warc_file, 'WARC/1.0' || chr(10))) AS p
+      FROM files
+    ),
+    parsed AS (
+      SELECT CAST(regexp_extract(p, 'WARC-Record-ID: ([0-9]+)', 1) AS BIGINT)
+               AS rec_id,
+             regexp_extract(p, 'WARC-Target-URI: ([^\n]*)', 1) AS uri,
+             CAST(regexp_extract(p, 'Content-Length: ([0-9]+)', 1) AS BIGINT)
+               AS content_length,
+             regexp_extract(p, '(?s)\n\n(.*)\n$', 1) AS payload
+      FROM pieces WHERE p <> ''
+    )
+    SELECT rec_id, uri, content_length,
+           content_length = CAST(octet_length(encode(payload)) AS BIGINT)
+             AS length_ok
+    FROM parsed
+    """,
+)
+def web_warc_records_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC segment parsing (S family): assemble bounded per-(source,
+    bucket) WARC-style segment files (record = version line + headers
+    + blank line + payload, RFC-style), then split each segment into
+    records, extract the WARC-Record-ID / WARC-Target-URI /
+    Content-Length headers, recover the payload, and validate the
+    declared length against the actual payload byte count. Both
+    halves are pure JVM string/regex built-ins: assembly is one
+    ordered per-bucket aggregation (segment size bounded by the
+    bucket modulus — the real-world analog of CommonCrawl's ~1 GB
+    segment rotation), parsing is split + explode + regexp_extract in
+    whole-stage codegen. At crawl scale the parse side reads
+    one-segment-per-task exactly like the N-Triples DataSource reads
+    its partitioned text."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    u = d.withColumn("url", _raw_url())
+    rec = F.concat(
+        F.lit("WARC/1.0\n"),
+        F.lit("WARC-Type: response\n"),
+        F.lit("WARC-Record-ID: "),
+        F.col("doc_id").cast("string"),
+        F.lit("\nWARC-Target-URI: "),
+        F.col("url"),
+        F.lit("\nContent-Length: "),
+        F.octet_length(F.col("text")).cast("string"),
+        F.lit("\n\n"),
+        F.col("text"),
+        F.lit("\n"),
+    )
+    files = (
+        u.select(
+            "source",
+            (F.col("doc_id") % WARC_FILE_BUCKETS).alias("bucket"),
+            F.struct(F.col("doc_id"), rec.alias("r")).alias("s"),
+        )
+        .groupBy("source", "bucket")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s["r"]
+                ),
+                "",
+            ).alias("warc_file")
+        )
+    )
+    pieces = files.select(
+        F.explode(F.split(F.col("warc_file"), r"WARC/1\.0\n")).alias("p")
+    ).filter(F.col("p") != "")
+    payload = F.regexp_extract(F.col("p"), r"(?s)\n\n(.*)\n$", 1)
+    return pieces.select(
+        F.regexp_extract(F.col("p"), r"WARC-Record-ID: ([0-9]+)", 1)
+        .cast("bigint")
+        .alias("rec_id"),
+        F.regexp_extract(F.col("p"), r"WARC-Target-URI: ([^\n]*)", 1).alias(
+            "uri"
+        ),
+        F.regexp_extract(F.col("p"), r"Content-Length: ([0-9]+)", 1)
+        .cast("bigint")
+        .alias("content_length"),
+        (
+            F.regexp_extract(F.col("p"), r"Content-Length: ([0-9]+)", 1)
+            .cast("bigint")
+            == F.octet_length(payload).cast("bigint")
+        ).alias("length_ok"),
     )

@@ -32,7 +32,8 @@ def test_oracle_keys_subset_of_queries():
         "similarity_topk_ivf",
         "similarity_knn_join_ivf",
         "dedup_retain_set_minhash",
-        "rdf_pagerank",
+        # (rdf_pagerank was promoted to a full oracle in r6 — 1e-9
+        # fixed-point per-round rounding on both engines.)
         "agg_approx_percentiles",
         "text_heavy_hitters_cms",
         "dedup_semantic_prune",

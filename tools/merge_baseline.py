@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import datetime
 import json
+import os
 import re
 import sys
 
@@ -48,6 +49,13 @@ def main() -> int:
             f"non-table line inside the minima span at {i + 1}: "
             f"{lines[i]!r} — refusing to rewrite"
         )
+    # Arrow-floor policy (BASELINE.md "Arrow-path gate policy"): a
+    # Python-worker-bound query cannot measure below one Arrow
+    # round-trip no matter the data size, so its 2x gate reference is
+    # max(recorded minimum, ARROW_FLOOR_S).
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import ARROW_FLOOR_S, ARROW_PATH_QUERIES  # noqa: E402
+
     breaches, improved, added = [], 0, 0
     for q, t in sorted(times.items()):
         if not isinstance(t, (int, float)):
@@ -55,8 +63,9 @@ def main() -> int:
         key = (q, bench_sf)
         if key in table:
             old, _ = table[key]
-            if t > 2 * old:
-                breaches.append((q, t, old))
+            gate_ref = max(old, ARROW_FLOOR_S) if q in ARROW_PATH_QUERIES else old
+            if t > 2 * gate_ref:
+                breaches.append((q, t, gate_ref))
             if t < old:
                 # the date tracks the MEASUREMENT that set the minimum
                 # (round-5 advice) — an improved row is a new record
