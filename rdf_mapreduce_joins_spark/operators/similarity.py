@@ -489,13 +489,20 @@ def ivf_train(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int | None = None,
 ) -> list[list[float]]:
     """Deterministic k-means-lite coarse quantizer: init = the
     ``n_centroids`` lowest-id corpus vectors, then ``n_iter`` Lloyd
     rounds. Each round is one distributed assign + elementwise-mean
     aggregation (posexplode -> avg per (cluster, dim)); only the k x d
     centroid matrix ever reaches the driver. Empty clusters keep their
-    previous centroid, so the centroid count is stable."""
+    previous centroid, so the centroid count is stable.
+
+    ``round_digits`` snaps each round's centroid means to a decimal
+    grid (the pagerank/ewma fixed-point pattern): per-dim means then
+    agree bit-for-bit with any engine running the same recurrence
+    with the same rounding, which is what lets
+    ``embedding_kmeans_clusters`` carry a full SQL oracle."""
     dbl = as_double_array(vec_col)
     seed_rows = (
         embeddings.select(F.col(id_col), dbl.alias("v"))
@@ -514,10 +521,13 @@ def ivf_train(
         assigned = embeddings.select(
             _assign_expr(dbl, centroids).alias("cid"), dbl.alias("v")
         )
+        mean_col = F.avg("x")
+        if round_digits is not None:
+            mean_col = F.round(mean_col, round_digits)
         means = (
             assigned.select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(mean_col.alias("m"))
             .collect()
         )
         new = {cid: list(c) for cid, c in enumerate(centroids)}
@@ -579,12 +589,15 @@ def semantic_prune(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    train_round_digits: int | None = None,
 ) -> DataFrame:
     """Semantic deduplication (the SemDeDup recipe): k-means-cluster
     the corpus with the coarse quantizer, then inside each cluster
     drop every vector that has a near-duplicate (cosine >= threshold)
     with a smaller id — keeping one deterministic representative per
     near-dup chain. Returns the KEPT (id, cid) rows.
+    ``train_round_digits`` is forwarded to ivf_train's fixed-point
+    grid (engine-independent centroids -> SQL-oracle-able).
 
     Scale shape: candidate pairs are generated per CLUSTER (equi-join
     on cid), never across the corpus — the learned twin of the
@@ -592,7 +605,10 @@ def semantic_prune(
     driver-side state; the drop set is an anti join. At web scale the
     cluster count grows with the corpus (n_centroids ~ sqrt(n)) to
     bound per-cluster pair counts."""
-    centroids = ivf_train(embeddings, n_centroids, n_iter, id_col, vec_col)
+    centroids = ivf_train(
+        embeddings, n_centroids, n_iter, id_col, vec_col,
+        round_digits=train_round_digits,
+    )
     dbl = as_double_array(vec_col)
     assigned = embeddings.select(
         F.col(id_col),

@@ -698,10 +698,63 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(d)
 
 
-@query("text_lang_id")  # rows-only: trained profile not SQL-expressible succinctly
+@query(
+    "text_lang_id",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, lang, tok FROM (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+      WHERE tok <> ''
+    ),
+    v AS (SELECT COUNT(DISTINCT tok) AS vocab FROM toks),
+    lt AS MATERIALIZED (
+      SELECT lang, COUNT(*) AS lang_n FROM toks GROUP BY lang
+    ),
+    prof AS MATERIALIZED (
+      SELECT lang AS cand_lang, tok, ln(COUNT(*) + 1) AS lnum
+      FROM toks GROUP BY lang, tok
+    ),
+    docn AS (
+      SELECT doc_id, lang AS true_lang, COUNT(*) AS n_d
+      FROM toks GROUP BY doc_id, lang
+    ),
+    seen AS (
+      SELECT t.doc_id, p.cand_lang, SUM(p.lnum) AS seen_ll
+      FROM toks t JOIN prof p ON t.tok = p.tok
+      GROUP BY t.doc_id, p.cand_lang
+    ),
+    cand AS (
+      SELECT d.doc_id, d.true_lang, d.n_d, l.lang AS cand_lang, l.lang_n
+      FROM docn d CROSS JOIN lt l
+    ),
+    scored AS (
+      SELECT c.doc_id, c.true_lang, c.cand_lang,
+             round(COALESCE(s.seen_ll, CAST(0 AS DOUBLE))
+                   - c.n_d * ln(c.lang_n + (SELECT vocab FROM v)),
+                   6) AS score
+      FROM cand c
+      LEFT JOIN seen s
+        ON s.doc_id = c.doc_id AND s.cand_lang = c.cand_lang
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, cand_lang ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, true_lang AS lang, cand_lang AS lang_pred, score
+    FROM r WHERE rn = 1
+    """,
+)
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language identification (X4): corpus-trained naive-Bayes over
-    word unigrams, broadcast profile join, deterministic argmax."""
+    word unigrams, broadcast profile join, deterministic argmax.
+    Oracled since round 6: the operator already snaps scores to a
+    1e-6 fixed-point grid BEFORE the argmax window (the pagerank/ewma
+    pattern — summation-order ulps ~1e-13 are far below the 5e-7
+    rounding threshold), so the naive-Bayes decomposition
+    Σ_seen ln(count+1) − n_d·ln(lang_n+V) is engine-independent and
+    the full train→score→argmax pipeline hash-matches DuckDB."""
     d = load_table(spark, sf_dir, "documents")
     return text.language_id(d)
 
@@ -811,10 +864,44 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_image(media, width=32, height=32, fake=True)
 
 
-@query("multimodal_frame_sample")  # rows-only: binary slicing semantics differ per engine
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH chk AS (
+      SELECT CASE WHEN EXISTS (SELECT 1 FROM documents
+                               WHERE octet_length(encode(text)) <> length(text))
+                  THEN error('frame-sample oracle requires single-byte text')
+                  ELSE 1 END AS ok
+    ),
+    m AS (
+      SELECT doc_id AS id, text, octet_length(encode(text)) AS total
+      FROM documents
+    ),
+    s AS (
+      SELECT id, text,
+             GREATEST(CAST(ceil(total / 4) AS INTEGER), 1) AS step
+      FROM m
+    ),
+    f AS (
+      SELECT id, text, step, unnest(range(0, 4)) AS fno FROM s
+    ),
+    sl AS (
+      SELECT id, CAST(fno AS INTEGER) AS frame_no,
+             substring(text, CAST(fno AS INTEGER) * step + 1, step) AS piece
+      FROM f
+    )
+    SELECT id, frame_no, md5(piece) AS frame_md5,
+           CAST(octet_length(encode(piece)) AS INTEGER) AS frame_n_bytes
+    FROM sl, chk WHERE chk.ok = 1
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling plumbing (X5): byte-range "frames" per media blob,
-    one row per frame with digest + size — built-ins only."""
+    one row per frame with digest + size — built-ins only. Oracled
+    since round 6: DuckDB has no BLOB substring, but the fixture text
+    is pure single-byte (guarded in-oracle with error(), the kcore
+    pattern), so char slicing + md5(varchar) reproduces the byte
+    semantics exactly; Spark still slices the real binary column."""
     d = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_media(d)
     return multimodal.sample_frames(media, n_frames=4)
@@ -1171,7 +1258,114 @@ def dedup_retain_set_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return singles.unionByName(reps)
 
 
-@query("dedup_semantic_prune")  # rows-only: k-means centroids not SQL-expressible
+def _kmeans_oracle_sql(k: int = 8, n_iter: int = 2) -> str:
+    """The k-means-lite recurrence unrolled in DuckDB (the pagerank
+    unroll pattern): seed = k lowest-id vectors, then per round an
+    argmin-squared-L2 assignment (ties -> lowest cid, mirroring
+    _assign_expr's struct ordering) and per-(cid, dim) means snapped
+    to the 1e-9 grid (ivf_train round_digits=9), empty clusters
+    keeping their previous centroid; final assignment aggregated to
+    cluster sizes. Distances are float sums over 64 dims whose
+    order-dependent ulps (~1e-15) only matter on exact centroid-
+    boundary ties — generic embeddings have none."""
+    parts = [f"""
+    WITH emb AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    dims AS MATERIALIZED (
+      SELECT vec_id, CAST(pos - 1 AS INTEGER) AS pos, x
+      FROM (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+            FROM emb)
+    ),
+    seed AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+             vec_id
+      FROM (SELECT vec_id FROM emb ORDER BY vec_id LIMIT {k})
+    ),
+    c0 AS MATERIALIZED (
+      SELECT seed.cid, d.pos, d.x AS c FROM seed JOIN dims d USING (vec_id)
+    )"""]
+    prev = "c0"
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+    a{i} AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT d.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY SUM((d.x - c.c) * (d.x - c.c)) ASC, c.cid ASC
+               ) AS rn
+        FROM dims d JOIN {prev} c ON d.pos = c.pos
+        GROUP BY d.vec_id, c.cid)
+      WHERE rn = 1
+    ),
+    c{i} AS MATERIALIZED (
+      SELECT p.cid, p.pos, COALESCE(m.m, p.c) AS c
+      FROM {prev} p LEFT JOIN (
+        SELECT a.cid, d.pos, round(AVG(d.x), 9) AS m
+        FROM a{i} a JOIN dims d USING (vec_id)
+        GROUP BY a.cid, d.pos) m
+      ON m.cid = p.cid AND m.pos = p.pos
+    )""")
+        prev = f"c{i}"
+    parts.append(f""",
+    afinal AS (
+      SELECT vec_id, cid FROM (
+        SELECT d.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY SUM((d.x - c.c) * (d.x - c.c)) ASC, c.cid ASC
+               ) AS rn
+        FROM dims d JOIN {prev} c ON d.pos = c.pos
+        GROUP BY d.vec_id, c.cid)
+      WHERE rn = 1
+    )
+    SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM afinal GROUP BY cid""")
+    return "".join(parts)
+
+
+def _semantic_prune_oracle_sql(k: int = 8, n_iter: int = 2) -> str:
+    """SemDeDup unrolled in DuckDB: the kmeans recurrence (shared
+    builder suffix with _kmeans_oracle_sql's rounds), then cluster-
+    blocked pairs, cosine rounded to 4 digits vs the threshold, and
+    an anti-join of the dropped larger ids."""
+    base = _kmeans_oracle_sql(k, n_iter)
+    # reuse everything up to (and including) afinal; replace the final
+    # cluster-size SELECT with the prune pipeline
+    cut = base.index("    SELECT cid, CAST(COUNT(*) AS BIGINT)")
+    prefix = base[:cut].rstrip()
+    assert prefix.endswith(")"), "unexpected kmeans oracle shape"
+    return f"""{prefix},
+    norms AS MATERIALIZED (
+      SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM dims GROUP BY vec_id
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS ida, b.vec_id AS idb
+      FROM afinal a JOIN afinal b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+    ),
+    dots AS MATERIALIZED (
+      SELECT p.ida, p.idb, SUM(da.x * db.x) AS dp
+      FROM pairs p
+      JOIN dims da ON da.vec_id = p.ida
+      JOIN dims db ON db.vec_id = p.idb AND db.pos = da.pos
+      GROUP BY p.ida, p.idb
+    ),
+    dropped AS (
+      SELECT DISTINCT d.idb AS vec_id
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.ida
+      JOIN norms nb ON nb.vec_id = d.idb
+      WHERE CASE WHEN na.nrm * nb.nrm > 0
+                 THEN round(d.dp / (na.nrm * nb.nrm), 4)
+                 ELSE CAST(0 AS DOUBLE) END >= {EMB_COSINE_THRESHOLD}
+    )
+    SELECT a.vec_id, a.cid FROM afinal a
+    ANTI JOIN dropped USING (vec_id)"""
+
+
+@query("dedup_semantic_prune", oracle=_semantic_prune_oracle_sql())
 def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup (SemDeDup): learn k-means clusters over the
     embedding corpus, then keep one representative per intra-cluster
@@ -1179,23 +1373,33 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate pairs are cluster-blocked — the learned counterpart of
     dedup_embedding_cosine's label blocking; at 100 TB the centroid
     count scales with the corpus to bound per-cluster pair counts.
-    Rows-only check: the training loop's float averages make an exact
-    SQL oracle infeasible; tests pin determinism across partitionings
-    and the keep-set's no-smaller-near-neighbor invariant."""
+    Oracled since round 6: training uses the 1e-9 fixed-point
+    centroid grid (ivf_train round_digits — the pagerank pattern) and
+    pair cosines are rounded to 4 digits on both engines, so the full
+    train->assign->prune pipeline hash-matches DuckDB's unrolled SQL;
+    tests additionally pin determinism across partitionings and the
+    keep-set's no-smaller-near-neighbor invariant."""
     e = load_table(spark, sf_dir, "embeddings")
-    return similarity.semantic_prune(e, threshold=EMB_COSINE_THRESHOLD)
+    return similarity.semantic_prune(
+        e, threshold=EMB_COSINE_THRESHOLD, train_round_digits=9
+    )
 
 
-@query("embedding_kmeans_clusters")  # rows-only: same centroid caveat
+@query("embedding_kmeans_clusters", oracle=_kmeans_oracle_sql())
 def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding clustering as a first-class pipeline op: train the
     deterministic k-means-lite quantizer, assign every vector, report
     per-cluster sizes — the corpus-curation view (topic balance,
     cluster-proportional sampling) of the same index IVF probes.
     One distributed assign + one tiny aggregation; only the k x d
-    centroid matrix touches the driver."""
+    centroid matrix touches the driver. Oracled since round 6: per-
+    round centroid means snap to the 1e-9 grid on both engines
+    (ivf_train round_digits=9 — the pagerank fixed-point pattern), so
+    the full seed->2x(assign+update)->assign recurrence is engine-
+    independent and the cluster sizes hash-match DuckDB's unrolled
+    SQL (_kmeans_oracle_sql)."""
     e = load_table(spark, sf_dir, "embeddings")
-    cents = similarity.ivf_train(e)
+    cents = similarity.ivf_train(e, round_digits=9)
     from rdf_mapreduce_joins_spark.operators.similarity import (
         _assign_expr,
         as_double_array,
@@ -1204,7 +1408,9 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = e.select(
         _assign_expr(as_double_array("embedding"), cents).alias("cid")
     )
-    return assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )
 
 
 @query(

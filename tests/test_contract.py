@@ -23,21 +23,20 @@ def test_oracle_keys_subset_of_queries():
         "dedup_near_minhash",
         "dedup_simhash",
         "similarity_topk_lsh",
-        "text_lang_id",
         "embedding_pca_project",
         "multimodal_features",
-        "multimodal_frame_sample",
         "multimodal_resize",
         "agg_approx_distinct",
         "similarity_topk_ivf",
         "similarity_knn_join_ivf",
         "dedup_retain_set_minhash",
-        # (rdf_pagerank was promoted to a full oracle in r6 — 1e-9
-        # fixed-point per-round rounding on both engines.)
+        # (r6 promotions to full oracles: rdf_pagerank — 1e-9 per-round
+        # fixed-point; text_lang_id — 1e-6-rounded naive-Bayes scores;
+        # multimodal_frame_sample — ASCII-guarded char slicing;
+        # embedding_kmeans_clusters + dedup_semantic_prune — 1e-9
+        # fixed-point centroid grid, unrolled Lloyd rounds.)
         "agg_approx_percentiles",
         "text_heavy_hitters_cms",
-        "dedup_semantic_prune",
-        "embedding_kmeans_clusters",
         # r4 DataSketches family: estimates are deterministic for fixed
         # input but not ANSI-SQL-reproducible in DuckDB (different
         # sketch algorithms); value-tested in tests/test_sketches.py.
