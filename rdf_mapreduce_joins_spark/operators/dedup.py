@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from rdf_mapreduce_joins_spark.operators import hashing
 from rdf_mapreduce_joins_spark.sources.tables import spread
 
 # Universal-hash domain: h0 ∈ [0, P31); permutation i is
@@ -72,12 +73,18 @@ def minhash_signatures(
     text_col: str = "text",
     num_perm: int = 64,
     shingle_k: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_perm]) minhash signatures.
 
     One explode + one grouped aggregation with ``num_perm`` min()
     columns — partial aggregation (map-side combine) applies, so the
     shuffle carries one row per (doc × partition), not per shingle.
+
+    ``hash_family`` picks the base shingle hash (operators/hashing.py):
+    xxhash64 (default, cheapest at 100 TB) or md5-60bit (cross-engine —
+    the registered query runs this family so the whole pipeline gets a
+    DuckDB oracle). Everything downstream of h0 is identical.
 
     The explicit id-not-null filter is load-bearing for plan quality:
     downstream join null-filters cannot push below the bucket-cap
@@ -87,7 +94,7 @@ def minhash_signatures(
     (plan-gated in test_minhash_signature_exchange_reused)."""
     sh = spread(docs.filter(F.col(id_col).isNotNull())).select(
         F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("shingle")
-    ).withColumn("h0", F.pmod(F.xxhash64("shingle"), F.lit(P31)))
+    ).withColumn("h0", F.pmod(hashing.base_hash60("shingle", hash_family), F.lit(P31)))
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("h0") + F.lit(b), F.lit(P31))).alias(f"m{i}")
         for i, (a, b) in enumerate(_perm_constants(num_perm))
@@ -125,20 +132,34 @@ def minhash_lsh_pairs(
     min_est_jaccard: float = 0.5,
     round_digits: int = 4,
     max_bucket_size: int | None = 10_000,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs from banded LSH, with the signature-
     estimated Jaccard. Pair (d1 < d2) appears once regardless of how
     many bands collide. Buckets larger than ``max_bucket_size`` are
-    dropped before the self-join (see module docstring)."""
+    dropped before the self-join (see module docstring).
+
+    The band bucket key compacts the band's ``rows_per_band`` signature
+    values: xxhash64 of the tuple in the default family (8-byte key —
+    the shuffle-friendly choice; a 2^-64 collision merges two buckets
+    and only ever ADDS candidates, never drops a true pair), or the
+    exact ``:``-joined value string in the md5 family (collision-free
+    and engine-portable, so the DuckDB oracle joins on the identical
+    key)."""
     num_perm = bands * rows_per_band
+
+    def bucket_key(b: int) -> F.Column:
+        vals = [
+            F.element_at("sig", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        if hash_family == "md5":
+            return F.concat_ws(":", *[v.cast("string") for v in vals])
+        return F.xxhash64(F.lit(b), *vals)
+
     band_entries = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.lit(b), *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-                ).alias("bh"),
-            )
+            F.struct(F.lit(b).alias("band"), bucket_key(b).alias("bh"))
             for b in range(bands)
         ]
     )
@@ -179,23 +200,44 @@ _N_BANDS = _SIMHASH_BITS // _BAND_BITS
 
 
 def simhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, bands: array<int>[4]) — 64-bit SimHash packed as 4×16-bit
     band values (packing as int avoids 2^63 sign issues under ANSI).
 
     Token multiplicity acts as the feature weight (each occurrence
     votes ±1 per bit). The id-not-null filter keeps all consumers on
-    one canonical scan subtree (see minhash_signatures)."""
+    one canonical scan subtree (see minhash_signatures).
+
+    Bit source per family: xxhash64 (default) takes bit j of the
+    64-bit hash; md5 (cross-engine — gives the registered query its
+    DuckDB oracle) takes bit j%4 of hex nibble j//4 of md5(tok), i.e.
+    the digest's first 64 bits, decoded with integer arithmetic both
+    engines reproduce exactly."""
     toks = spread(docs.filter(F.col(id_col).isNotNull())).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).filter(F.col("tok") != "")
-    h = F.xxhash64("tok")
+    if hash_family == "md5":
+        toks = toks.withColumn("_hx", F.md5("tok"))
+        nibs = [
+            F.conv(F.substring("_hx", p + 1, 1), 16, 10).cast("int")
+            for p in range(_SIMHASH_BITS // 4)
+        ]
+
+        def bit(j: int) -> F.Column:
+            return F.shiftright(nibs[j // 4], j % 4).bitwiseAND(F.lit(1))
+
+    else:
+        h = F.xxhash64("tok")
+
+        def bit(j: int) -> F.Column:
+            return F.shiftright(h, j).bitwiseAND(F.lit(1))
+
     aggs = [
-        F.sum(
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1
-        ).alias(f"s{j}")
-        for j in range(_SIMHASH_BITS)
+        F.sum(bit(j) * 2 - 1).alias(f"s{j}") for j in range(_SIMHASH_BITS)
     ]
     sums = toks.groupBy(id_col).agg(*aggs)
     band_cols = []

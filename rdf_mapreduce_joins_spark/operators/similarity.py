@@ -419,6 +419,7 @@ def knn_join_ivf(
     q_id_col: str = "qid",
     q_vec_col: str = "qvec",
     round_digits: int = 4,
+    train_round_digits: int | None = None,
 ) -> DataFrame:
     """Approximate k-NN join via a shared IVF coarse quantizer — the
     corpus-scale path: base rows are assigned to their nearest
@@ -431,7 +432,10 @@ def knn_join_ivf(
     at file listing. Deterministic: seeded quantizer, id tiebreaks."""
     from pyspark.sql import Window
 
-    centroids = ivf_train(base, n_centroids, n_iter, id_col, vec_col)
+    centroids = ivf_train(
+        base, n_centroids, n_iter, id_col, vec_col,
+        round_digits=train_round_digits,
+    )
     bdbl = as_double_array(vec_col)
     assigned = base.select(
         F.col(id_col),
@@ -551,6 +555,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     exclude_id: int | None = None,
     round_digits: int = 4,
+    train_round_digits: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF: search only the ``nprobe`` clusters
     whose centroids are nearest the query, exact cosine rerank inside.
@@ -560,7 +565,10 @@ def ivf_topk(
     and the probe is a partition-prunable equality filter — the search
     touches nprobe/n_centroids of the corpus instead of all of it.
     Deterministic end to end (seeded init, fixed rounds, id tiebreaks)."""
-    centroids = ivf_train(embeddings, n_centroids, n_iter, id_col, vec_col)
+    centroids = ivf_train(
+        embeddings, n_centroids, n_iter, id_col, vec_col,
+        round_digits=train_round_digits,
+    )
 
     def sq_l2(a: list[float], b: list[float]) -> float:
         return sum((x - y) * (x - y) for x, y in zip(a, b))

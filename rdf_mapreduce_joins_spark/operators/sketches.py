@@ -22,14 +22,27 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from rdf_mapreduce_joins_spark.operators import hashing
 
-def _cell(col: F.Column, row: int, width: int) -> F.Column:
-    """Hash row i: xxhash64 seeded by the row index, folded to width."""
-    return F.pmod(F.xxhash64(F.lit(str(row)), col), F.lit(width)).cast("int")
+
+def _cell(
+    col: F.Column, row: F.Column | int, width: int, hash_family: str = "xxhash64"
+) -> F.Column:
+    """Hash row i: the base hash seeded by the row index, folded to
+    width.  xxhash64 (default) seeds via its multi-arg form; the md5
+    family (cross-engine — the oracle's choice) hashes
+    ``"<row>:<item>"``, reproducible in DuckDB/Python byte for byte."""
+    row_col = F.lit(str(row)) if isinstance(row, int) else row.cast("string")
+    if hash_family == "md5":
+        h = hashing.base_hash60(F.concat_ws(":", row_col, col), "md5")
+    else:
+        h = F.xxhash64(row_col, col)
+    return F.pmod(h, F.lit(width)).cast("int")
 
 
 def cms_build(
-    df: DataFrame, col: str, depth: int = 4, width: int = 1024
+    df: DataFrame, col: str, depth: int = 4, width: int = 1024,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """One-pass CMS over a column of items: returns the sparse counter
     table (row, cell, cnt) — at most depth*width rows, zero cells
@@ -43,10 +56,7 @@ def cms_build(
     )
     cells = rows.select(
         "row",
-        F.pmod(
-            F.xxhash64(F.col("row").cast("string"), F.col("item")),
-            F.lit(width),
-        ).cast("int").alias("cell"),
+        _cell(F.col("item"), F.col("row"), width, hash_family).alias("cell"),
     )
     return cells.groupBy("row", "cell").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
@@ -69,6 +79,7 @@ def cms_estimate(
     col: str,
     depth: int = 4,
     width: int = 1024,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Estimated count per distinct item: min over the depth rows of
     the item's counter cells. depth small-int joins against the
@@ -79,7 +90,7 @@ def cms_estimate(
         items.select(
             F.col(col).alias("item"),
             F.lit(i).alias("row"),
-            _cell(F.col(col), i, width).alias("cell"),
+            _cell(F.col(col), i, width, hash_family).alias("cell"),
         )
         for i in range(depth)
     ]

@@ -14,7 +14,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from rdf_mapreduce_joins_spark.operators import dedup, multimodal, similarity, text
+from rdf_mapreduce_joins_spark.operators import (
+    dedup,
+    hashing,
+    multimodal,
+    similarity,
+    text,
+)
 from rdf_mapreduce_joins_spark.plans.registry import query
 from rdf_mapreduce_joins_spark.sources.tables import load_table, spread
 
@@ -89,23 +95,173 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_near_minhash")  # rows-only: not ANSI-SQL-expressible
+MINHASH_NUM_PERM, MINHASH_BANDS, MINHASH_ROWS_PER_BAND = 64, 16, 4
+MINHASH_MIN_EST_JACCARD = 0.5
+SIMHASH_MAX_HAMMING = 8
+
+
+def _minhash_pairs_ctes(
+    num_perm: int = MINHASH_NUM_PERM,
+    bands: int = MINHASH_BANDS,
+    rows_per_band: int = MINHASH_ROWS_PER_BAND,
+    min_est: float = MINHASH_MIN_EST_JACCARD,
+    max_bucket: int = 10_000,
+) -> str:
+    """CTE chain ending in ``mh_pairs(d1, d2, est_jaccard)`` — the
+    md5-family MinHash+LSH pipeline in DuckDB: word-3-gram shingles
+    (short docs fall back to the whole text, mirroring
+    operators/dedup.py::shingles), h0 = md5-60bit % P31 (hex decoded
+    by hashing.hex60_sql), the same (A_i·h0+B_i) mod P31 universal
+    permutations via the shared _perm_constants, per-band ':'-joined
+    bucket keys, the 10k bucket cap, and matches/num_perm estimation.
+    Every number is integer except the final est (an exact small
+    dyadic-free ratio rounded to 4 digits identically by both
+    engines)."""
+    from rdf_mapreduce_joins_spark.operators.dedup import P31, _perm_constants
+    from rdf_mapreduce_joins_spark.operators.hashing import hex60_sql
+
+    mins = ",\n             ".join(
+        f"MIN(({a} * h0 + {b}) % {P31}) AS m{i}"
+        for i, (a, b) in enumerate(_perm_constants(num_perm))
+    )
+    band_sel = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ':' || ".join(
+            f"CAST(m{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        + " AS bh FROM sig"
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN s1.m{i} = s2.m{i} THEN 1 ELSE 0 END)"
+        for i in range(num_perm)
+    )
+    return f"""
+    mh_t AS MATERIALIZED (
+      SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+      WHERE doc_id IS NOT NULL
+    ),
+    mh_sh AS (
+      SELECT doc_id,
+             w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS shingle
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+            FROM mh_t WHERE len(w) >= 3)
+      UNION ALL
+      SELECT doc_id, text FROM mh_t WHERE len(w) < 3
+    ),
+    mh_h0 AS (
+      SELECT doc_id, {hex60_sql('hx')} % {P31} AS h0
+      FROM (SELECT doc_id, md5(shingle) AS hx FROM mh_sh)
+    ),
+    sig AS MATERIALIZED (
+      SELECT doc_id,
+             {mins}
+      FROM mh_h0 GROUP BY doc_id
+    ),
+    mh_buckets AS (
+      SELECT * FROM ({band_sel})
+      QUALIFY COUNT(*) OVER (PARTITION BY band, bh) <= {max_bucket}
+    ),
+    mh_cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM mh_buckets a JOIN mh_buckets b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    mh_pairs AS (
+      SELECT d1, d2, ROUND(({matches}) * 1.0 / {num_perm}, 4) AS est_jaccard
+      FROM mh_cand JOIN sig s1 ON s1.doc_id = d1 JOIN sig s2 ON s2.doc_id = d2
+      WHERE ROUND(({matches}) * 1.0 / {num_perm}, 4) >= {min_est}
+    )"""
+
+
+@query(
+    "dedup_near_minhash",
+    oracle=f"""
+    WITH {_minhash_pairs_ctes()}
+    SELECT d1, d2, est_jaccard FROM mh_pairs
+    """,
+)
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup via MinHash+LSH (X2): shingle → 64-perm signatures →
     16×4 bands → bucket-join candidates → estimated-Jaccard filter.
-    Deterministic (fixed hash constants) → stable rows-only check."""
+    Oracled since round 6 on the md5-60bit hash family
+    (operators/hashing.py): the base shingle hash is the only
+    engine-specific piece of the pipeline, so swapping it for a
+    cross-engine digest makes shingling → permutation minima →
+    banding → bucket join → estimation hash-matchable in DuckDB
+    (_minhash_pairs_ctes). The xxhash64 production family (cheapest
+    per-shingle at 100 TB, the operators' default) stays value-
+    verified against a borrowed-primitive Python reference in
+    tests/test_rowsonly_references.py."""
     d = load_table(spark, sf_dir, "documents")
-    sigs = dedup.minhash_signatures(d)
-    return dedup.minhash_lsh_pairs(sigs, min_est_jaccard=0.5)
+    sigs = dedup.minhash_signatures(d, hash_family="md5")
+    return dedup.minhash_lsh_pairs(
+        sigs, min_est_jaccard=MINHASH_MIN_EST_JACCARD, hash_family="md5"
+    )
 
 
-@query("dedup_simhash")  # rows-only: not ANSI-SQL-expressible
+def _simhash_oracle_sql(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
+    """dedup_simhash in DuckDB (md5 family): bit j of md5(token) is
+    bit j%4 of hex nibble j//4 — pure strpos/integer arithmetic —
+    summed as ±1 votes per doc, packed into 4×16-bit bands, band-
+    collision candidates, exact Hamming via bit-diff sum."""
+    votes = ",\n             ".join(
+        "SUM(CASE WHEN (strpos('0123456789abcdef', "
+        f"substring(hx, {j // 4 + 1}, 1)) - 1) // {1 << (j % 4)} % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(64)
+    )
+    band_cols = ", ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN s{b * 16 + j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(16)
+        )
+        + f") AS b{b}"
+        for b in range(4)
+    )
+    band_sel = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, b{b} AS bv FROM sh_bands" for b in range(4)
+    )
+    hamming = " + ".join(f"bit_count(xor(s1.b{b}, s2.b{b}))" for b in range(4))
+    return f"""
+    WITH sh_toks AS (
+      SELECT doc_id, md5(tok) AS hx FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id IS NOT NULL)
+      WHERE tok <> ''
+    ),
+    sh_sums AS (
+      SELECT doc_id,
+             {votes}
+      FROM sh_toks GROUP BY doc_id
+    ),
+    sh_bands AS MATERIALIZED (SELECT doc_id, {band_cols} FROM sh_sums),
+    sh_buckets AS (
+      SELECT * FROM ({band_sel})
+      QUALIFY COUNT(*) OVER (PARTITION BY band, bv) <= 10000
+    ),
+    sh_cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM sh_buckets a JOIN sh_buckets b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT d1, d2, CAST({hamming} AS INTEGER) AS hamming
+    FROM sh_cand JOIN sh_bands s1 ON s1.doc_id = d1
+    JOIN sh_bands s2 ON s2.doc_id = d2
+    WHERE {hamming} <= {max_hamming}"""
+
+
+@query("dedup_simhash", oracle=_simhash_oracle_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup via 64-bit SimHash band collisions + exact Hamming
-    distance ≤ 8 (X2 family)."""
+    distance ≤ 8 (X2 family). Oracled since round 6 on the md5 hash
+    family (bit votes from digest nibbles — _simhash_oracle_sql);
+    the xxhash64 default family keeps its Python value reference."""
     d = load_table(spark, sf_dir, "documents")
-    sigs = dedup.simhash_signatures(d)
-    return dedup.simhash_pairs(sigs, max_hamming=8)
+    sigs = dedup.simhash_signatures(d, hash_family="md5")
+    return dedup.simhash_pairs(sigs, max_hamming=SIMHASH_MAX_HAMMING)
 
 
 @query(
@@ -485,6 +641,74 @@ def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[flo
     return [float(x) for x in row[0]]
 
 
+def _kmeans_oracle_sql(k: int = 8, n_iter: int = 2) -> str:
+    """The k-means-lite recurrence unrolled in DuckDB (the pagerank
+    unroll pattern): seed = k lowest-id vectors, then per round an
+    argmin-squared-L2 assignment (ties -> lowest cid, mirroring
+    _assign_expr's struct ordering) and per-(cid, dim) means snapped
+    to the 1e-9 grid (ivf_train round_digits=9), empty clusters
+    keeping their previous centroid; final assignment aggregated to
+    cluster sizes. Distances are float sums over 64 dims whose
+    order-dependent ulps (~1e-15) only matter on exact centroid-
+    boundary ties — generic embeddings have none."""
+    parts = [f"""
+    WITH emb AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    dims AS MATERIALIZED (
+      SELECT vec_id, CAST(pos - 1 AS INTEGER) AS pos, x
+      FROM (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+            FROM emb)
+    ),
+    seed AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+             vec_id
+      FROM (SELECT vec_id FROM emb ORDER BY vec_id LIMIT {k})
+    ),
+    c0 AS MATERIALIZED (
+      SELECT seed.cid, d.pos, d.x AS c FROM seed JOIN dims d USING (vec_id)
+    )"""]
+    prev = "c0"
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+    a{i} AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT d.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY SUM((d.x - c.c) * (d.x - c.c)) ASC, c.cid ASC
+               ) AS rn
+        FROM dims d JOIN {prev} c ON d.pos = c.pos
+        GROUP BY d.vec_id, c.cid)
+      WHERE rn = 1
+    ),
+    c{i} AS MATERIALIZED (
+      SELECT p.cid, p.pos, COALESCE(m.m, p.c) AS c
+      FROM {prev} p LEFT JOIN (
+        SELECT a.cid, d.pos, round(AVG(d.x), 9) AS m
+        FROM a{i} a JOIN dims d USING (vec_id)
+        GROUP BY a.cid, d.pos) m
+      ON m.cid = p.cid AND m.pos = p.pos
+    )""")
+        prev = f"c{i}"
+    parts.append(f""",
+    afinal AS (
+      SELECT vec_id, cid FROM (
+        SELECT d.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY SUM((d.x - c.c) * (d.x - c.c)) ASC, c.cid ASC
+               ) AS rn
+        FROM dims d JOIN {prev} c ON d.pos = c.pos
+        GROUP BY d.vec_id, c.cid)
+      WHERE rn = 1
+    )
+    SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM afinal GROUP BY cid""")
+    return "".join(parts)
+
+
+
 @query(
     "similarity_topk",
     oracle=f"""
@@ -507,26 +731,116 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(e, qv, k=TOPK, exclude_id=0)
 
 
-@query("similarity_topk_lsh")  # rows-only: approximate, not SQL-expressible
+def _lsh_oracle_sql(
+    n_tables: int = 4, n_planes: int = 8, seed: int = 42, dim: int = 64
+) -> str:
+    """similarity_topk_lsh in DuckDB: the hyperplanes are pure LCG
+    output (operators/similarity.py::hyperplanes — no engine hash), so
+    they interpolate as literal DOUBLE[] constants; bucket = sign-bit
+    sum per table via list_inner_product (sequential fold, same
+    operation order as Spark's aggregate), candidates = any-table
+    bucket match against the query's bucket, rerank = 4-digit-rounded
+    cosine, top-k with the id tiebreak."""
+    from rdf_mapreduce_joins_spark.operators.similarity import hyperplanes
+
+    rows = []
+    for t in range(n_tables):
+        for j, h in enumerate(hyperplanes(dim, n_planes, seed=seed + 1000 * t)):
+            vec = "[" + ", ".join(repr(v) for v in h) + "]::DOUBLE[]"
+            rows.append(f"({t}, {j}, {vec})")
+    values = ",\n        ".join(rows)
+    return f"""
+    WITH q AS MATERIALIZED (
+      SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+    ),
+    planes AS MATERIALIZED (
+      SELECT * FROM (VALUES
+        {values}
+      ) AS v(t, j, h)
+    ),
+    qb AS MATERIALIZED (
+      SELECT t, SUM(CASE WHEN list_inner_product(q.qe, p.h) > 0
+                         THEN 1 << p.j ELSE 0 END) AS b
+      FROM planes p, q GROUP BY t
+    ),
+    vb AS (
+      SELECT e.vec_id, p.t,
+             SUM(CASE WHEN list_inner_product(
+                        CAST(e.embedding AS DOUBLE[]), p.h) > 0
+                      THEN 1 << p.j ELSE 0 END) AS b
+      FROM embeddings e, planes p
+      WHERE e.vec_id <> 0
+      GROUP BY e.vec_id, p.t
+    ),
+    cand AS (
+      SELECT DISTINCT vb.vec_id FROM vb JOIN qb ON vb.t = qb.t AND vb.b = qb.b
+    )
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe),
+                 4) AS sim
+    FROM embeddings e JOIN cand USING (vec_id), q
+    ORDER BY sim DESC NULLS LAST, vec_id NULLS LAST
+    LIMIT {TOPK}
+    """
+
+
+@query("similarity_topk_lsh", oracle=_lsh_oracle_sql())
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via random-hyperplane LSH (X3 scale path): 4 tables ×
     8 planes, candidates reranked by exact cosine. Deterministic
-    hyperplanes (LCG seed 42)."""
+    hyperplanes (LCG seed 42). Oracled since round 6: the hyperplanes
+    are engine-free LCG constants, so the whole bucket->candidate->
+    rerank pipeline is SQL-expressible (_lsh_oracle_sql); sign-bit
+    boundaries are the only float risk and sit ~1e-16 from any
+    fixture dot product."""
     qv = _query_vector(spark, sf_dir, 0)
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(e, qv, k=TOPK, exclude_id=0)
 
 
-@query("similarity_topk_ivf")  # rows-only: approximate (coarse quantizer)
+def _ivf_topk_oracle_sql(k_cent: int = 8, n_iter: int = 2, nprobe: int = 2) -> str:
+    """similarity_topk_ivf in DuckDB: the kmeans unroll (shared
+    builder), then the query vector's nprobe nearest centroids
+    (squared L2, cid tiebreak — mirroring the driver-side probe pick),
+    candidates = vectors assigned to those clusters, rerank = 4-digit
+    cosine, top-k with the id tiebreak."""
+    base = _kmeans_oracle_sql(k_cent, n_iter)
+    cut = base.index("    SELECT cid, CAST(COUNT(*) AS BIGINT)")
+    prefix = base[:cut].rstrip()
+    return f"""{prefix},
+    qd AS MATERIALIZED (SELECT pos, x FROM dims WHERE vec_id = 0),
+    cdist AS (
+      SELECT c.cid, SUM((qd.x - c.c) * (qd.x - c.c)) AS dist
+      FROM c{n_iter} c JOIN qd ON qd.pos = c.pos GROUP BY c.cid
+    ),
+    probe AS (SELECT cid FROM cdist ORDER BY dist ASC, cid ASC LIMIT {nprobe}),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+          WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe),
+                 4) AS sim
+    FROM embeddings e
+    JOIN afinal a USING (vec_id)
+    JOIN probe p ON a.cid = p.cid, q
+    WHERE e.vec_id <> 0
+    ORDER BY sim DESC NULLS LAST, vec_id NULLS LAST
+    LIMIT {TOPK}"""
+
+
+@query("similarity_topk_ivf", oracle=_ivf_topk_oracle_sql())
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via IVF coarse quantization (X3 scale path #2): k-means-lite
     centroids (deterministic seeded init + 2 Lloyd rounds, trained
     distributed), then search only the nprobe nearest clusters with
     exact cosine rerank. Complements the LSH variant: IVF adapts to the
-    data distribution where hyperplane LSH is oblivious."""
+    data distribution where hyperplane LSH is oblivious. Oracled since
+    round 6 (fixed-point centroid training, the kmeans unroll +
+    probe-pick in SQL — _ivf_topk_oracle_sql)."""
     qv = _query_vector(spark, sf_dir, 0)
     e = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(e, qv, k=TOPK, nprobe=2, exclude_id=0)
+    return similarity.ivf_topk(
+        e, qv, k=TOPK, nprobe=2, exclude_id=0, train_round_digits=9
+    )
 
 
 KNN_K = 5
@@ -569,17 +883,63 @@ def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_join_brute(e, q, k=KNN_K)
 
 
-@query("similarity_knn_join_ivf")  # rows-only: approximate (coarse quantizer)
+def _knn_join_ivf_oracle_sql(
+    k_cent: int = 8, n_iter: int = 2, nprobe: int = 2
+) -> str:
+    """similarity_knn_join_ivf in DuckDB: kmeans unroll, per-query
+    nprobe nearest centroids, cluster-id equi-join candidates,
+    4-digit cosine rerank, per-query top-k window."""
+    base = _kmeans_oracle_sql(k_cent, n_iter)
+    cut = base.index("    SELECT cid, CAST(COUNT(*) AS BIGINT)")
+    prefix = base[:cut].rstrip()
+    return f"""{prefix},
+    qdist AS MATERIALIZED (
+      SELECT vec_id AS qid, cid FROM (
+        SELECT qd.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qd.vec_id
+                 ORDER BY SUM((qd.x - c.c) * (qd.x - c.c)) ASC, c.cid ASC
+               ) AS rn
+        FROM dims qd JOIN c{n_iter} c ON qd.pos = c.pos
+        WHERE qd.vec_id % {KNN_QUERY_STRIDE} = 0
+        GROUP BY qd.vec_id, c.cid)
+      WHERE rn <= {nprobe}
+    ),
+    cand AS (
+      SELECT p.qid, a.vec_id
+      FROM qdist p JOIN afinal a ON a.cid = p.cid
+      WHERE a.vec_id <> p.qid
+    ),
+    sims AS (
+      SELECT c.qid, c.vec_id,
+             ROUND(list_cosine_similarity(
+               CAST(b.embedding AS DOUBLE[]),
+               CAST(qe.embedding AS DOUBLE[])), 4) AS sim
+      FROM cand c
+      JOIN embeddings b ON b.vec_id = c.vec_id
+      JOIN embeddings qe ON qe.vec_id = c.qid
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY qid ORDER BY sim DESC, vec_id) AS INTEGER) AS rnk
+      FROM sims
+    )
+    SELECT qid, vec_id, sim, rnk FROM ranked WHERE rnk <= {KNN_K}"""
+
+
+@query("similarity_knn_join_ivf", oracle=_knn_join_ivf_oracle_sql())
 def similarity_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-NN join through a shared IVF quantizer (X3 scale
     path): candidates per query bounded by nprobe cluster sizes BEFORE
     any shuffle — the equi-join on cluster id replaces the |Q|x|corpus|
-    nested loop. Deterministic (seeded quantizer, id tiebreaks)."""
+    nested loop. Deterministic (seeded quantizer, id tiebreaks).
+    Oracled since round 6 (fixed-point centroid training unrolled in
+    SQL — _knn_join_ivf_oracle_sql)."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % KNN_QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    return similarity.knn_join_ivf(e, q, k=KNN_K, nprobe=2)
+    return similarity.knn_join_ivf(e, q, k=KNN_K, nprobe=2, train_round_digits=9)
 
 
 # --------------------------------------------------------------------------
@@ -834,12 +1194,50 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features")  # rows-only: mapInPandas fake featurizer
+def _hex_pair_sql(hx: str, i: str) -> str:
+    """SQL for the big-endian uint16 at 2-byte pair ``i`` (0-based) of
+    hex string ``hx`` — strpos-based nibble decoding, no from_hex."""
+    digit = "strpos('0123456789abcdef', substring({hx}, CAST({i} * 4 + {off} AS INTEGER), 1)) - 1"
+    return " + ".join(
+        f"({digit.format(hx=hx, i=i, off=off)}) * {mult}"
+        for off, mult in ((1, 4096), (2, 256), (3, 16), (4, 1))
+    )
+
+
+@query(
+    "multimodal_features",
+    oracle=f"""
+    WITH chk AS (
+      SELECT CASE WHEN EXISTS (SELECT 1 FROM documents
+                               WHERE octet_length(encode(text)) <> length(text))
+                  THEN error('features oracle requires single-byte text')
+                  ELSE 1 END AS ok
+    ),
+    h AS (
+      SELECT doc_id AS id, sha256(text) AS hx FROM documents
+    ),
+    pairs AS (
+      SELECT id, hx, unnest(range(0, 16)) AS i FROM h
+    ),
+    vals AS (
+      SELECT id, {_hex_pair_sql('hx', 'i')} AS v FROM pairs
+    )
+    SELECT id, CAST(16 AS INTEGER) AS dim,
+           round(SUM(v) / 65536.0, 4) AS feature_sum
+    FROM vals, chk WHERE chk.ok = 1 GROUP BY id
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction (X5): Arrow-batched mapInPandas
     over binary content (deterministic fake featurizer standing in for
     a real model; the batch plumbing is the real thing). Output is a
-    checksum per doc so the row set is hash-stable."""
+    checksum per doc so the row set is hash-stable. Oracled since
+    round 6: the fake features are the 16 big-endian uint16 pairs of
+    sha256(content) scaled by 1/65536 — each term and their sum are
+    EXACT in binary floating point (16-bit numerators, power-of-two
+    denominator), so the checksum is engine-independent integer
+    arithmetic; DuckDB decodes the digest hex with strpos nibbles
+    (ASCII-guarded so sha256(varchar) == sha256 of the bytes)."""
     d = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_media(d)
     feats = multimodal.extract_features(media)
@@ -854,11 +1252,50 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("id", "dim", checksum.alias("feature_sum"))
 
 
-@query("multimodal_resize")  # rows-only: mapInPandas fake resizer
+@query(
+    "multimodal_resize",
+    oracle="""
+    WITH chk AS (
+      SELECT CASE WHEN EXISTS (SELECT 1 FROM documents
+                               WHERE octet_length(encode(text)) <> length(text))
+                  THEN error('resize oracle requires single-byte text')
+                  ELSE 1 END AS ok
+    ),
+    m AS (
+      SELECT doc_id AS id, text, octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    strided AS (
+      SELECT id, GREATEST(1, n // 1024) AS stride, text, n FROM m
+    ),
+    pos AS (
+      SELECT id, text, unnest(range(1, n + 1, stride)) AS p FROM strided
+    ),
+    ranked AS (
+      SELECT id, text, p,
+             ROW_NUMBER() OVER (PARTITION BY id ORDER BY p) AS rn
+      FROM pos
+    ),
+    resized AS (
+      SELECT id,
+             COALESCE(string_agg(substring(text, CAST(p AS INTEGER), 1),
+                                 '' ORDER BY p), '') AS rs
+      FROM ranked WHERE rn <= 1024 GROUP BY id
+    )
+    SELECT r.id, CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+           md5(rs) AS resized_md5,
+           CAST(octet_length(encode(rs)) AS INTEGER) AS resized_bytes
+    FROM resized r, chk WHERE chk.ok = 1
+    """,
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing (X5): blobs → fixed-size "thumbnails" via
     mapInPandas (deterministic fake resampler; real path stubbed on
-    PIL). Digest output keeps the row set hash-stable."""
+    PIL). Digest output keeps the row set hash-stable. Oracled since
+    round 6: the fake resample is pure byte striding —
+    b[::max(1, len//1024)][:1024] — which SQL reproduces with a
+    stride range + ordered string_agg (ASCII-guarded char slicing,
+    the frame-sample pattern)."""
     d = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_media(d)
     return multimodal.resize_image(media, width=32, height=32, fake=True)
@@ -1226,18 +1663,51 @@ def dataset_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_retain_set_minhash")  # rows-only: MinHash pipeline not SQL-expressible
+@query(
+    "dedup_retain_set_minhash",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_pairs_ctes()},
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM mh_pairs
+      UNION
+      SELECT d2, d1 FROM mh_pairs
+    ),
+    reach(node, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT re.node, e.b FROM reach re JOIN edges e ON re.r = e.a
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    ranked AS (
+      SELECT c.node, c.component,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.component ORDER BY d.n_chars DESC, c.node
+             ) AS rn
+      FROM comp c JOIN documents d ON d.doc_id = c.node
+    )
+    SELECT d.doc_id, CAST(d.doc_id AS BIGINT) AS component
+    FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+    WHERE comp.node IS NULL
+    UNION ALL
+    SELECT node AS doc_id, CAST(component AS BIGINT) AS component
+    FROM ranked WHERE rn = 1
+    """,
+)
 def dedup_retain_set_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MinHash pipeline's end-to-end DELIVERABLE (twin of
     dedup_retain_set, which rides the exact-Jaccard pairs): LSH
     candidate pairs → connected components → keep every singleton plus
-    the longest member per near-dup cluster. Rows-only for the driver
-    (MinHash isn't ANSI-SQL-expressible) but fully value-checked
-    against an independent Python union-find reference in
-    tests/test_rowsonly_references.py."""
+    the longest member per near-dup cluster. Oracled since round 6 on
+    the md5 hash family: the MinHash pair CTEs (_minhash_pairs_ctes)
+    feed the same recursive min-label closure dedup_retain_set uses,
+    so candidate generation AND cluster assembly are differential-
+    tested end to end; the xxhash64 default family keeps its Python
+    union-find reference in tests/test_rowsonly_references.py."""
     d = load_table(spark, sf_dir, "documents")
-    sigs = dedup.minhash_signatures(d)
-    pairs = dedup.minhash_lsh_pairs(sigs, min_est_jaccard=0.5)
+    sigs = dedup.minhash_signatures(d, hash_family="md5")
+    pairs = dedup.minhash_lsh_pairs(
+        sigs, min_est_jaccard=MINHASH_MIN_EST_JACCARD, hash_family="md5"
+    )
     comp = dedup.connected_components(pairs, "d1", "d2")
     ranked = comp.join(
         d.select(F.col("doc_id").alias("node"), "n_chars"), on="node"
@@ -1256,73 +1726,6 @@ def dedup_retain_set_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp.select(F.col("node").alias("doc_id")), on="doc_id", how="left_anti"
     ).select("doc_id", F.col("doc_id").alias("component"))
     return singles.unionByName(reps)
-
-
-def _kmeans_oracle_sql(k: int = 8, n_iter: int = 2) -> str:
-    """The k-means-lite recurrence unrolled in DuckDB (the pagerank
-    unroll pattern): seed = k lowest-id vectors, then per round an
-    argmin-squared-L2 assignment (ties -> lowest cid, mirroring
-    _assign_expr's struct ordering) and per-(cid, dim) means snapped
-    to the 1e-9 grid (ivf_train round_digits=9), empty clusters
-    keeping their previous centroid; final assignment aggregated to
-    cluster sizes. Distances are float sums over 64 dims whose
-    order-dependent ulps (~1e-15) only matter on exact centroid-
-    boundary ties — generic embeddings have none."""
-    parts = [f"""
-    WITH emb AS MATERIALIZED (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ),
-    dims AS MATERIALIZED (
-      SELECT vec_id, CAST(pos - 1 AS INTEGER) AS pos, x
-      FROM (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos
-            FROM emb)
-    ),
-    seed AS (
-      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
-             vec_id
-      FROM (SELECT vec_id FROM emb ORDER BY vec_id LIMIT {k})
-    ),
-    c0 AS MATERIALIZED (
-      SELECT seed.cid, d.pos, d.x AS c FROM seed JOIN dims d USING (vec_id)
-    )"""]
-    prev = "c0"
-    for i in range(1, n_iter + 1):
-        parts.append(f""",
-    a{i} AS MATERIALIZED (
-      SELECT vec_id, cid FROM (
-        SELECT d.vec_id, c.cid,
-               ROW_NUMBER() OVER (
-                 PARTITION BY d.vec_id
-                 ORDER BY SUM((d.x - c.c) * (d.x - c.c)) ASC, c.cid ASC
-               ) AS rn
-        FROM dims d JOIN {prev} c ON d.pos = c.pos
-        GROUP BY d.vec_id, c.cid)
-      WHERE rn = 1
-    ),
-    c{i} AS MATERIALIZED (
-      SELECT p.cid, p.pos, COALESCE(m.m, p.c) AS c
-      FROM {prev} p LEFT JOIN (
-        SELECT a.cid, d.pos, round(AVG(d.x), 9) AS m
-        FROM a{i} a JOIN dims d USING (vec_id)
-        GROUP BY a.cid, d.pos) m
-      ON m.cid = p.cid AND m.pos = p.pos
-    )""")
-        prev = f"c{i}"
-    parts.append(f""",
-    afinal AS (
-      SELECT vec_id, cid FROM (
-        SELECT d.vec_id, c.cid,
-               ROW_NUMBER() OVER (
-                 PARTITION BY d.vec_id
-                 ORDER BY SUM((d.x - c.c) * (d.x - c.c)) ASC, c.cid ASC
-               ) AS rn
-        FROM dims d JOIN {prev} c ON d.pos = c.pos
-        GROUP BY d.vec_id, c.cid)
-      WHERE rn = 1
-    )
-    SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vectors
-    FROM afinal GROUP BY cid""")
-    return "".join(parts)
 
 
 def _semantic_prune_oracle_sql(k: int = 8, n_iter: int = 2) -> str:
@@ -1609,7 +2012,47 @@ def text_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_heavy_hitters_cms")  # rows-only: sketch-approximate by design
+def _cms_oracle_sql(depth: int = 4, width: int = 4096, min_est: int = 50) -> str:
+    """text_heavy_hitters_cms in DuckDB (md5 family): the counter
+    table is an exact integer GROUP BY over (row, cell) where cell =
+    md5-60bit("<row>:<token>") % width; the probe is the same cell
+    arithmetic with missing cells read as 0; every value is integer,
+    so the sketch — approximation and all — hash-matches exactly."""
+    from rdf_mapreduce_joins_spark.operators.hashing import hex60_sql
+
+    return f"""
+    WITH cms_toks AS MATERIALIZED (
+      SELECT doc_id, tok AS token FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> ''
+    ),
+    cms_cells AS (
+      SELECT row, {hex60_sql('hx')} % {width} AS cell FROM (
+        SELECT r.row, md5(CAST(r.row AS VARCHAR) || ':' || t.token) AS hx
+        FROM cms_toks t, (SELECT unnest(range(0, {depth})) AS row) r)
+    ),
+    cms AS (
+      SELECT row, cell, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM cms_cells GROUP BY row, cell
+    ),
+    cand AS (
+      SELECT DISTINCT token FROM cms_toks
+      WHERE {hex60_sql('md5(CAST(doc_id AS VARCHAR))')} % 20 = 0
+    ),
+    probe AS (
+      SELECT token, row, {hex60_sql('hx')} % {width} AS cell FROM (
+        SELECT c.token, r.row, md5(CAST(r.row AS VARCHAR) || ':' || c.token) AS hx
+        FROM cand c, (SELECT unnest(range(0, {depth})) AS row) r)
+    ),
+    est AS (
+      SELECT p.token AS item, MIN(COALESCE(cms.cnt, 0)) AS est
+      FROM probe p LEFT JOIN cms ON cms.row = p.row AND cms.cell = p.cell
+      GROUP BY p.token
+    )
+    SELECT item, est FROM est WHERE est >= {min_est}"""
+
+
+@query("text_heavy_hitters_cms", oracle=_cms_oracle_sql())
 def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via count-min sketch (operators/sketches.py):
     build a 4x4096 CMS over the token stream in one pass (bounded
@@ -1617,23 +2060,35 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate set's counts by sketch probe. Candidates here are
     the distinct tokens of a 5%-of-docs deterministic sample — the
     standard CMS pairing (sketch bounds memory, the sample bounds the
-    candidate list). Declared rows-only: tests pin the CMS
-    overcount-only invariant (estimate >= exact, equality at ample
-    width) and shard-merge linearity."""
+    candidate list). Oracled since round 6 on the md5 hash family
+    (operators/hashing.py): CMS counters are exact integers for any
+    fixed hash, so with a cross-engine digest the whole sketch —
+    collisions, overcounts and all — is reproducible in SQL
+    (_cms_oracle_sql). The xxhash64 default family keeps its
+    invariant tests (estimate >= exact, shard-merge linearity) in
+    tests/test_sketches.py."""
     from rdf_mapreduce_joins_spark.operators import sketches
 
     d = load_table(spark, sf_dir, "documents")
     toks = spread(d).select(
         "doc_id", F.explode(text.tokens("text")).alias("token")
     ).filter(F.col("token") != "")
-    cms = sketches.cms_build(toks, "token", depth=4, width=4096)
+    cms = sketches.cms_build(toks, "token", depth=4, width=4096, hash_family="md5")
     candidates = (
-        toks.filter(F.pmod(F.xxhash64("doc_id"), F.lit(20)) == 0)
+        toks.filter(
+            F.pmod(
+                hashing.base_hash60(F.col("doc_id").cast("string"), "md5"),
+                F.lit(20),
+            )
+            == 0
+        )
         .select("token")
         .distinct()
     )
     return (
-        sketches.cms_estimate(cms, candidates, "token", depth=4, width=4096)
+        sketches.cms_estimate(
+            cms, candidates, "token", depth=4, width=4096, hash_family="md5"
+        )
         .filter(F.col("est") >= 50)
         .orderBy(F.col("est").desc(), "item")
     )

@@ -20,32 +20,31 @@ def test_oracle_keys_subset_of_queries():
     assert set(oracles) <= set(qs)
     # the rows-only set is intentional and closed
     assert set(qs) - set(oracles) == {
-        "dedup_near_minhash",
-        "dedup_simhash",
-        "similarity_topk_lsh",
+        # iterative eigensolver (numpy parity-tested)
         "embedding_pca_project",
-        "multimodal_features",
-        "multimodal_resize",
+        # engine-internal sketch algorithms (Spark HLL++/KLL,
+        # DataSketches HLL/KLL/Theta) whose estimates no ANSI SQL can
+        # reproduce; error-bound + merge-law tested in
+        # tests/test_sketches.py.
         "agg_approx_distinct",
-        "similarity_topk_ivf",
-        "similarity_knn_join_ivf",
-        "dedup_retain_set_minhash",
-        # (r6 promotions to full oracles: rdf_pagerank — 1e-9 per-round
-        # fixed-point; text_lang_id — 1e-6-rounded naive-Bayes scores;
-        # multimodal_frame_sample — ASCII-guarded char slicing;
-        # embedding_kmeans_clusters + dedup_semantic_prune — 1e-9
-        # fixed-point centroid grid, unrolled Lloyd rounds.)
         "agg_approx_percentiles",
-        "text_heavy_hitters_cms",
-        # r4 DataSketches family: estimates are deterministic for fixed
-        # input but not ANSI-SQL-reproducible in DuckDB (different
-        # sketch algorithms); value-tested in tests/test_sketches.py.
         "agg_hll_mergeable",
         "agg_kll_quantiles",
         "agg_theta_distinct",
         "events_rolling_distinct_hll",
-        # (rdf_kcore_members was promoted to a full oracle in r5 —
-        # 6-round unrolled SQL peeling with a convergence guard.)
+        # (r6 promotions to full oracles: rdf_pagerank — 1e-9 per-round
+        # fixed-point; text_lang_id — 1e-6-rounded naive-Bayes scores;
+        # multimodal_frame_sample/resize — ASCII-guarded char slicing;
+        # multimodal_features — exact uint16/65536 checksum arithmetic;
+        # embedding_kmeans_clusters + dedup_semantic_prune +
+        # similarity_topk_ivf + similarity_knn_join_ivf — 1e-9
+        # fixed-point centroid grid, unrolled Lloyd rounds;
+        # similarity_topk_lsh — LCG hyperplanes as SQL literals;
+        # dedup_near_minhash + dedup_simhash + dedup_retain_set_minhash
+        # + text_heavy_hitters_cms — the md5-60bit cross-engine hash
+        # family, operators/hashing.py. The xxhash64 production family
+        # keeps Python value references in
+        # tests/test_rowsonly_references.py.)
     }
 
 

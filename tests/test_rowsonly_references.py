@@ -20,6 +20,7 @@ ROUND_HALF_UP.
 
 from __future__ import annotations
 
+import hashlib
 from decimal import ROUND_HALF_UP, Decimal
 
 import pyarrow.parquet as pq
@@ -34,7 +35,10 @@ from pyspark.sql.types import (
 )
 
 import __spark_entry__ as entrymod
+from rdf_mapreduce_joins_spark.operators import dedup
 from rdf_mapreduce_joins_spark.operators.dedup import P31, _perm_constants
+from rdf_mapreduce_joins_spark.operators.hashing import md5_hex60_py
+from rdf_mapreduce_joins_spark.sources.tables import load_table
 
 SF = "/root/testdata/sf0.001"
 
@@ -68,36 +72,56 @@ def _shingles(text: str, k: int = 3) -> list[str]:
     return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
 
 
-def test_minhash_pairs_match_python_reference(spark):
+@pytest.mark.parametrize("family", ["xxhash64", "md5"])
+def test_minhash_pairs_match_python_reference(spark, family):
+    """Both hash families: md5 (the registered, oracled query) gets a
+    ZERO-borrowed-primitive hashlib reference; xxhash64 (the operator
+    default — the 100 TB family) keeps its reference with exactly the
+    base hash borrowed from Spark."""
     docs = _docs()
     all_shingles = sorted({s for _, t in docs for s in _shingles(t)})
-    h = _xxhash64_strings(spark, all_shingles)
+    if family == "md5":
+        h = {s: md5_hex60_py(s) for s in all_shingles}
+    else:
+        h = _xxhash64_strings(spark, all_shingles)
     perms = _perm_constants(NUM_PERM)
     # signatures: min over permuted shingle hashes, exact int arithmetic
     sigs: dict[int, list[int]] = {}
     for doc_id, t in docs:
         h0s = [h[s] % P31 for s in _shingles(t)]
         sigs[doc_id] = [min((a * h0 + b) % P31 for h0 in h0s) for a, b in perms]
-    # band-bucket hashes: xxhash64(int band, 4 x bigint sig rows) — the
-    # multi-arg hash is again the borrowed primitive, fed with the
-    # PYTHON-computed signature values.
-    schema = StructType(
-        [StructField("doc_id", LongType()), StructField("band", IntegerType())]
-        + [StructField(f"m{r}", LongType()) for r in range(ROWS_PER_BAND)]
-    )
-    rows = [
-        (doc_id, b, *[sig[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)])
-        for doc_id, sig in sigs.items()
-        for b in range(BANDS)
-    ]
-    bh_df = spark.createDataFrame(rows, schema=schema).select(
-        "doc_id",
-        "band",
-        F.xxhash64(F.col("band"), *[F.col(f"m{r}") for r in range(ROWS_PER_BAND)]).alias("bh"),
-    )
-    buckets: dict[tuple[int, int], list[int]] = {}
-    for r in bh_df.collect():
-        buckets.setdefault((r.band, r.bh), []).append(r.doc_id)
+    if family == "md5":
+        # band-bucket key: the exact ':'-joined row values — pure Python
+        buckets: dict[tuple[int, str], list[int]] = {}
+        for doc_id, sig in sigs.items():
+            for b in range(BANDS):
+                key = ":".join(
+                    str(sig[b * ROWS_PER_BAND + r]) for r in range(ROWS_PER_BAND)
+                )
+                buckets.setdefault((b, key), []).append(doc_id)
+    else:
+        # band-bucket hashes: xxhash64(int band, 4 x bigint sig rows) —
+        # the multi-arg hash is again the borrowed primitive, fed with
+        # the PYTHON-computed signature values.
+        schema = StructType(
+            [StructField("doc_id", LongType()), StructField("band", IntegerType())]
+            + [StructField(f"m{r}", LongType()) for r in range(ROWS_PER_BAND)]
+        )
+        rows = [
+            (doc_id, b, *[sig[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)])
+            for doc_id, sig in sigs.items()
+            for b in range(BANDS)
+        ]
+        bh_df = spark.createDataFrame(rows, schema=schema).select(
+            "doc_id",
+            "band",
+            F.xxhash64(
+                F.col("band"), *[F.col(f"m{r}") for r in range(ROWS_PER_BAND)]
+            ).alias("bh"),
+        )
+        buckets = {}
+        for r in bh_df.collect():
+            buckets.setdefault((r.band, r.bh), []).append(r.doc_id)
     assert all(len(v) <= 10_000 for v in buckets.values())  # cap never binds here
     cand = set()
     for members in buckets.values():
@@ -110,17 +134,32 @@ def test_minhash_pairs_match_python_reference(spark):
         est = _round4(eq / NUM_PERM)
         if est >= MIN_EST_JACCARD:
             want.add((d1, d2, est))
-    got = {
-        (r.d1, r.d2, float(r.est_jaccard))
-        for r in entrymod.queries()["dedup_near_minhash"](spark, SF).collect()
-    }
+    if family == "md5":
+        out = entrymod.queries()["dedup_near_minhash"](spark, SF)
+    else:
+        d = load_table(spark, SF, "documents")
+        out = dedup.minhash_lsh_pairs(
+            dedup.minhash_signatures(d), min_est_jaccard=MIN_EST_JACCARD
+        )
+    got = {(r.d1, r.d2, float(r.est_jaccard)) for r in out.collect()}
     assert got == want and got
 
 
-def test_simhash_pairs_match_python_reference(spark):
+@pytest.mark.parametrize("family", ["xxhash64", "md5"])
+def test_simhash_pairs_match_python_reference(spark, family):
     docs = _docs()
     all_toks = sorted({tok for _, t in docs for tok in t.split(" ") if tok != ""})
-    h = _xxhash64_strings(spark, all_toks)
+    if family == "md5":
+        # bit j = bit j%4 of hex nibble j//4 — hashlib, no engine
+        hexes = {tok: hashlib.md5(tok.encode()).hexdigest() for tok in all_toks}
+        h = {
+            tok: sum(
+                ((int(hx[j // 4], 16) >> (j % 4)) & 1) << j for j in range(64)
+            )
+            for tok, hx in hexes.items()
+        }
+    else:
+        h = _xxhash64_strings(spark, all_toks)
     # 64 bit votes per doc (token multiplicity = weight), then 4x16-bit
     # band packing — all exact integer arithmetic.
     bands_by_doc: dict[int, list[int]] = {}
@@ -157,10 +196,14 @@ def test_simhash_pairs_match_python_reference(spark):
         )
         if ham <= MAX_HAMMING:
             want.add((d1, d2, ham))
-    got = {
-        (r.d1, r.d2, r.hamming)
-        for r in entrymod.queries()["dedup_simhash"](spark, SF).collect()
-    }
+    if family == "md5":
+        out = entrymod.queries()["dedup_simhash"](spark, SF)
+    else:
+        d = load_table(spark, SF, "documents")
+        out = dedup.simhash_pairs(
+            dedup.simhash_signatures(d), max_hamming=MAX_HAMMING
+        )
+    got = {(r.d1, r.d2, r.hamming) for r in out.collect()}
     assert got == want and got
 
 
