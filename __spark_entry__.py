@@ -197,8 +197,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (omitted for the
-    rows-only set: MinHash/SimHash/LSH/mapInPandas/lang-id)."""
-    from rdf_mapreduce_joins_spark.plans import QUERIES, ORACLES
+    rows-only set — Spark-internal/DataSketches sketch estimates).
+    Lazy oracles (SQL with data-derived literals, e.g. PCA component
+    vectors independently recomputed from the fixture parquet) are
+    resolved here, at call time, so they always match the current
+    fixture at $SPARK_GRAFT_ORACLE_SF_DIR (default sf0.01 — the
+    driver's t2 evaluation scale)."""
+    from rdf_mapreduce_joins_spark.plans import LAZY_ORACLES, ORACLES, QUERIES
 
     order = _driver_priority_order(list(QUERIES))
-    return {n: ORACLES[n] for n in order if n in ORACLES}
+    out = {n: ORACLES[n] for n in order if n in ORACLES}
+    for n, build in LAZY_ORACLES.items():
+        out[n] = build()
+    return {n: out[n] for n in order if n in out}

@@ -19,6 +19,10 @@ from rdf_mapreduce_joins_spark.plans import (  # noqa: F401
     tpch,
     web,
 )
-from rdf_mapreduce_joins_spark.plans.registry import ORACLES, QUERIES
+from rdf_mapreduce_joins_spark.plans.registry import (  # noqa: F401
+    LAZY_ORACLES,
+    ORACLES,
+    QUERIES,
+)
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -2213,14 +2213,81 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_pca_project")  # rows-only: eigensolve floats have no SQL oracle
+def _pca_oracle_builder() -> str:
+    """embedding_pca_project's oracle, built at oracle_sql() CALL time
+    (registry LAZY_ORACLES): the top-2 principal axes are recomputed
+    INDEPENDENTLY of the engine — pyarrow reads the fixture parquet
+    directly (no Spark) and the axes come from an SVD of the centered
+    row matrix (LAPACK gesdd), a different algorithm and code path
+    than the engine's distributed-sufficient-statistics pass + eigh
+    eigensolve (syevd) — then interpolate as literal DOUBLE[]
+    constants, the LSH-hyperplane pattern. What the oracle therefore
+    differential-tests: the mapInPandas partials/reduce, the
+    covariance assembly, the eigensolve ROUTE (svd-of-data must agree
+    with eigh-of-covariance to ~1e-10 at this conditioning), the sign
+    pinning, and the fold-left projection arithmetic. The in-SQL
+    fingerprint guard error()s loudly if the DuckDB views point at a
+    different fixture than the literals were derived from (power
+    iteration in unrolled SQL was evaluated and rejected: the fixture
+    covariance's top eigengap is ~1.01-1.07, needing ~700 unrolled
+    rounds to converge).
+
+    A fixed-iteration eigensolve recurrence would be sf-agnostic; this
+    oracle is instead tied to $SPARK_GRAFT_ORACLE_SF_DIR (default
+    sf0.01, the driver's t2 scale) — tools/check_oracle.py sets the
+    variable from its sf_dir argument so local runs at other scales
+    still verify."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    x = np.array(
+        [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
+    )
+    mean = x.mean(axis=0)
+    _, _, vt = np.linalg.svd(x - mean, full_matrices=False)
+    comps = vt[:2].copy()
+    for i in range(2):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    offsets = comps @ mean
+    fp = float(x[:, 0].sum())
+
+    def arr(v: "np.ndarray") -> str:
+        return "[" + ", ".join(repr(float(c)) for c in v) + "]::DOUBLE[]"
+
+    return f"""
+    WITH chk AS (
+      SELECT CASE WHEN ABS((SELECT SUM(CAST(embedding[1] AS DOUBLE))
+                            FROM embeddings) - {fp!r}) > 1e-6
+                  THEN error('pca oracle literals were derived from a '
+                             'different embeddings fixture — re-resolve '
+                             'oracle_sql() against this sf_dir')
+                  ELSE 1 END AS ok
+    )
+    SELECT vec_id, label,
+           ROUND(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                    {arr(comps[0])}) - {offsets[0]!r}, 4) AS pc1,
+           ROUND(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                    {arr(comps[1])}) - {offsets[1]!r}, 4) AS pc2
+    FROM embeddings, chk WHERE chk.ok = 1
+    """
+
+
+@query("embedding_pca_project", oracle_builder=_pca_oracle_builder)
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (operators/pca.py): one sufficient-statistics
     pass (mapInPandas partials -> d^2+d+1 aggregated cells on the
     driver), an O(d^3) driver eigensolve, then a JVM-side projection of
-    every embedding onto the sign-pinned top-2 components. Rows-only
-    under the driver (no SQL eigensolver); tests/test_rowsonly_references.py
-    holds the independent numpy value reference."""
+    every embedding onto the sign-pinned top-2 components. Oracled
+    since round 6 via an independently-derived literal oracle
+    (_pca_oracle_builder — SVD-of-data vs the engine's
+    eigh-of-distributed-covariance); tests/test_range_pca_ops.py
+    additionally holds the numpy value reference."""
     from rdf_mapreduce_joins_spark.operators.pca import pca_project
 
     e = spread(load_table(spark, sf_dir, "embeddings"))

@@ -20,8 +20,6 @@ def test_oracle_keys_subset_of_queries():
     assert set(oracles) <= set(qs)
     # the rows-only set is intentional and closed
     assert set(qs) - set(oracles) == {
-        # iterative eigensolver (numpy parity-tested)
-        "embedding_pca_project",
         # engine-internal sketch algorithms (Spark HLL++/KLL,
         # DataSketches HLL/KLL/Theta) whose estimates no ANSI SQL can
         # reproduce; error-bound + merge-law tested in
@@ -44,7 +42,9 @@ def test_oracle_keys_subset_of_queries():
         # + text_heavy_hitters_cms — the md5-60bit cross-engine hash
         # family, operators/hashing.py. The xxhash64 production family
         # keeps Python value references in
-        # tests/test_rowsonly_references.py.)
+        # tests/test_rowsonly_references.py;
+        # embedding_pca_project — independently-derived literal oracle
+        # resolved at oracle_sql() call time, registry LAZY_ORACLES.)
     }
 
 

@@ -10,6 +10,7 @@ order-insensitive value hash. Usage:
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 import traceback
@@ -53,6 +54,9 @@ def value_hash(rows, cols):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # Lazy oracles (data-derived literals, e.g. PCA components) must be
+    # resolved against the SAME fixture the DuckDB views read.
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     spark = get_spark("check-oracle")
     con = duckdb.connect()
     for t in TABLES:
