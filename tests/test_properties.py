@@ -263,3 +263,92 @@ def test_variable_predicate_matches_python_reference(spark, triples_):
     )
     want_neg = sorted((s, o) for s, p, o in data if p != "p")
     assert neg == want_neg
+
+
+# ------------------------------------------------------- md5-60bit family
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=8,
+    unique=True,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(vals=_texts)
+def test_md5_hex60_three_engine_parity(spark, vals):
+    """The cross-engine hash family's load-bearing property: Spark's
+    conv(substr(md5)), DuckDB's strpos nibble decode (hex60_sql), and
+    hashlib agree on arbitrary unicode — this is what every md5-family
+    oracle (MinHash/SimHash/CMS) rests on."""
+    import duckdb
+
+    from rdf_mapreduce_joins_spark.operators import hashing
+
+    py = [hashing.md5_hex60_py(v) for v in vals]
+    con = duckdb.connect()
+    duck = [
+        con.execute(
+            f"SELECT {hashing.hex60_sql('hx')} FROM (SELECT md5(?) AS hx)", [v]
+        ).fetchone()[0]
+        for v in vals
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {
+        r.s: r.h
+        for r in df.select(
+            "s", hashing.base_hash60("s", "md5").alias("h")
+        ).collect()
+    }
+    sp = [got[v] for v in vals]
+    assert py == duck == sp
+    for h in py:
+        assert 0 <= h < (1 << 60)
+
+
+@settings(max_examples=20, deadline=None)
+@given(vals=_texts)
+def test_md5_hex60_pure_python_bounds(vals):
+    from rdf_mapreduce_joins_spark.operators import hashing
+
+    for v in vals:
+        h = hashing.md5_hex60_py(v)
+        assert 0 <= h < (1 << 60)
+        # stability: same input, same hash
+        assert h == hashing.md5_hex60_py(v)
+
+
+def test_unknown_hash_family_raises():
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from rdf_mapreduce_joins_spark.operators import hashing
+
+    with _pytest.raises(ValueError, match="unknown hash family"):
+        hashing.base_hash60(F.lit("x"), "sha1")
+
+
+def test_lazy_oracle_registry_contract():
+    """LAZY_ORACLES entries resolve at oracle_sql() call time, and the
+    registry rejects a query registering both a static oracle and a
+    builder."""
+    import pytest as _pytest
+
+    import __spark_entry__ as entrymod
+    from rdf_mapreduce_joins_spark.plans import LAZY_ORACLES
+    from rdf_mapreduce_joins_spark.plans.registry import query as q_register
+
+    assert "embedding_pca_project" in LAZY_ORACLES
+    sql = entrymod.oracle_sql()["embedding_pca_project"]
+    assert "list_inner_product" in sql and "error(" in sql
+    with _pytest.raises(ValueError, match="not both"):
+
+        @q_register("_both_oracles_test", oracle="SELECT 1", oracle_builder=lambda: "SELECT 1")
+        def _fn(spark, sf_dir):  # pragma: no cover
+            raise NotImplementedError
