@@ -245,6 +245,32 @@ SHOWCASE = [
         "cheapest-copy adjacency; localCheckpoint keeps the per-round "
         "plan O(1) across 12 rounds.",
     ),
+    (
+        "dedup_near_minhash",
+        "MinHash+LSH on the md5-60bit cross-engine family "
+        "(operators/hashing.py): one explode + ONE grouped aggregation "
+        "computes all 64 permutation minima (map-side combine — the "
+        "shuffle carries a row per doc, not per shingle); band bucket "
+        "self-join only ever joins hash-colliding buckets, never "
+        "all-pairs; the whole pipeline stays in WholeStageCodegen "
+        "(md5/conv are JVM expressions, no Python).",
+    ),
+    (
+        "text_heavy_hitters_cms",
+        "Count-min sketch as a DataFrame: depth hash rows come from one "
+        "scan (inline index explode), the counter table is a bounded "
+        "depth*width aggregation, and estimation is a BROADCAST left "
+        "join of the probe against the <=depth*width-row sketch — "
+        "sketch state constant in the corpus size.",
+    ),
+    (
+        "embedding_pca_project",
+        "Distributed PCA: the sufficient-statistics pass is the ONLY "
+        "Python stage (Arrow-batched mapInPandas emitting d^2+d+1 "
+        "partials per batch, independent of row count); the projection "
+        "of every row is pure codegen fold arithmetic over broadcast "
+        "literal components — no Python, no shuffle.",
+    ),
 ]
 
 
