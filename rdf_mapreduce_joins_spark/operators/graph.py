@@ -126,6 +126,13 @@ def pagerank(
         # lineage cut is what keeps the plan O(1) per round; its
         # partitioning loss costs O(|V|) exchanges per round, small
         # next to the O(|E|) adjacency work the cache saves.
+        # NEGATIVE RESULT (measured round 6, sf0.1 idle, 3 reps):
+        # checkpointing every SECOND round — halving the eager
+        # materializations and letting the odd round's dst-partitioned
+        # aggregation feed the even round's join directly — ran
+        # 16-21 s vs 12.6-13.7 s for per-round checkpoints. The fused
+        # two-round plan spawns more concurrent AQE stages than it
+        # saves in materialization; don't re-try without re-measuring.
         nxt = _pagerank_iteration(ranks, adj, n, damping)
         if fixed_point_scale is not None:
             nxt = nxt.withColumn(
