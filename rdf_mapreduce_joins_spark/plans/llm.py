@@ -2254,7 +2254,10 @@ def _pca_oracle_builder() -> str:
         j = int(np.argmax(np.abs(comps[i])))
         if comps[i, j] < 0:
             comps[i] = -comps[i]
-    offsets = comps @ mean
+    # .item()/float() everywhere a value reaches the SQL string: numpy
+    # 2.x reprs np.float64 as 'np.float64(...)', which would corrupt
+    # the literals silently on an environment upgrade.
+    offsets = [float(v) for v in comps @ mean]
     fp = float(x[:, 0].sum())
 
     def arr(v: "np.ndarray") -> str:
