@@ -1,6 +1,6 @@
 """Mergeable-sketch aggregation (SURVEY.md §2.4 A4 deepened): Apache
 DataSketches HLL / KLL / Theta via Spark 4's built-in sketch
-functions.
+functions, plus the PORTABLE sketch family (round 6).
 
 The 100 TB pattern these declare: per-partition/per-day SUMMARY TABLES
 of binary sketches that are (a) tiny (KBs per group regardless of
@@ -10,20 +10,33 @@ data — the cross-job analog of Spark's internal partial aggregation,
 and what `approx_count_distinct` alone cannot do (its HLL++ state is
 not exposed for later merging).
 
-All three queries are rows-only for the driver (sketch estimates are
-deterministic for fixed input but not ANSI-SQL-reproducible in
+The DataSketches trio is rows-only for the driver (their estimates
+are deterministic for fixed input but not ANSI-SQL-reproducible in
 DuckDB); tests pin the estimates against exact answers with the
 sketch-family error bounds AND pin merge losslessness (HLL union ==
 direct sketch at the same lgK).
+
+The PORTABLE trio (agg_hll_portable / agg_kmv_distinct /
+events_rolling_distinct_portable) closes the gap the DataSketches
+family cannot: sketch summary tables whose registers are plain
+integer columns computed from the cross-engine md5-60bit hash
+(operators/hashing.py), so ANY engine — Spark, DuckDB, Python — can
+build, merge and query the SAME sketch byte for byte. That buys the
+full hash-match oracle (approximation error and all is reproduced
+exactly in SQL) and, operationally, summary tables that survive an
+engine migration. Register extraction, merging and the exact-integer
+estimator inputs live in operators/sketches.py (hll_portable_*).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from rdf_mapreduce_joins_spark.operators import hashing, sketches
+from rdf_mapreduce_joins_spark.operators.hashing import hex60_sql
 from rdf_mapreduce_joins_spark.plans.registry import query
-from rdf_mapreduce_joins_spark.sources.tables import load_table
+from rdf_mapreduce_joins_spark.sources.tables import load_table, spread
 
 HLL_LGK = 12  # 2^12 registers → ~1.6% relative standard error
 
@@ -101,7 +114,245 @@ def agg_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMV_K = 64  # bottom-k size -> ~1/sqrt(k-2) = 12.7% relative std error
+KMV_NUM = float((KMV_K - 1) * (1 << 60))  # (k-1) / (h_k / 2^60), numerator
+
+
+@query(
+    "agg_hll_portable",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT n.n_regionkey, c.c_nationkey,
+             {hex60_sql('md5(CAST(c_custkey AS VARCHAR))')} AS h
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    cells AS (
+      SELECT n_regionkey, c_nationkey, h % 256 AS bucket,
+             {sketches.hll_portable_rho_sql('h')} AS rho
+      FROM hashed
+    ),
+    nat AS (
+      SELECT n_regionkey, c_nationkey, bucket, MAX(rho) AS reg
+      FROM cells GROUP BY n_regionkey, c_nationkey, bucket
+    ),
+    merged AS (
+      SELECT n_regionkey, bucket, MAX(reg) AS reg
+      FROM nat GROUP BY n_regionkey, bucket
+    ),
+    st AS (
+      SELECT n_regionkey, {sketches.hll_portable_stats_sql()}
+      FROM merged GROUP BY n_regionkey
+    ),
+    nats AS (
+      SELECT n_regionkey,
+             CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nation_sketches
+      FROM nat GROUP BY n_regionkey
+    )
+    SELECT st.n_regionkey,
+           ROUND({sketches.hll_portable_estimate_sql('sreg', 'v')}, 4)
+             AS est_customers,
+           nats.n_nation_sketches
+    FROM st JOIN nats ON st.n_regionkey = nats.n_regionkey
+    ORDER BY st.n_regionkey
+    """,
+)
+def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg_hll_mergeable's portable twin: the same two-level
+    nation→region distinct-customer rollup, but on the portable
+    integer-register HLL (operators/sketches.py hll_portable_*) and
+    therefore FULLY ORACLED — the DuckDB oracle rebuilds the identical
+    register table from the md5-60bit hash and reproduces the
+    estimate, approximation error and all. The merge step IS the
+    lossless-union law in-plan: region registers are the bucket-wise
+    MAX of the 25 nation sketches, never a rescan of customers. Scale
+    shape: one scan, two bounded aggregations (at most
+    groups x 256 register rows), the estimator over 5 rows; the
+    register frame is the persistable cross-engine summary table."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    cells = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).select(
+        "n_regionkey",
+        "c_nationkey",
+        *sketches.hll_portable_cols("c_custkey", hash_family="md5"),
+    )
+    nat = cells.groupBy("n_regionkey", "c_nationkey", "bucket").agg(
+        F.max("rho").alias("reg")
+    )
+    merged = nat.groupBy("n_regionkey", "bucket").agg(F.max("reg").alias("reg"))
+    st = merged.groupBy("n_regionkey").agg(*sketches.hll_portable_stats_cols())
+    nats = nat.groupBy("n_regionkey").agg(
+        F.count_distinct("c_nationkey").alias("n_nation_sketches")
+    )
+    est = F.round(F.expr(sketches.hll_portable_estimate_sql("sreg", "v")), 4)
+    return (
+        st.join(nats, "n_regionkey")
+        .select("n_regionkey", est.alias("est_customers"), "n_nation_sketches")
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "agg_kmv_distinct",
+    oracle=f"""
+    WITH hx AS (
+      SELECT DISTINCT event_type,
+             {hex60_sql('md5(CAST(user_id AS VARCHAR))')} AS h
+      FROM events
+    ),
+    topk AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+        FROM hx) ranked
+      WHERE r <= {KMV_K}
+    ),
+    st AS (
+      SELECT event_type, MAX(h) AS hk, CAST(COUNT(*) AS BIGINT) AS n_minvals
+      FROM topk GROUP BY event_type
+    )
+    SELECT event_type,
+           ROUND(CASE WHEN n_minvals < {KMV_K} THEN CAST(n_minvals AS DOUBLE)
+                      ELSE {KMV_NUM!r} / CAST(hk AS DOUBLE) END, 4) AS est_users,
+           n_minvals
+    FROM st ORDER BY event_type
+    """,
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg_theta_distinct's portable twin: bottom-k (KMV) distinct
+    users per event type — the k smallest distinct hash values are the
+    sketch, est = (k-1)/U_(k) with U_(k) the k-th minimum normalized
+    to [0,1) (exactly the first-generation theta sketch; groups with
+    fewer than k distinct hashes report their exact count). Like the
+    theta family the KMV set supports downstream set algebra (union =
+    bottom-k of the merged sets). Fully oracled on the md5-60bit hash:
+    ranks, the k-th minimum, and the one float division reproduce
+    identically in DuckDB. Scale shape: the rank filter plans a
+    WindowGroupLimit, so each map task retains only its top-k rows per
+    key BEFORE the shuffle — per-key state is O(k), never the distinct
+    set."""
+    e = load_table(spark, sf_dir, "events")
+    hx = (
+        spread(e)
+        .select(
+            "event_type",
+            hashing.base_hash60(F.col("user_id").cast("string"), "md5").alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    topk = hx.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= KMV_K)
+    st = topk.groupBy("event_type").agg(
+        F.max("h").alias("hk"),
+        F.count(F.lit(1)).cast("bigint").alias("n_minvals"),
+    )
+    est = F.round(
+        F.when(F.col("n_minvals") < KMV_K, F.col("n_minvals").cast("double")).otherwise(
+            F.lit(KMV_NUM) / F.col("hk").cast("double")
+        ),
+        4,
+    )
+    return st.select("event_type", est.alias("est_users"), "n_minvals").orderBy(
+        "event_type"
+    )
+
+
 ROLLING_DAYS = 7
+
+
+@query(
+    "events_rolling_distinct_portable",
+    oracle=f"""
+    WITH ev AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_n,
+             {hex60_sql('md5(CAST(user_id AS VARCHAR))')} AS h
+      FROM events
+    ),
+    cells AS (
+      SELECT day_n, h % 256 AS bucket,
+             {sketches.hll_portable_rho_sql('h')} AS rho
+      FROM ev
+    ),
+    daily AS (
+      SELECT day_n, bucket, MAX(rho) AS reg FROM cells GROUP BY day_n, bucket
+    ),
+    days AS (SELECT DISTINCT day_n FROM daily),
+    contrib AS (
+      SELECT unnest(generate_series(day_n, day_n + {ROLLING_DAYS - 1}))
+               AS obs_day,
+             bucket, reg
+      FROM daily
+    ),
+    merged AS (
+      SELECT c.obs_day AS day_n, c.bucket, MAX(c.reg) AS reg
+      FROM contrib c JOIN days d ON c.obs_day = d.day_n
+      GROUP BY c.obs_day, c.bucket
+    ),
+    st AS (
+      SELECT day_n, {sketches.hll_portable_stats_sql()}
+      FROM merged GROUP BY day_n
+    ),
+    nev AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_n,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT st.day_n, nev.n_events,
+           ROUND({sketches.hll_portable_estimate_sql('sreg', 'v')}, 4)
+             AS est_rolling_users
+    FROM st JOIN nev ON st.day_n = nev.day_n
+    ORDER BY st.day_n
+    """,
+)
+def events_rolling_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_rolling_distinct_hll's portable twin — and the query
+    that shows WHY the daily-summary-table pattern wants a portable
+    sketch: the trailing-7-day merge is a bucket-wise MAX over integer
+    register rows that any engine holding the summary table can run.
+    The window merge is expressed as an EQUI-join fan-out (each daily
+    register row contributes itself to the 7 observation days it
+    covers via an integer sequence explode, then joins the real-day
+    list) — no range join, no nested loop; state is #days x 256 rows
+    regardless of event volume. Day boundaries use exact integer epoch
+    arithmetic (ts_s div 86400, the module's TZ-proof convention).
+    Fully oracled on the md5-60bit hash family."""
+    e = load_table(spark, sf_dir, "events")
+    ev = spread(e).select(
+        F.expr("ts_s div 86400").alias("day_n"),
+        hashing.base_hash60(F.col("user_id").cast("string"), "md5").alias("h"),
+    )
+    cells = ev.select(
+        "day_n",
+        F.pmod("h", F.lit(256)).cast("int").alias("bucket"),
+        F.expr(
+            sketches.hll_portable_rho_sql("h")
+            .replace("//", "div")  # Spark SQL integer division spelling
+        ).alias("rho"),
+    )
+    daily = cells.groupBy("day_n", "bucket").agg(F.max("rho").alias("reg"))
+    days = daily.select("day_n").distinct()
+    contrib = daily.select(
+        F.explode(
+            F.sequence(F.col("day_n"), F.col("day_n") + F.lit(ROLLING_DAYS - 1))
+        ).alias("obs_day"),
+        "bucket",
+        "reg",
+    )
+    merged = (
+        contrib.join(F.broadcast(days), contrib["obs_day"] == days["day_n"])
+        .groupBy("obs_day", "bucket")
+        .agg(F.max("reg").alias("reg"))
+        .withColumnRenamed("obs_day", "day_n")
+    )
+    st = merged.groupBy("day_n").agg(*sketches.hll_portable_stats_cols())
+    nev = e.groupBy(F.expr("ts_s div 86400").alias("day_n")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    est = F.round(F.expr(sketches.hll_portable_estimate_sql("sreg", "v")), 4)
+    return (
+        st.join(nev, "day_n")
+        .select("day_n", "n_events", est.alias("est_rolling_users"))
+        .orderBy("day_n")
+    )
 
 
 @query("events_rolling_distinct_hll")  # rows-only: sketch estimates

@@ -1,15 +1,46 @@
 """Value tests for plans/sketches.py: sketch estimates against exact
-answers with family-correct error bounds, and the merge-losslessness
-property that makes sketch summary tables sound."""
+answers with family-correct error bounds, the merge-losslessness
+property that makes sketch summary tables sound, and — for the
+portable md5-family trio — full pure-Python recomputation of the
+register tables and estimates (zero borrowed engine primitives)."""
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 
+from rdf_mapreduce_joins_spark.operators.hashing import md5_hex60_py
+from rdf_mapreduce_joins_spark.operators.sketches import (
+    HLL_PORTABLE_M,
+    hll_portable_alpha,
+    hll_portable_rho_py,
+)
 from rdf_mapreduce_joins_spark.plans import QUERIES
-from rdf_mapreduce_joins_spark.plans.sketches import HLL_LGK
+from rdf_mapreduce_joins_spark.plans.sketches import HLL_LGK, KMV_K
 
 SF = "/root/testdata/sf0.01"
+
+
+def _py_hll_estimate(regs: dict[int, int]) -> float:
+    """Pure-Python twin of hll_portable_estimate_sql over a sparse
+    {bucket: reg} register map."""
+    m = HLL_PORTABLE_M
+    sreg = sum(1 << (53 - r) for r in regs.values()) + (m - len(regs)) * (1 << 53)
+    v = m - len(regs)
+    raw = hll_portable_alpha(m) * m * m * float(1 << 53) / sreg
+    if raw <= 2.5 * m and v > 0:
+        return m * math.log(m / v)
+    return raw
+
+
+def _py_registers(keys) -> dict[int, int]:
+    regs: dict[int, int] = {}
+    for k in keys:
+        h = md5_hex60_py(str(k))
+        b = h % HLL_PORTABLE_M
+        regs[b] = max(regs.get(b, 0), hll_portable_rho_py(h))
+    return regs
 
 
 def test_hll_rollup_close_to_exact_and_merge_lossless(spark):
@@ -72,6 +103,127 @@ def test_theta_estimates_and_exact_twin(spark):
     assert set(got) == set(exact)
     for k in got:
         assert abs(got[k] - exact[k]) <= max(2, 0.05 * exact[k])
+
+
+def test_portable_hll_matches_python_and_tracks_exact(spark):
+    """agg_hll_portable: (a) the estimate tracks the exact distinct
+    count within the m=256 error envelope, (b) a full pure-Python
+    rebuild of the two-level register rollup (hashlib md5 + integer
+    rho — no Spark/DuckDB primitives) reproduces the estimate."""
+    rows = QUERIES["agg_hll_portable"](spark, SF).collect()
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    joined = c.join(n, c.c_nationkey == n.n_nationkey).select(
+        "n_regionkey", "c_custkey"
+    )
+    by_region: dict[int, set[int]] = {}
+    for r in joined.collect():
+        by_region.setdefault(r.n_regionkey, set()).add(r.c_custkey)
+    assert {r.n_regionkey for r in rows} == set(by_region)
+    for r in rows:
+        exact = len(by_region[r.n_regionkey])
+        assert abs(r.est_customers - exact) <= max(3, 0.2 * exact), (
+            r.n_regionkey, r.est_customers, exact,
+        )
+        py_est = _py_hll_estimate(_py_registers(by_region[r.n_regionkey]))
+        assert abs(r.est_customers - round(py_est, 4)) <= 1.5e-4, (
+            r.n_regionkey, r.est_customers, py_est,
+        )
+        assert r.n_nation_sketches >= 1
+
+
+def test_portable_kmv_matches_python_and_tracks_exact(spark):
+    """agg_kmv_distinct: estimate within the bottom-k error envelope
+    AND the k-th-minimum arithmetic reproduced from hashlib."""
+    rows = QUERIES["agg_kmv_distinct"](spark, SF).collect()
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    by_type: dict[str, set[int]] = {}
+    for r in e.select("event_type", "user_id").collect():
+        by_type.setdefault(r.event_type, set()).add(r.user_id)
+    assert {r.event_type for r in rows} == set(by_type)
+    for r in rows:
+        exact = len(by_type[r.event_type])
+        hashes = sorted(md5_hex60_py(str(u)) for u in by_type[r.event_type])
+        if len(hashes) < KMV_K:
+            assert r.n_minvals == len(hashes)
+            assert r.est_users == float(len(hashes))
+        else:
+            assert r.n_minvals == KMV_K
+            hk = hashes[KMV_K - 1]
+            py_est = float((KMV_K - 1) * (1 << 60)) / hk
+            assert abs(r.est_users - round(py_est, 4)) <= 1.5e-4
+            # k=64 -> ~12.7% RSE; 3-sigma envelope
+            assert abs(r.est_users - exact) <= max(3, 0.4 * exact), (
+                r.event_type, r.est_users, exact,
+            )
+
+
+def test_portable_rolling_matches_python_rolling_union(spark):
+    """events_rolling_distinct_portable: the trailing-7-day register
+    merge equals a Python rebuild (registers of the UNION == bucket-max
+    of daily registers — the merge law, checked end to end), and the
+    estimate tracks the exact rolling distinct."""
+    from rdf_mapreduce_joins_spark.sources.tables import load_table
+
+    rows = QUERIES["events_rolling_distinct_portable"](spark, SF).collect()
+    e = load_table(spark, SF, "events")
+    day_users: dict[int, set[int]] = {}
+    for r in e.select(
+        F.expr("ts_s div 86400").alias("day_n"),
+        "user_id",
+    ).collect():
+        day_users.setdefault(r.day_n, set()).add(r.user_id)
+    days = sorted(day_users)
+    assert [r.day_n for r in rows] == days
+    for i, r in enumerate(rows):
+        window_users = set().union(
+            *(day_users[d] for d in days if 0 <= r.day_n - d <= 6)
+        )
+        exact = len(window_users)
+        py_est = _py_hll_estimate(_py_registers(window_users))
+        assert abs(r.est_rolling_users - round(py_est, 4)) <= 1.5e-4, (
+            r.day_n, r.est_rolling_users, py_est,
+        )
+        assert abs(r.est_rolling_users - exact) <= max(3, 0.25 * exact), (
+            r.day_n, r.est_rolling_users, exact,
+        )
+    n_events = {
+        r.day_n: r.n
+        for r in e.groupBy(F.expr("ts_s div 86400").alias("day_n"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r.day_n: r.n_events for r in rows} == n_events
+
+
+def test_portable_rho_three_engine_parity(spark):
+    """The rho primitive itself, three ways: Python bit tricks, Spark
+    shiftright/bit_count, DuckDB // and bit_count — byte-identical on
+    a probe set covering the edge cases (w=0, single high bit, dense
+    low bits)."""
+    import duckdb
+
+    probes = [0, 1, 255, 256, 257, 512, 4096, (1 << 59) + 256, (1 << 60) - 1,
+              123456789012345, 3 << 8, 1 << 8]
+    expected = [hll_portable_rho_py(h) for h in probes]
+    from rdf_mapreduce_joins_spark.operators.sketches import hll_portable_rho_sql
+
+    con = duckdb.connect()
+    duck = [
+        con.sql(
+            f"SELECT {hll_portable_rho_sql('h')} FROM (SELECT CAST({h} AS BIGINT) AS h)"
+        ).fetchone()[0]
+        for h in probes
+    ]
+    assert duck == expected
+    sdf = spark.createDataFrame([(h,) for h in probes], "h long")
+    got = [
+        r.rho
+        for r in sdf.select(
+            F.expr(hll_portable_rho_sql("h").replace("//", "div")).alias("rho")
+        ).collect()
+    ]
+    assert got == expected
 
 
 def test_rolling_hll_tracks_exact_rolling_distinct(spark):
