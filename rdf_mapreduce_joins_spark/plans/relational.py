@@ -1330,6 +1330,180 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_M = 1024  # filter bits
+BLOOM_K = 3  # hash functions
+BLOOM_WORD_BITS = 60  # bits packed per BIGINT word (sign bit never set)
+BLOOM_DIM_NATION = 7  # the selective dim predicate
+
+
+def _bloom_pos_sql(i: int, key: str) -> str:
+    """DuckDB: bloom bit position i of an integer key column — the
+    md5-60bit family seeded CMS-style by prefixing the hash index."""
+    from rdf_mapreduce_joins_spark.operators.hashing import hex60_sql
+
+    inner = "md5('" + str(i) + ":' || CAST(" + key + " AS VARCHAR))"
+    return f"{hex60_sql(inner)} % {BLOOM_M}"
+
+
+def _bloom_pos_col(i: int, key: str) -> F.Column:
+    """Spark twin of :func:`_bloom_pos_sql`."""
+    from rdf_mapreduce_joins_spark.operators.hashing import base_hash60
+
+    return F.pmod(
+        base_hash60(
+            F.concat(F.lit(f"{i}:"), F.col(key).cast("string")), "md5"
+        ),
+        F.lit(BLOOM_M),
+    )
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle=f"""
+    WITH dim AS (
+      SELECT DISTINCT s_suppkey FROM supplier
+      WHERE s_nationkey = {BLOOM_DIM_NATION}
+    ),
+    pos AS (
+      SELECT unnest([{_bloom_pos_sql(0, "s_suppkey")},
+                     {_bloom_pos_sql(1, "s_suppkey")},
+                     {_bloom_pos_sql(2, "s_suppkey")}]) AS p
+      FROM dim
+    ),
+    words AS (
+      SELECT p // {BLOOM_WORD_BITS} AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << (p % {BLOOM_WORD_BITS})) AS bits
+      FROM pos GROUP BY p // {BLOOM_WORD_BITS}
+    ),
+    fact AS (
+      SELECT l_suppkey,
+             {_bloom_pos_sql(0, "l_suppkey")} AS p0,
+             {_bloom_pos_sql(1, "l_suppkey")} AS p1,
+             {_bloom_pos_sql(2, "l_suppkey")} AS p2
+      FROM lineitem
+    ),
+    tested AS (
+      SELECT f.l_suppkey,
+             ((COALESCE(w0.bits, 0) >> (p0 % {BLOOM_WORD_BITS})) & 1) = 1
+             AND ((COALESCE(w1.bits, 0) >> (p1 % {BLOOM_WORD_BITS})) & 1) = 1
+             AND ((COALESCE(w2.bits, 0) >> (p2 % {BLOOM_WORD_BITS})) & 1) = 1
+               AS pass,
+             d.s_suppkey IS NOT NULL AS exact
+      FROM fact f
+      LEFT JOIN words w0 ON f.p0 // {BLOOM_WORD_BITS} = w0.word_idx
+      LEFT JOIN words w1 ON f.p1 // {BLOOM_WORD_BITS} = w1.word_idx
+      LEFT JOIN words w2 ON f.p2 // {BLOOM_WORD_BITS} = w2.word_idx
+      LEFT JOIN dim d ON f.l_suppkey = d.s_suppkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_fact,
+           CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass_bloom,
+           CAST(SUM(CASE WHEN exact THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_match,
+           CAST(SUM(CASE WHEN pass AND exact THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true_positive,
+           CAST(SUM(CASE WHEN pass AND NOT exact THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_positive,
+           ROUND(CASE WHEN COUNT(*) = SUM(CASE WHEN exact THEN 1 ELSE 0 END)
+                      THEN 0.0
+                      ELSE CAST(SUM(CASE WHEN pass AND NOT exact
+                                         THEN 1 ELSE 0 END) AS DOUBLE)
+                           / (COUNT(*) - SUM(CASE WHEN exact
+                                                  THEN 1 ELSE 0 END))
+                 END, 6) AS fp_rate
+    FROM tested
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The runtime-filter pattern (JS family): a bloom filter built
+    from a selective dimension (suppliers of one nation) pre-filters
+    the fact table BEFORE any fact-side shuffle — at 100 TB this is
+    the standard semi-join reduction (Spark's own InjectRuntimeFilter
+    does the same internally for shuffle joins; this query makes the
+    mechanism explicit, portable, and differential-testable). The
+    filter is 3 md5-family bit positions packed into 60-bit BIGINT
+    words (1024 bits -> 18 words), so membership tests are 3
+    broadcast hash equi-joins on word index plus a
+    shift-and-mask — no per-row set scans, no nested loop, and the
+    bitset stays exact integer arithmetic that DuckDB reproduces bit
+    for bit. The output is the filter's confusion matrix: the oracle
+    hash-match therefore proves BOTH bloom laws on this corpus — zero
+    false negatives (n_true_positive == n_exact_match) and the exact
+    deterministic false-positive set."""
+    s = load_table(spark, sf_dir, "supplier")
+    dim = (
+        s.filter(F.col("s_nationkey") == BLOOM_DIM_NATION)
+        .select("s_suppkey")
+        .distinct()
+    )
+    pos = dim.select(
+        F.explode(
+            F.array(*[_bloom_pos_col(i, "s_suppkey") for i in range(BLOOM_K)])
+        ).alias("p")
+    )
+    words = (
+        pos.select(
+            F.expr(f"p div {BLOOM_WORD_BITS}").alias("word_idx"),
+            F.expr(
+                f"shiftleft(cast(1 as bigint), pmod(p, {BLOOM_WORD_BITS}))"
+            ).alias("m"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("m").alias("bits"))
+        # build the (<= 18-row) bitset once: without the cut, each of
+        # the three word-joins re-plans the dim scan + aggregation
+        # under its own BroadcastExchange (3x the build cost — trivial
+        # here, a full dim rescan per hash function at scale)
+        .localCheckpoint()
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    fact = li.select(
+        "l_suppkey",
+        *[_bloom_pos_col(i, "l_suppkey").alias(f"p{i}") for i in range(BLOOM_K)],
+    )
+    tested = fact
+    for i in range(BLOOM_K):
+        w_i = words.select(
+            F.col("word_idx").alias(f"w{i}"), F.col("bits").alias(f"bits{i}")
+        )
+        tested = tested.join(
+            F.broadcast(w_i),
+            F.expr(f"p{i} div {BLOOM_WORD_BITS}") == F.col(f"w{i}"),
+            "left",
+        )
+    pass_col = F.expr(
+        " AND ".join(
+            f"(shiftright(coalesce(bits{i}, cast(0 as bigint)),"
+            f" pmod(p{i}, {BLOOM_WORD_BITS})) & 1) = 1"
+            for i in range(BLOOM_K)
+        )
+    )
+    dmark = dim.select(F.col("s_suppkey").alias("d_key"))
+    tested = tested.join(
+        F.broadcast(dmark), tested["l_suppkey"] == dmark["d_key"], "left"
+    ).select(
+        pass_col.alias("pass"), F.col("d_key").isNotNull().alias("exact")
+    )
+    passes = F.sum(F.when(F.col("pass"), 1).otherwise(0))
+    exacts = F.sum(F.when(F.col("exact"), 1).otherwise(0))
+    fps = F.sum(F.when(F.col("pass") & ~F.col("exact"), 1).otherwise(0))
+    tps = F.sum(F.when(F.col("pass") & F.col("exact"), 1).otherwise(0))
+    n = F.count(F.lit(1))
+    return tested.agg(
+        n.cast("bigint").alias("n_fact"),
+        passes.cast("bigint").alias("n_pass_bloom"),
+        exacts.cast("bigint").alias("n_exact_match"),
+        tps.cast("bigint").alias("n_true_positive"),
+        fps.cast("bigint").alias("n_false_positive"),
+        F.round(
+            F.when(n == exacts, F.lit(0.0)).otherwise(
+                fps.cast("double") / (n - exacts)
+            ),
+            6,
+        ).alias("fp_rate"),
+    )
+
+
 @query("agg_approx_percentiles")  # rows-only: sketch-approximate by design
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles via Spark's built-in KLL-style sketch

@@ -226,6 +226,52 @@ def test_portable_rho_three_engine_parity(spark):
     assert got == expected
 
 
+def test_bloom_prefilter_matches_python_confusion_matrix(spark):
+    """join_bloom_prefilter (plans/relational.py — bloom bitset on the
+    same md5 family): full confusion matrix rebuilt from hashlib.
+    Proves the no-false-negative law and the exact deterministic
+    false-positive set independently of both engines."""
+    from rdf_mapreduce_joins_spark.plans.relational import (
+        BLOOM_DIM_NATION,
+        BLOOM_K,
+        BLOOM_M,
+    )
+
+    row = QUERIES["join_bloom_prefilter"](spark, SF).collect()[0]
+    s = spark.read.parquet(f"{SF}/supplier.parquet")
+    dim = {
+        r.s_suppkey
+        for r in s.filter(F.col("s_nationkey") == BLOOM_DIM_NATION).collect()
+    }
+    bits = set()
+    for k in dim:
+        for i in range(BLOOM_K):
+            bits.add(md5_hex60_py(f"{i}:{k}") % BLOOM_M)
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_suppkey").collect()
+    n_fact = len(li)
+    n_pass = n_exact = n_tp = n_fp = 0
+    member_cache: dict[int, tuple[bool, bool]] = {}
+    for r in li:
+        k = r.l_suppkey
+        if k not in member_cache:
+            p = all(
+                md5_hex60_py(f"{i}:{k}") % BLOOM_M in bits for i in range(BLOOM_K)
+            )
+            member_cache[k] = (p, k in dim)
+        p, e = member_cache[k]
+        n_pass += p
+        n_exact += e
+        n_tp += p and e
+        n_fp += p and not e
+    assert (row.n_fact, row.n_pass_bloom, row.n_exact_match) == (
+        n_fact, n_pass, n_exact,
+    )
+    assert (row.n_true_positive, row.n_false_positive) == (n_tp, n_fp)
+    assert row.n_true_positive == row.n_exact_match  # no false negatives
+    expected_rate = 0.0 if n_fact == n_exact else n_fp / (n_fact - n_exact)
+    assert abs(row.fp_rate - round(expected_rate, 6)) <= 1e-6
+
+
 def test_rolling_hll_tracks_exact_rolling_distinct(spark):
     rows = QUERIES["events_rolling_distinct_hll"](spark, SF).collect()
     e = spark.read.parquet(f"{SF}/events.parquet")
