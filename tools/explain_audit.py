@@ -271,6 +271,30 @@ SHOWCASE = [
         "of every row is pure codegen fold arithmetic over broadcast "
         "literal components — no Python, no shuffle.",
     ),
+    (
+        "agg_kmv_distinct",
+        "Bottom-k (KMV) distinct sketch: the row_number <= k filter "
+        "plans a PARTIAL WindowGroupLimit before the exchange and a "
+        "final one after — every map task retains only its own k "
+        "smallest hashes per key, so shuffle volume is O(keys*k) "
+        "regardless of the distinct-set size.",
+    ),
+    (
+        "join_bloom_prefilter",
+        "The runtime-filter pattern, explicit: the 1024-bit bloom "
+        "bitset is <= 18 BIGINT words built once (localCheckpoint) and "
+        "broadcast; fact membership is 3 BroadcastHashJoins on word "
+        "index + shift/mask — the fact table is filtered before any "
+        "shuffle, with no per-row set scan and no nested loop.",
+    ),
+    (
+        "events_rolling_distinct_portable",
+        "Rolling distinct from portable daily register tables: the "
+        "trailing-window merge is a sequence-explode EQUI-join over "
+        "#days x 256 integer register rows (no range join, no "
+        "BroadcastNestedLoop), then bucket-wise MAX — merge state is "
+        "constant per day regardless of event volume.",
+    ),
 ]
 
 
