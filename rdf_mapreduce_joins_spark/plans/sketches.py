@@ -258,11 +258,10 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ROLLING_DAYS = 7
 
-
-@query(
-    "events_rolling_distinct_portable",
-    oracle=f"""
-    WITH ev AS (
+# The daily user-register summary table — shared by the rolling-window
+# and persisted-roundtrip queries; the Spark builder and the oracle CTE
+# chain below are line-for-line twins.
+_DAILY_REGISTERS_SQL = f"""ev AS (
       SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_n,
              {hex60_sql('md5(CAST(user_id AS VARCHAR))')} AS h
       FROM events
@@ -274,7 +273,33 @@ ROLLING_DAYS = 7
     ),
     daily AS (
       SELECT day_n, bucket, MAX(rho) AS reg FROM cells GROUP BY day_n, bucket
-    ),
+    )"""
+
+
+def _daily_user_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_DAILY_REGISTERS_SQL``: per-(epoch-day, bucket)
+    portable HLL registers of the events user stream — at most
+    #days x 256 rows, the persistable cross-engine summary table."""
+    e = load_table(spark, sf_dir, "events")
+    ev = spread(e).select(
+        F.expr("ts_s div 86400").alias("day_n"),
+        hashing.base_hash60(F.col("user_id").cast("string"), "md5").alias("h"),
+    )
+    cells = ev.select(
+        "day_n",
+        F.pmod("h", F.lit(256)).cast("int").alias("bucket"),
+        F.expr(
+            sketches.hll_portable_rho_sql("h")
+            .replace("//", "div")  # Spark SQL integer division spelling
+        ).alias("rho"),
+    )
+    return cells.groupBy("day_n", "bucket").agg(F.max("rho").alias("reg"))
+
+
+@query(
+    "events_rolling_distinct_portable",
+    oracle=f"""
+    WITH {_DAILY_REGISTERS_SQL},
     days AS (SELECT DISTINCT day_n FROM daily),
     contrib AS (
       SELECT unnest(generate_series(day_n, day_n + {ROLLING_DAYS - 1}))
@@ -316,19 +341,7 @@ def events_rolling_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFr
     arithmetic (ts_s div 86400, the module's TZ-proof convention).
     Fully oracled on the md5-60bit hash family."""
     e = load_table(spark, sf_dir, "events")
-    ev = spread(e).select(
-        F.expr("ts_s div 86400").alias("day_n"),
-        hashing.base_hash60(F.col("user_id").cast("string"), "md5").alias("h"),
-    )
-    cells = ev.select(
-        "day_n",
-        F.pmod("h", F.lit(256)).cast("int").alias("bucket"),
-        F.expr(
-            sketches.hll_portable_rho_sql("h")
-            .replace("//", "div")  # Spark SQL integer division spelling
-        ).alias("rho"),
-    )
-    daily = cells.groupBy("day_n", "bucket").agg(F.max("rho").alias("reg"))
+    daily = _daily_user_registers(spark, sf_dir)
     days = daily.select("day_n").distinct()
     contrib = daily.select(
         F.explode(
@@ -352,6 +365,65 @@ def events_rolling_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFr
         st.join(nev, "day_n")
         .select("day_n", "n_events", est.alias("est_rolling_users"))
         .orderBy("day_n")
+    )
+
+
+@query(
+    "events_hll_summary_roundtrip",
+    oracle=f"""
+    WITH {_DAILY_REGISTERS_SQL},
+    weekly AS (
+      SELECT day_n // 7 AS week_n, bucket, MAX(reg) AS reg
+      FROM daily GROUP BY day_n // 7, bucket
+    ),
+    st AS (
+      SELECT week_n, {sketches.hll_portable_stats_sql()}
+      FROM weekly GROUP BY week_n
+    ),
+    nd AS (
+      SELECT day_n // 7 AS week_n, CAST(COUNT(DISTINCT day_n) AS BIGINT) AS n_days
+      FROM daily GROUP BY day_n // 7
+    )
+    SELECT st.week_n, nd.n_days,
+           ROUND({sketches.hll_portable_estimate_sql('sreg', 'v')}, 4)
+             AS est_weekly_users
+    FROM st JOIN nd ON st.week_n = nd.week_n
+    ORDER BY st.week_n
+    """,
+)
+def events_hll_summary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED summary-table pattern end to end (S3 x A4): the
+    daily register table is written to parquet partitioned by day —
+    the layout an incremental pipeline appends one day-partition to
+    and a rollup partition-prunes — read back, and rolled up to
+    per-epoch-week distinct-user estimates by bucket-wise MAX. The
+    oracle recomputes the same weeks straight from events, so the
+    hash-match proves the registers survived the disk round trip
+    bit-exactly AND that rollup-of-summaries equals
+    direct-from-raw (the merge law, this time through a sink/scan).
+    Partition-column type inference returns day_n as INT — cast back
+    to BIGINT before the week arithmetic so both engines emit the
+    same schema."""
+    from rdf_mapreduce_joins_spark.plans.formats import _scratch
+
+    daily = _daily_user_registers(spark, sf_dir)
+    path = _scratch(sf_dir, "hll_daily_registers")
+    daily.write.mode("overwrite").partitionBy("day_n").parquet(path)
+    back = spark.read.parquet(path).select(
+        F.col("day_n").cast("bigint").alias("day_n"), "bucket", "reg"
+    )
+    weekly = back.groupBy(
+        F.expr("day_n div 7").alias("week_n"), F.col("bucket")
+    ).agg(F.max("reg").alias("reg"))
+    st = weekly.groupBy("week_n").agg(*sketches.hll_portable_stats_cols())
+    nd = back.groupBy(F.expr("day_n div 7").alias("week_n")).agg(
+        F.count_distinct("day_n").alias("n_days")
+    )
+    est = F.round(F.expr(sketches.hll_portable_estimate_sql("sreg", "v")), 4)
+    return (
+        st.join(nd, "week_n")
+        .select("week_n", "n_days", est.alias("est_weekly_users"))
+        .orderBy("week_n")
     )
 
 

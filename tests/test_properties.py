@@ -352,3 +352,39 @@ def test_lazy_oracle_registry_contract():
         @q_register("_both_oracles_test", oracle="SELECT 1", oracle_builder=lambda: "SELECT 1")
         def _fn(spark, sf_dir):  # pragma: no cover
             raise NotImplementedError
+
+
+key_sets = st.lists(st.integers(min_value=0, max_value=10_000), min_size=0, max_size=60)
+
+
+@settings(max_examples=50, deadline=None)
+@given(a=key_sets, b=key_sets)
+def test_portable_hll_merge_law(a, b):
+    """registers(A ∪ B) == bucket-wise max(registers(A), registers(B))
+    — the lossless-union law the nation→region rollup and the rolling
+    7-day merge both rely on (pure Python, md5 family)."""
+    from tests.test_sketches import _py_hll_estimate, _py_registers
+
+    ra, rb = _py_registers(set(a)), _py_registers(set(b))
+    merged = {
+        k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)
+    }
+    direct = _py_registers(set(a) | set(b))
+    assert merged == direct
+    # and therefore the estimates agree exactly
+    assert _py_hll_estimate(merged) == _py_hll_estimate(direct)
+
+
+@settings(max_examples=50, deadline=None)
+@given(a=key_sets, b=key_sets)
+def test_kmv_bottom_k_merge_law(a, b):
+    """bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B)) — the
+    property that makes KMV sketches shard-mergeable without rescans."""
+    from rdf_mapreduce_joins_spark.operators.hashing import md5_hex60_py
+    from rdf_mapreduce_joins_spark.plans.sketches import KMV_K
+
+    ha = sorted(md5_hex60_py(str(k)) for k in set(a))
+    hb = sorted(md5_hex60_py(str(k)) for k in set(b))
+    direct = sorted(set(ha) | set(hb))[:KMV_K]
+    merged = sorted(set(ha[:KMV_K]) | set(hb[:KMV_K]))[:KMV_K]
+    assert merged == direct

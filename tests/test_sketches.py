@@ -226,6 +226,32 @@ def test_portable_rho_three_engine_parity(spark):
     assert got == expected
 
 
+def test_hll_summary_roundtrip_matches_python(spark):
+    """events_hll_summary_roundtrip: weekly estimates after the
+    parquet round trip equal a pure-Python rebuild straight from the
+    raw events (registers survived the sink/scan bit-exactly and
+    rollup-of-summaries == direct-from-raw)."""
+    from rdf_mapreduce_joins_spark.sources.tables import load_table
+
+    rows = QUERIES["events_hll_summary_roundtrip"](spark, SF).collect()
+    e = load_table(spark, SF, "events")
+    week_users: dict[int, set[int]] = {}
+    week_days: dict[int, set[int]] = {}
+    for r in e.select(
+        F.expr("ts_s div 86400").alias("day_n"), "user_id"
+    ).collect():
+        w = r.day_n // 7
+        week_users.setdefault(w, set()).add(r.user_id)
+        week_days.setdefault(w, set()).add(r.day_n)
+    assert [r.week_n for r in rows] == sorted(week_users)
+    for r in rows:
+        assert r.n_days == len(week_days[r.week_n])
+        py_est = _py_hll_estimate(_py_registers(week_users[r.week_n]))
+        assert abs(r.est_weekly_users - round(py_est, 4)) <= 1.5e-4, (
+            r.week_n, r.est_weekly_users, py_est,
+        )
+
+
 def test_bloom_prefilter_matches_python_confusion_matrix(spark):
     """join_bloom_prefilter (plans/relational.py — bloom bitset on the
     same md5 family): full confusion matrix rebuilt from hashlib.
