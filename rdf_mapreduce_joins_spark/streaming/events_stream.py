@@ -28,6 +28,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from rdf_mapreduce_joins_spark.operators.sketches import hll_portable_cols
 from rdf_mapreduce_joins_spark.session import ensure_runtime_confs
 from rdf_mapreduce_joins_spark.sources.tables import normalize_events
 
@@ -252,6 +253,36 @@ def sessionize_custom_state(
             stateStructType=_SESSION_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def hll_registers_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Streaming maintenance of the portable daily HLL register table
+    (the streaming twin of plans/sketches._daily_user_registers —
+    same md5-family bucket/rho arithmetic via
+    operators/sketches.hll_portable_cols).
+
+    MAX is a monotone, commutative, idempotent aggregate, so the
+    register table is maintained incrementally in streaming state:
+    each micro-batch touches only the (day, bucket) cells its events
+    hash into, state is bounded at 256 rows per open day, and the
+    watermark closes day windows for append-mode sinks. ``window('ts',
+    '1 day')`` buckets are epoch-aligned, so ``unix_timestamp(start)
+    div 86400`` reproduces exactly the batch twin's ``ts_s div 86400``
+    day numbering — replay equivalence is pinned in
+    tests/test_streaming.py per the SURVEY §2.8 streaming policy
+    (batch twin oracled, stream == batch on replay)."""
+    cells = events.withWatermark("ts", watermark).select(
+        "ts", *hll_portable_cols("user_id", "md5")
+    )
+    return (
+        cells.groupBy(F.window("ts", "1 day"), F.col("bucket"))
+        .agg(F.max("rho").alias("reg"))
+        .select(
+            F.expr("unix_timestamp(window.start) div 86400").alias("day_n"),
+            "bucket",
+            "reg",
         )
     )
 

@@ -467,3 +467,40 @@ def test_sessionize_late_events_extend_or_split(spark, late_events_dir):
     u5 = [k for k in got if k[0] == 5]
     assert u5 == [(5, BASE + 7200 - 1801)], u5
     assert got[(5, BASE + 7200 - 1801)] == (BASE + 7200, 3, 6.0)
+
+
+def test_hll_registers_stream_matches_batch(spark, events_dir):
+    """SURVEY §2.8 policy for the portable register table: the
+    streaming MAX-maintained registers equal the batch derivation on
+    full replay, both in one gulp and replayed file-by-file (the
+    incremental path — each micro-batch only touches its own cells,
+    yet the final table is identical)."""
+    from rdf_mapreduce_joins_spark.operators.sketches import hll_portable_cols
+    from rdf_mapreduce_joins_spark.sources.tables import normalize_events
+
+    batch_events = normalize_events(spark.read.parquet(events_dir))
+
+    want = {
+        (r.day_n, r.bucket): r.reg
+        for r in batch_events.select(
+            F.expr("ts_s div 86400").alias("day_n"),
+            *hll_portable_cols("user_id", "md5"),
+        )
+        .groupBy("day_n", "bucket")
+        .agg(F.max("rho").alias("reg"))
+        .collect()
+    }
+    one_gulp = es.run_to_memory(
+        es.hll_registers_stream(es.read_events_stream(spark, events_dir)),
+        "t_hll_regs",
+        "complete",
+    ).collect()
+    assert {(r.day_n, r.bucket): r.reg for r in one_gulp} == want
+    replayed = es.run_to_memory(
+        es.hll_registers_stream(
+            es.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+        ),
+        "t_hll_regs_replay",
+        "complete",
+    ).collect()
+    assert {(r.day_n, r.bucket): r.reg for r in replayed} == want
