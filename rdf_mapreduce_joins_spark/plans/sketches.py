@@ -256,6 +256,259 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_BUCKETS = 256  # quantile histogram grid resolution
+
+
+@query(
+    "agg_quantile_histogram",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    ),
+    sized AS (
+      SELECT event_type, vmin, n,
+             CASE WHEN vmax > vmin THEN (vmax - vmin) / {float(HIST_BUCKETS)!r}
+                  ELSE 1.0 END AS width
+      FROM stats
+    ),
+    hist AS (
+      SELECT e.event_type,
+             LEAST(CAST(floor((e.value - s.vmin) / s.width) AS INTEGER),
+                   {HIST_BUCKETS - 1}) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events e JOIN sized s ON e.event_type = s.event_type
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bucket, CAST(SUM(cnt) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum
+      FROM hist
+    ),
+    picks AS (
+      SELECT c.event_type,
+             MIN(CASE WHEN CAST(cum AS DOUBLE) >= 0.5 * s.n
+                      THEN bucket END) AS b50,
+             MIN(CASE WHEN CAST(cum AS DOUBLE) >= 0.9 * s.n
+                      THEN bucket END) AS b90,
+             MIN(CASE WHEN CAST(cum AS DOUBLE) >= 0.99 * s.n
+                      THEN bucket END) AS b99
+      FROM cum c JOIN sized s ON c.event_type = s.event_type
+      GROUP BY c.event_type
+    )
+    SELECT p.event_type, s.n,
+           ROUND(s.vmin + (p.b50 + 1.0) * s.width, 4) AS p50,
+           ROUND(s.vmin + (p.b90 + 1.0) * s.width, 4) AS p90,
+           ROUND(s.vmin + (p.b99 + 1.0) * s.width, 4) AS p99
+    FROM picks p JOIN sized s ON p.event_type = s.event_type
+    ORDER BY p.event_type
+    """,
+)
+def agg_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg_kll_quantiles' portable twin — the quantile member of the
+    portable summary-table family (distinct: HLL/KMV, frequency: CMS,
+    quantiles: THIS). A fixed 256-bucket histogram per group: counts
+    are plain integers that MERGE BY ADDITION across shards/days (the
+    property KLL needs its compactor machinery for), and the quantile
+    read-out is one cumulative window over 256 rows — upper bucket
+    edge, so the value error is bounded by one grid step of the
+    group's range. The grid here is derived from a first min/max pass
+    (deterministic, mirrored in the oracle); a production pipeline
+    pins the grid once from domain knowledge so daily histograms stay
+    mergeable forever. Fully oracled: grid arithmetic, bucket floors,
+    cumulative ranks and the read-out reproduce bit-for-bit in
+    DuckDB."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    sized = stats.select(
+        "event_type",
+        "vmin",
+        "n",
+        F.when(
+            F.col("vmax") > F.col("vmin"),
+            (F.col("vmax") - F.col("vmin")) / F.lit(float(HIST_BUCKETS)),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("width"),
+    )
+    hist = (
+        e.join(F.broadcast(sized), "event_type")
+        .select(
+            "event_type",
+            F.least(
+                F.floor((F.col("value") - F.col("vmin")) / F.col("width")).cast(
+                    "int"
+                ),
+                F.lit(HIST_BUCKETS - 1),
+            ).alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "event_type", "bucket", F.sum("cnt").over(w).cast("bigint").alias("cum")
+    )
+    joined = cum.join(F.broadcast(sized), "event_type")
+    picks = joined.groupBy("event_type").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum").cast("double") >= F.lit(p) * F.col("n"),
+                    F.col("bucket"),
+                )
+            ).alias(f"b{tag}")
+            for p, tag in ((0.5, "50"), (0.9, "90"), (0.99, "99"))
+        ]
+    )
+    out = picks.join(F.broadcast(sized), "event_type")
+    return out.select(
+        "event_type",
+        "n",
+        *[
+            F.round(
+                F.col("vmin") + (F.col(f"b{tag}") + F.lit(1.0)) * F.col("width"), 4
+            ).alias(f"p{tag}")
+            for tag in ("50", "90", "99")
+        ],
+    ).orderBy("event_type")
+
+
+@query(
+    "agg_kmv_overlap",
+    oracle=f"""
+    WITH hx AS (
+      SELECT DISTINCT
+             CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS INTEGER) AS mon_n,
+             {hex60_sql('md5(CAST(o_custkey AS VARCHAR))')} AS h
+      FROM orders
+    ),
+    months AS (SELECT DISTINCT mon_n FROM hx),
+    pairs AS (
+      SELECT m.mon_n FROM months m
+      JOIN months p ON p.mon_n = m.mon_n - 1
+    ),
+    contrib AS (
+      SELECT mon_n AS pair_mon, h, 1 AS is_cur, 0 AS is_prev FROM hx
+      UNION ALL
+      SELECT mon_n + 1 AS pair_mon, h, 0, 1 FROM hx
+    ),
+    members AS (
+      SELECT c.pair_mon, c.h,
+             MAX(c.is_cur) AS in_cur, MAX(c.is_prev) AS in_prev
+      FROM contrib c JOIN pairs pr ON c.pair_mon = pr.mon_n
+      GROUP BY c.pair_mon, c.h
+    ),
+    topk AS (
+      SELECT pair_mon, h, in_cur, in_prev FROM (
+        SELECT pair_mon, h, in_cur, in_prev,
+               row_number() OVER (PARTITION BY pair_mon ORDER BY h) AS r
+        FROM members) ranked
+      WHERE r <= {KMV_K}
+    ),
+    st AS (
+      SELECT pair_mon, MAX(h) AS hk,
+             CAST(COUNT(*) AS BIGINT) AS n_minvals,
+             CAST(SUM(in_cur * in_prev) AS BIGINT) AS n_both
+      FROM topk GROUP BY pair_mon
+    )
+    SELECT pair_mon AS mon_n, n_minvals,
+           ROUND(CASE WHEN n_minvals < {KMV_K} THEN CAST(n_minvals AS DOUBLE)
+                      ELSE {KMV_NUM!r} / CAST(hk AS DOUBLE) END, 4)
+             AS est_union_customers,
+           ROUND(CAST(n_both AS DOUBLE) / n_minvals, 4) AS jaccard_est,
+           ROUND((CAST(n_both AS DOUBLE) / n_minvals)
+                 * CASE WHEN n_minvals < {KMV_K} THEN CAST(n_minvals AS DOUBLE)
+                        ELSE {KMV_NUM!r} / CAST(hk AS DOUBLE) END, 4)
+             AS est_repeat_customers
+    FROM st ORDER BY mon_n
+    """,
+)
+def agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV SET ALGEBRA — the composition agg_theta_distinct's family
+    is built for, portable and fully oracled: month-over-month repeat-
+    customer overlap on orders. For each consecutive-month pair the
+    bottom-k of the UNION of the two months' customer-hash sets is a
+    uniform sample of the union, so the fraction of its members
+    present in BOTH months estimates the Jaccard similarity, and
+    jaccard x union-estimate recovers the intersection size (exact
+    when the union fits under k). Membership fan-out is an exact
+    two-way UNION (each month contributes itself as 'current' and
+    month+1 as 'previous' — equi-join against the valid pair list, no
+    range join), and the rank filter plans WindowGroupLimit: map
+    tasks keep O(k) rows per pair. The same composition at 100 TB
+    answers audience-overlap / retention questions from persisted
+    per-period bottom-k summary tables without ever rescanning raw
+    data."""
+    o = load_table(spark, sf_dir, "orders")
+    hx = (
+        spread(o)
+        .select(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("int")
+            .alias("mon_n"),
+            hashing.base_hash60(F.col("o_custkey").cast("string"), "md5").alias(
+                "h"
+            ),
+        )
+        .distinct()
+    )
+    months = hx.select("mon_n").distinct()
+    prev = months.select((F.col("mon_n") + 1).alias("mon_n"))
+    pairs = months.join(F.broadcast(prev), "mon_n").select(
+        F.col("mon_n").alias("pair_mon")
+    )
+    contrib = hx.select(
+        F.col("mon_n").alias("pair_mon"),
+        "h",
+        F.lit(1).alias("is_cur"),
+        F.lit(0).alias("is_prev"),
+    ).unionByName(
+        hx.select(
+            (F.col("mon_n") + 1).alias("pair_mon"),
+            "h",
+            F.lit(0).alias("is_cur"),
+            F.lit(1).alias("is_prev"),
+        )
+    )
+    members = (
+        contrib.join(F.broadcast(pairs), "pair_mon")
+        .groupBy("pair_mon", "h")
+        .agg(F.max("is_cur").alias("in_cur"), F.max("is_prev").alias("in_prev"))
+    )
+    w = Window.partitionBy("pair_mon").orderBy("h")
+    topk = members.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= KMV_K
+    )
+    st = topk.groupBy("pair_mon").agg(
+        F.max("h").alias("hk"),
+        F.count(F.lit(1)).cast("bigint").alias("n_minvals"),
+        F.sum(F.col("in_cur") * F.col("in_prev")).cast("bigint").alias("n_both"),
+    )
+    union_est = F.when(
+        F.col("n_minvals") < KMV_K, F.col("n_minvals").cast("double")
+    ).otherwise(F.lit(KMV_NUM) / F.col("hk").cast("double"))
+    jaccard = F.col("n_both").cast("double") / F.col("n_minvals")
+    return st.select(
+        F.col("pair_mon").alias("mon_n"),
+        "n_minvals",
+        F.round(union_est, 4).alias("est_union_customers"),
+        F.round(jaccard, 4).alias("jaccard_est"),
+        F.round(jaccard * union_est, 4).alias("est_repeat_customers"),
+    ).orderBy("mon_n")
+
+
 ROLLING_DAYS = 7
 
 # The daily user-register summary table — shared by the rolling-window

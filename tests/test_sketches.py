@@ -226,6 +226,63 @@ def test_portable_rho_three_engine_parity(spark):
     assert got == expected
 
 
+def test_quantile_histogram_rank_window(spark):
+    """agg_quantile_histogram: the upper-bucket-edge readout must sit
+    within one grid step above the exact rank-based percentile (the
+    histogram's value-error contract)."""
+    rows = QUERIES["agg_quantile_histogram"](spark, SF).collect()
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    for r in rows:
+        vals = sorted(
+            x.value for x in e.filter(F.col("event_type") == r.event_type).collect()
+        )
+        n = len(vals)
+        assert r.n == n
+        width = (vals[-1] - vals[0]) / 256.0 if vals[-1] > vals[0] else 1.0
+        for p, est in ((0.5, r.p50), (0.9, r.p90), (0.99, r.p99)):
+            exact = vals[min(n - 1, max(0, math.ceil(p * n) - 1))]
+            assert exact - 1e-9 <= est <= exact + width + 1e-6, (
+                r.event_type, p, est, exact, width,
+            )
+
+
+def test_kmv_overlap_matches_python_and_tracks_exact(spark):
+    """agg_kmv_overlap: full pure-Python rebuild of the bottom-k union
+    sketches per month pair (hashlib), plus envelope checks against the
+    exact month-over-month customer overlap."""
+    rows = QUERIES["agg_kmv_overlap"](spark, SF).collect()
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    by_month: dict[int, set[int]] = {}
+    for r in o.select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mon_n"),
+        "o_custkey",
+    ).collect():
+        by_month.setdefault(r.mon_n, set()).add(r.o_custkey)
+    expect_months = sorted(m for m in by_month if m - 1 in by_month)
+    assert [r.mon_n for r in rows] == expect_months
+    for r in rows:
+        cur, prev = by_month[r.mon_n], by_month[r.mon_n - 1]
+        union, inter = cur | prev, cur & prev
+        hashes = sorted((md5_hex60_py(str(k)), k) for k in union)
+        topk = hashes[:KMV_K]
+        assert r.n_minvals == min(KMV_K, len(union))
+        n_both = sum(1 for _, k in topk if k in inter)
+        jacc = n_both / len(topk)
+        assert abs(r.jaccard_est - round(jacc, 4)) <= 1.5e-4
+        if len(union) < KMV_K:
+            assert r.est_union_customers == float(len(union))
+        else:
+            py_union = float((KMV_K - 1) * (1 << 60)) / topk[-1][0]
+            assert abs(r.est_union_customers - round(py_union, 4)) <= 1.5e-4
+            # k=64 -> ~12.7% RSE, 3-sigma envelope on the union size
+            assert abs(r.est_union_customers - len(union)) <= max(
+                3, 0.4 * len(union)
+            )
+        # jaccard of a uniform k-sample: loose absolute envelope
+        exact_j = len(inter) / len(union)
+        assert abs(r.jaccard_est - exact_j) <= 0.2, (r.mon_n, r.jaccard_est, exact_j)
+
+
 def test_hll_summary_roundtrip_matches_python(spark):
     """events_hll_summary_roundtrip: weekly estimates after the
     parquet round trip equal a pure-Python rebuild straight from the
