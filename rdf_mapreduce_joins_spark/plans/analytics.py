@@ -1055,6 +1055,179 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PSI_BINS = 10  # population-stability-index grid (the industry default)
+PSI_SPLIT_DAYS = 15  # reference window = first 15 epoch days of the corpus
+PSI_EPS = 1e-6  # zero-bin guard (standard PSI practice)
+PSI_ALERT = 0.2  # the conventional "significant drift" threshold
+
+
+@query(
+    "dq_drift_psi",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, value,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_n
+      FROM events
+    ),
+    bound AS (SELECT MIN(day_n) + {PSI_SPLIT_DAYS} AS split_day FROM base),
+    parts AS (
+      SELECT event_type, value,
+             CASE WHEN day_n < split_day THEN 0 ELSE 1 END AS part
+      FROM base, bound
+    ),
+    stats AS (
+      SELECT event_type,
+             MIN(CASE WHEN part = 0 THEN value END) AS vmin,
+             MAX(CASE WHEN part = 0 THEN value END) AS vmax,
+             CAST(SUM(CASE WHEN part = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN part = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      FROM parts GROUP BY event_type
+    ),
+    sized AS (
+      SELECT event_type, vmin, n_ref, n_cur,
+             CASE WHEN vmax > vmin THEN (vmax - vmin) / {float(PSI_BINS)!r}
+                  ELSE 1.0 END AS width
+      FROM stats
+    ),
+    cnts AS (
+      SELECT p.event_type, p.part,
+             LEAST(GREATEST(CAST(floor((p.value - s.vmin) / s.width)
+                                 AS INTEGER), 0), {PSI_BINS - 1}) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM parts p JOIN sized s ON p.event_type = s.event_type
+      GROUP BY 1, 2, 3
+    ),
+    dense AS (
+      SELECT s.event_type, s.n_ref, s.n_cur, b.bin,
+             COALESCE(r.cnt, 0) AS ref_cnt,
+             COALESCE(c.cnt, 0) AS cur_cnt
+      FROM sized s
+      CROSS JOIN (SELECT unnest(range(0, {PSI_BINS})) AS bin) b
+      LEFT JOIN cnts r ON r.event_type = s.event_type
+                      AND r.bin = b.bin AND r.part = 0
+      LEFT JOIN cnts c ON c.event_type = s.event_type
+                      AND c.bin = b.bin AND c.part = 1
+    ),
+    terms AS (
+      SELECT event_type, n_ref, n_cur,
+             GREATEST(CAST(ref_cnt AS DOUBLE) / n_ref, {PSI_EPS!r}) AS pr,
+             GREATEST(CAST(cur_cnt AS DOUBLE) / n_cur, {PSI_EPS!r}) AS pc
+      FROM dense
+    )
+    SELECT event_type, n_ref, n_cur,
+           ROUND(SUM((pc - pr) * ln(pc / pr)), 6) AS psi,
+           SUM((pc - pr) * ln(pc / pr)) > {PSI_ALERT!r} AS drifted
+    FROM terms GROUP BY event_type, n_ref, n_cur
+    ORDER BY event_type
+    """,
+)
+def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring (the dq family's temporal member):
+    population stability index of events.value per type between the
+    corpus's first 15-day window (reference, PSI_SPLIT_DAYS) and the
+    rest (current). Equal-width 10-bin grid fixed from the REFERENCE
+    window's min/max (the production shape: the grid is pinned by the
+    reference snapshot, current values clamp into its edge bins),
+    densified to all bins via a 10-row literal cross join so empty
+    bins contribute through the standard epsilon guard, then
+    PSI = sum (pc - pr) * ln(pc / pr). At 100 TB this is two
+    conditional aggregations and a 10-row-per-group window — one scan
+    of each snapshot, no sort; the per-bin count table is itself a
+    persistable summary (counts merge by addition, so daily PSI
+    against a frozen reference never rescans the reference). All
+    arithmetic mirrored expression-for-expression in the oracle."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select("event_type", "value", F.expr("ts_s div 86400").alias("day_n"))
+    bound = base.agg(
+        (F.min("day_n") + PSI_SPLIT_DAYS).alias("split_day")
+    )
+    parts = base.crossJoin(F.broadcast(bound)).select(
+        "event_type",
+        "value",
+        F.when(F.col("day_n") < F.col("split_day"), 0).otherwise(1).alias("part"),
+    )
+    stats = parts.groupBy("event_type").agg(
+        F.min(F.when(F.col("part") == 0, F.col("value"))).alias("vmin"),
+        F.max(F.when(F.col("part") == 0, F.col("value"))).alias("vmax"),
+        F.sum(F.when(F.col("part") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("part") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cur"),
+    )
+    sized = stats.select(
+        "event_type",
+        "vmin",
+        "n_ref",
+        "n_cur",
+        F.when(
+            F.col("vmax") > F.col("vmin"),
+            (F.col("vmax") - F.col("vmin")) / F.lit(float(PSI_BINS)),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("width"),
+    )
+    cnts = (
+        parts.join(F.broadcast(sized.select("event_type", "vmin", "width")), "event_type")
+        .select(
+            "event_type",
+            "part",
+            F.least(
+                F.greatest(
+                    F.floor((F.col("value") - F.col("vmin")) / F.col("width")).cast(
+                        "int"
+                    ),
+                    F.lit(0),
+                ),
+                F.lit(PSI_BINS - 1),
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "part", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    bins = sized.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.explode(F.array(*[F.lit(i) for i in range(PSI_BINS)])).alias("bin"),
+    )
+    ref_c = cnts.filter(F.col("part") == 0).select(
+        "event_type", "bin", F.col("cnt").alias("ref_cnt")
+    )
+    cur_c = cnts.filter(F.col("part") == 1).select(
+        "event_type", "bin", F.col("cnt").alias("cur_cnt")
+    )
+    dense = (
+        bins.join(ref_c, ["event_type", "bin"], "left")
+        .join(cur_c, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            F.greatest(
+                F.coalesce(F.col("ref_cnt"), F.lit(0)).cast("double")
+                / F.col("n_ref"),
+                F.lit(PSI_EPS),
+            ).alias("pr"),
+            F.greatest(
+                F.coalesce(F.col("cur_cnt"), F.lit(0)).cast("double")
+                / F.col("n_cur"),
+                F.lit(PSI_EPS),
+            ).alias("pc"),
+        )
+    )
+    term = F.expr("(pc - pr) * ln(pc / pr)")
+    return (
+        dense.groupBy("event_type", "n_ref", "n_cur")
+        .agg(
+            F.round(F.sum(term), 6).alias("psi"),
+            (F.sum(term) > PSI_ALERT).alias("drifted"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @query(
     "events_rolling_median_counts",
     oracle="""

@@ -250,3 +250,49 @@ def test_zorder_rejects_bit_overflow(spark):
         zorder_value([F.col("x")] * 8, bits=8)
     with pytest.raises(ValueError, match="63"):
         zorder_value([F.col("x"), F.col("y"), F.col("z")], bits=22)
+
+
+def test_dq_drift_psi_matches_python(spark, sf_dir):
+    """dq_drift_psi: full pure-Python PSI rebuild (reference grid,
+    clamped bins, epsilon guard) and sanity of the drift flag."""
+    from rdf_mapreduce_joins_spark.plans.analytics import (
+        PSI_ALERT,
+        PSI_BINS,
+        PSI_EPS,
+        PSI_SPLIT_DAYS,
+    )
+    from rdf_mapreduce_joins_spark.sources.tables import load_table
+
+    rows = QUERIES["dq_drift_psi"](spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", F.expr("ts_s div 86400").alias("day_n")
+    )
+    recs = e.collect()
+    split = min(r.day_n for r in recs) + PSI_SPLIT_DAYS
+    by_type: dict[str, tuple[list, list]] = {}
+    for r in recs:
+        ref, cur = by_type.setdefault(r.event_type, ([], []))
+        (ref if r.day_n < split else cur).append(r.value)
+    assert {r.event_type for r in rows} == set(by_type)
+    for r in rows:
+        ref, cur = by_type[r.event_type]
+        assert (r.n_ref, r.n_cur) == (len(ref), len(cur))
+        vmin, vmax = min(ref), max(ref)
+        width = (vmax - vmin) / PSI_BINS if vmax > vmin else 1.0
+
+        def hist(vals):
+            h = [0] * PSI_BINS
+            for v in vals:
+                h[min(max(int(math.floor((v - vmin) / width)), 0), PSI_BINS - 1)] += 1
+            return h
+
+        hr, hc = hist(ref), hist(cur)
+        psi = sum(
+            (pc - pr) * math.log(pc / pr)
+            for pr, pc in (
+                (max(a / len(ref), PSI_EPS), max(b / len(cur), PSI_EPS))
+                for a, b in zip(hr, hc)
+            )
+        )
+        assert abs(r.psi - round(psi, 6)) <= 2e-6, (r.event_type, r.psi, psi)
+        assert r.drifted == (psi > PSI_ALERT)

@@ -62,6 +62,10 @@ _BOUNDED_BUILD_SIDE_OK = {
     # doc x languages (a handful of rows on the build side) for the
     # smoothed naive-Bayes penalty term.
     "text_lang_id",
+    # 1-row broadcast split-day boundary (min(day_n) + 15) crossJoined
+    # to tag each event reference/current — scalar-subquery shape
+    # again (build side exactly 1 row: a global MIN aggregate).
+    "dq_drift_psi",
 }
 
 
