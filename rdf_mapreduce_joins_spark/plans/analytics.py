@@ -1090,9 +1090,12 @@ PSI_ALERT = 0.2  # the conventional "significant drift" threshold
       FROM stats
     ),
     cnts AS (
+      -- clamp BEFORE the int cast: a current-window outlier far
+      -- outside the reference grid (exactly the drift this monitor
+      -- exists for) must land in the edge bin, not overflow INT32
       SELECT p.event_type, p.part,
-             LEAST(GREATEST(CAST(floor((p.value - s.vmin) / s.width)
-                                 AS INTEGER), 0), {PSI_BINS - 1}) AS bin,
+             CAST(LEAST(GREATEST(floor((p.value - s.vmin) / s.width),
+                                 0.0), {float(PSI_BINS - 1)!r}) AS INTEGER) AS bin,
              CAST(COUNT(*) AS BIGINT) AS cnt
       FROM parts p JOIN sized s ON p.event_type = s.event_type
       GROUP BY 1, 2, 3
@@ -1173,15 +1176,18 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "part",
+            # clamp in LONG (F.floor of a double is LONG, saturating)
+            # BEFORE the int cast — a far-out current-window outlier
+            # must hit the edge bin, never wrap a 32-bit cast
             F.least(
                 F.greatest(
-                    F.floor((F.col("value") - F.col("vmin")) / F.col("width")).cast(
-                        "int"
-                    ),
+                    F.floor((F.col("value") - F.col("vmin")) / F.col("width")),
                     F.lit(0),
                 ),
                 F.lit(PSI_BINS - 1),
-            ).alias("bin"),
+            )
+            .cast("int")
+            .alias("bin"),
         )
         .groupBy("event_type", "part", "bin")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))

@@ -127,7 +127,7 @@ KMV_NUM = float((KMV_K - 1) * (1 << 60))  # (k-1) / (h_k / 2^60), numerator
       FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
     ),
     cells AS (
-      SELECT n_regionkey, c_nationkey, h % 256 AS bucket,
+      SELECT n_regionkey, c_nationkey, h % {sketches.HLL_PORTABLE_M} AS bucket,
              {sketches.hll_portable_rho_sql('h')} AS rho
       FROM hashed
     ),
@@ -520,7 +520,7 @@ _DAILY_REGISTERS_SQL = f"""ev AS (
       FROM events
     ),
     cells AS (
-      SELECT day_n, h % 256 AS bucket,
+      SELECT day_n, h % {sketches.HLL_PORTABLE_M} AS bucket,
              {sketches.hll_portable_rho_sql('h')} AS rho
       FROM ev
     ),
@@ -532,19 +532,14 @@ _DAILY_REGISTERS_SQL = f"""ev AS (
 def _daily_user_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of ``_DAILY_REGISTERS_SQL``: per-(epoch-day, bucket)
     portable HLL registers of the events user stream — at most
-    #days x 256 rows, the persistable cross-engine summary table."""
+    #days x 256 rows, the persistable cross-engine summary table.
+    Register arithmetic comes from the one shared implementation
+    (operators/sketches.hll_portable_cols — value parity with the
+    oracle's rho SQL pinned by the three-engine probe test)."""
     e = load_table(spark, sf_dir, "events")
-    ev = spread(e).select(
+    cells = spread(e).select(
         F.expr("ts_s div 86400").alias("day_n"),
-        hashing.base_hash60(F.col("user_id").cast("string"), "md5").alias("h"),
-    )
-    cells = ev.select(
-        "day_n",
-        F.pmod("h", F.lit(256)).cast("int").alias("bucket"),
-        F.expr(
-            sketches.hll_portable_rho_sql("h")
-            .replace("//", "div")  # Spark SQL integer division spelling
-        ).alias("rho"),
+        *sketches.hll_portable_cols("user_id", hash_family="md5"),
     )
     return cells.groupBy("day_n", "bucket").agg(F.max("rho").alias("reg"))
 

@@ -277,6 +277,16 @@ def test_dq_drift_psi_matches_python(spark, sf_dir):
     for r in rows:
         ref, cur = by_type[r.event_type]
         assert (r.n_ref, r.n_cur) == (len(ref), len(cur))
+        if not ref:
+            # a type born after the reference window: NULL grid ->
+            # every current row clamps to bin 0 (GREATEST skips the
+            # NULL on both engines), pr = epsilon everywhere, so
+            # psi ~= ln(1/eps) and the type flags as drifted — the
+            # right signal for a brand-new population. Pin it.
+            expected = (1.0 - PSI_EPS) * math.log(1.0 / PSI_EPS)
+            assert abs(r.psi - round(expected, 6)) <= 2e-6
+            assert r.drifted
+            continue
         vmin, vmax = min(ref), max(ref)
         width = (vmax - vmin) / PSI_BINS if vmax > vmin else 1.0
 
