@@ -1118,8 +1118,15 @@ PSI_ALERT = 0.2  # the conventional "significant drift" threshold
       FROM dense
     )
     SELECT event_type, n_ref, n_cur,
-           ROUND(SUM((pc - pr) * ln(pc / pr)), 6) AS psi,
-           SUM((pc - pr) * ln(pc / pr)) > {PSI_ALERT!r} AS drifted
+           -- each term snaps to 1e-12 fixed point BEFORE the sum, so
+           -- the 10-term accumulation is exact integer arithmetic —
+           -- immune to summation order on both engines (events_ewma
+           -- pattern); terms are <= ~14, so <= 1.4e13 per term and
+           -- <= 1.4e14 per sum: comfortably BIGINT
+           ROUND(SUM(CAST(round((pc - pr) * ln(pc / pr) * 1e12)
+                          AS BIGINT)) / 1e12, 6) AS psi,
+           SUM(CAST(round((pc - pr) * ln(pc / pr) * 1e12)
+                    AS BIGINT)) / 1e12 > {PSI_ALERT!r} AS drifted
     FROM terms GROUP BY event_type, n_ref, n_cur
     ORDER BY event_type
     """,
@@ -1223,12 +1230,15 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pc"),
         )
     )
-    term = F.expr("(pc - pr) * ln(pc / pr)")
+    # 1e-12 fixed-point term snap -> exact integer sum (order-immune
+    # on both engines; see the oracle's comment)
+    term_fp = F.expr("cast(round((pc - pr) * ln(pc / pr) * 1e12) as bigint)")
+    psi = F.sum(term_fp) / F.lit(1e12)
     return (
         dense.groupBy("event_type", "n_ref", "n_cur")
         .agg(
-            F.round(F.sum(term), 6).alias("psi"),
-            (F.sum(term) > PSI_ALERT).alias("drifted"),
+            F.round(psi, 6).alias("psi"),
+            (psi > PSI_ALERT).alias("drifted"),
         )
         .orderBy("event_type")
     )
