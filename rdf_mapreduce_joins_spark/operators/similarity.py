@@ -3,8 +3,20 @@
 Brute-force cosine top-k as the exactness baseline, and a random-
 hyperplane LSH bucketed variant as the scale path. Both are pure
 DataFrame plans: the dot products run as JVM higher-order functions
-(``zip_with`` + ``aggregate``) inside whole-stage codegen — no Python
-worker in the loop.
+(``zip_with`` + ``aggregate``) — no Python worker in the loop.
+
+MEASURED NEGATIVE RESULT (round 6, don't re-try): replacing the
+higher-order ``_assign_expr`` with fully-unrolled per-dim arithmetic
+(64 getItem+sub+mul chains per centroid, whole-stage-codegen-able)
+was ~1.8x SLOWER on Spark 4.1 (0.80 s vs 1.41 s steady-state for
+assign+agg over 200k x 64-dim rows, bit-identical assignments) — the
+HOF evaluator beats a 2000-node codegen'd expression here. Likewise a
+columnar d x avg(v[i]) Lloyd mean was ~1.6x slower than the
+posexplode form (3.0 s vs 1.9 s train at fixture scale). The
+remaining ivf_train wall is per-job fixed overhead (seed collect +
+one collect per Lloyd round on a 5000-row fixture), which amortizes
+to noise at real corpus sizes — see BASELINE.md "Round-6 IVF-pair
+host-drift note".
 
 Scale posture (100 TB / 10^9 vectors): brute force is O(N·d) per query
 — fine for one-off queries over partitions, wrong for query *sets*; the
