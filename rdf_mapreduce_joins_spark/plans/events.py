@@ -327,9 +327,13 @@ EWMA_ALPHA = 0.3
     # Promoted from rows-only (VERDICT r2 #8 / r3 #6): DuckDB's WITH
     # RECURSIVE replays the same s_t = α·x_t + (1-α)·s_{t-1} double
     # recursion step-by-step (pandas ewm(adjust=False) is bit-identical
-    # to the plain recursion — verified), and round_even(…, 4) mirrors
-    # numpy's half-to-even .round(4) exactly (DuckDB ROUND is
-    # half-away — the one-ulp trap).
+    # to the plain recursion — verified). The final snap is mirrored
+    # IEEE arithmetic (floor(s*1e4 + 0.5)/1e4) on BOTH engines, not an
+    # engine round function: the round-6 full-sweep at sf0.1 caught
+    # s = 43.50675 where numpy's binary-faithful .round(4) gave
+    # 43.5067 but DuckDB's decimal-midpoint round_even gave 43.5068 —
+    # engine rounding functions disagree exactly on
+    # shortest-repr-midpoint doubles, mirrored floor arithmetic cannot.
     oracle=f"""
     WITH RECURSIVE seq AS (
       SELECT user_id, event_id,
@@ -347,7 +351,8 @@ EWMA_ALPHA = 0.3
              {EWMA_ALPHA} * q.value + {1 - EWMA_ALPHA} * e.s
       FROM ew e JOIN seq q ON q.user_id = e.user_id AND q.rn = e.rn + 1
     )
-    SELECT user_id, event_id, ts_s, round_even(s, 4) AS ewma FROM ew
+    SELECT user_id, event_id, ts_s,
+           floor(s * 10000.0 + 0.5) / 10000.0 AS ewma FROM ew
     """,
 )
 def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,9 +363,13 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ACROSS users — exactly applyInPandas's contract: one shuffle on
     user_id, one Arrow batch per user, vectorized pandas ewm inside.
     Hash-oracled via a DuckDB recursive CTE replaying the identical
-    double recursion (rounding pinned half-to-even on both sides);
-    tests additionally pin equality with a hand-rolled Python
-    recursion and a partitioning-invariance check."""
+    double recursion, with the final 4-decimal snap as mirrored
+    floor(s*1e4 + 0.5)/1e4 IEEE arithmetic on both engines (see the
+    oracle comment — engine round functions disagree on
+    shortest-repr-midpoint doubles); tests additionally pin equality
+    with a hand-rolled Python recursion and a partitioning-invariance
+    check."""
+    import numpy as np
     import pandas as pd
 
     e = load_table(spark, sf_dir, "events").select(
@@ -369,9 +378,8 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts_s", "event_id"])
-        pdf["ewma"] = (
-            pdf["value"].ewm(alpha=EWMA_ALPHA, adjust=False).mean().round(4)
-        )
+        s = pdf["value"].ewm(alpha=EWMA_ALPHA, adjust=False).mean().to_numpy()
+        pdf["ewma"] = np.floor(s * 10000.0 + 0.5) / 10000.0
         return pdf[["user_id", "event_id", "ts_s", "ewma"]]
 
     return e.groupBy("user_id").applyInPandas(

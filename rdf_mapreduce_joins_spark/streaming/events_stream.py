@@ -506,8 +506,11 @@ class _EwmaStatefulProcessor:
                 "user_id": np.full(len(batch), user_id, dtype="int64"),
                 "event_id": batch["event_id"].to_numpy(),
                 "ts_s": batch["ts_s"].to_numpy(),
-                # numpy half-to-even, matching the batch twin exactly
-                "ewma": np.round(np.array(out, dtype="float64"), 4),
+                # mirrored floor snap, matching the batch twin exactly
+                # (engine round functions disagree on shortest-repr
+                # midpoints — see events_ewma's oracle comment)
+                "ewma": np.floor(np.array(out, dtype="float64") * 10000.0 + 0.5)
+                / 10000.0,
             }
         )
 

@@ -680,15 +680,20 @@ def test_ewma_matches_python_recursion(spark, sf_dir):
     by_user: dict = {}
     for r in rows:
         by_user.setdefault(r.user_id, []).append((r.ts_s, r.event_id, r.value))
+    import math
+
     want = {}
     for u, seq in by_user.items():
         s = None
         for ts_s, eid, v in sorted(seq):
             s = v if s is None else EWMA_ALPHA * v + (1 - EWMA_ALPHA) * s
-            want[(u, eid)] = round(s, 4)
+            # the engine/oracle snap: mirrored floor IEEE arithmetic,
+            # NOT an engine round function (see events_ewma's oracle
+            # comment — they disagree on shortest-repr midpoints)
+            want[(u, eid)] = math.floor(s * 10000.0 + 0.5) / 10000.0
     assert len(got) == len(want)
     for k, v in want.items():
-        assert abs(got[k] - v) < 1e-9, (k, got[k], v)
+        assert got[k] == v, (k, got[k], v)
 
 
 def test_ivf_train_small_corpus_clamps_centroids(spark):
