@@ -388,3 +388,52 @@ def test_kmv_bottom_k_merge_law(a, b):
     direct = sorted(set(ha) | set(hb))[:KMV_K]
     merged = sorted(set(ha[:KMV_K]) | set(hb[:KMV_K]))[:KMV_K]
     assert merged == direct
+
+
+@settings(max_examples=50, deadline=None)
+@given(dim=key_sets, fact=key_sets)
+def test_bloom_bitpack_no_false_negatives(dim, fact):
+    """The bloom BIT-PACKING arithmetic (join_bloom_prefilter's
+    position -> 60-bit-word/bit encode + shift/mask test, pure
+    Python): every inserted key must pass the membership test — the
+    packing, not the hash, is what could break this."""
+    from rdf_mapreduce_joins_spark.operators.hashing import md5_hex60_py
+    from rdf_mapreduce_joins_spark.plans.relational import (
+        BLOOM_K,
+        BLOOM_M,
+        BLOOM_WORD_BITS,
+    )
+
+    words: dict[int, int] = {}
+    for key in set(dim):
+        for i in range(BLOOM_K):
+            p = md5_hex60_py(f"{i}:{key}") % BLOOM_M
+            w, b = p // BLOOM_WORD_BITS, p % BLOOM_WORD_BITS
+            words[w] = words.get(w, 0) | (1 << b)
+    assert all(bits < (1 << 63) for bits in words.values())  # sign-safe
+
+    def member(key):
+        for i in range(BLOOM_K):
+            p = md5_hex60_py(f"{i}:{key}") % BLOOM_M
+            if not (words.get(p // BLOOM_WORD_BITS, 0) >> (p % BLOOM_WORD_BITS)) & 1:
+                return False
+        return True
+
+    for key in set(dim):
+        assert member(key)  # the no-false-negative law
+    for key in set(fact) - set(dim):
+        # false positives allowed; a rejected key must genuinely miss
+        # at least one bit (re-derive to guard the test itself)
+        if not member(key):
+            missing = [
+                i
+                for i in range(BLOOM_K)
+                if not (
+                    words.get(
+                        (md5_hex60_py(f"{i}:{key}") % BLOOM_M) // BLOOM_WORD_BITS, 0
+                    )
+                    >> ((md5_hex60_py(f"{i}:{key}") % BLOOM_M) % BLOOM_WORD_BITS)
+                )
+                & 1
+            ]
+            assert missing

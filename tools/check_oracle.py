@@ -5,7 +5,12 @@ given scale factor, then compares row count, column names, and an
 order-insensitive value hash. Usage:
 
     python tools/check_oracle.py [sf_dir] [query ...]
-"""
+    python tools/check_oracle.py --all-sf [query ...]
+
+``--all-sf`` sweeps sf0.001, sf0.01 AND sf0.1 in one session — the
+multi-scale certification (the driver gates only sf0.01; the round-6
+sf0.1 sweep is what caught the events_ewma rounding-midpoint trap, so
+run this after touching any oracle's float/LIMIT/cap arithmetic)."""
 
 from __future__ import annotations
 
@@ -52,12 +57,30 @@ def value_hash(rows, cols):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    if args and args[0] == "--all-sf":
+        only = set(args[1:])
+        spark = get_spark("check-oracle")
+        total_fail = 0
+        for sf in ("sf0.001", "sf0.01", "sf0.1"):
+            sf_dir = f"/root/testdata/{sf}"
+            print(f"=== {sf_dir}")
+            p, f = run_sf(spark, sf_dir, only)
+            print(f"{sf}: {p} pass, {f} fail\n")
+            total_fail += f
+        return 1 if total_fail else 0
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    spark = get_spark("check-oracle")
+    n_pass, n_fail = run_sf(spark, sf_dir, only)
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+def run_sf(spark, sf_dir: str, only: set[str]) -> tuple[int, int]:
     # Lazy oracles (data-derived literals, e.g. PCA components) must be
     # resolved against the SAME fixture the DuckDB views read.
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
-    spark = get_spark("check-oracle")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -113,8 +136,8 @@ def main() -> int:
         else:
             print(f"PASS {name}: {len(srows)} rows [{spark_s:.1f}s]")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
-    return 1 if n_fail else 0
+    con.close()
+    return n_pass, n_fail
 
 
 if __name__ == "__main__":
