@@ -200,9 +200,14 @@ class TestDriverPriorityOrder:
         assert order[:2] == ["q7", "q25"]
 
     def test_live_fingerprints_cover_registry(self):
-        """The committed fingerprint file must track the live registry:
-        every recorded name exists, and any name with driver history has
-        a fingerprint (else a rewrite of it is invisible)."""
+        """The committed fingerprint file must equal the live registry
+        (VERDICT r6 #1 design fix): every registered query is stamped at
+        registration (``tools/refresh_fingerprints.py`` default mode),
+        so an incoming CORRECTNESS file can never orphan a name and open
+        a round red. Coverage no longer keys on driver history at all —
+        the gap this test guards can only appear at COMMIT time (a new
+        ``@query`` without a refresh run), where this very test catches
+        it locally."""
         import json as _json
         import os as _os
 
@@ -213,10 +218,13 @@ class TestDriverPriorityOrder:
         )
         recorded = _json.load(open(path))
         qs = entrymod.queries()
-        assert set(recorded) <= set(qs)
-        ever, _ = entrymod._driver_history()
-        missing = [n for n in qs if n in ever and n not in recorded]
-        assert not missing, f"verified-but-unfingerprinted: {missing}"
+        stale = set(recorded) - set(qs)
+        assert not stale, f"fingerprinted-but-unregistered: {sorted(stale)}"
+        missing = [n for n in qs if n not in recorded]
+        assert not missing, (
+            f"registered-but-unfingerprinted: {missing} — run "
+            "python tools/refresh_fingerprints.py before committing"
+        )
 
     def test_first_50_covers_fails_and_unchecked_now(self):
         """With the REAL committed CORRECTNESS files: every recorded

@@ -59,12 +59,19 @@ def main() -> int:
             added += n not in recorded
         elif n in recorded:
             out[n] = recorded[n]
-        elif n in ever:
-            # historical row, never fingerprinted: stamp current as the
-            # best available approximation of "as verified"
+        else:
+            # Never fingerprinted (new registration, or a historical row
+            # that predates the mechanism): stamp the CURRENT fingerprint.
+            # Registration-time stamping (VERDICT r6 #1) makes the file a
+            # superset of the registry at all times, so a CORRECTNESS file
+            # landing after close can never orphan a name and open the
+            # next round red. Harmless for never-verified names: they are
+            # tier-2 via driver history regardless of fingerprint, and
+            # when their first driver row arrives the stamped fingerprint
+            # already equals the code the driver ran (close HEAD).
             out[n] = fp
             added += 1
-        # else: never verified — leave absent; history puts it tier 2
+    _ = ever  # history retained for future modes; coverage no longer keys on it
     dropped = len([n for n in recorded if n not in QUERIES])
     with open(PATH, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
