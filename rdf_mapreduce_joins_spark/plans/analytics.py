@@ -17,6 +17,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rdf_mapreduce_joins_spark.operators.layout import zorder_sql, zorder_value
+from rdf_mapreduce_joins_spark.operators.ranking import (
+    bucketed_global_rank,
+    ntile_from_rank,
+)
 from rdf_mapreduce_joins_spark.plans.registry import query
 from rdf_mapreduce_joins_spark.sources.tables import load_table
 
@@ -781,6 +785,7 @@ def scalar_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RFM_ASOF = "2001-09-01"
+RFM_MONETARY_BUCKET_CENTS = 1_000_000  # $10k-wide rank buckets
 
 
 @query(
@@ -808,15 +813,22 @@ RFM_ASOF = "2001-09-01"
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (the CRM workhorse): per customer, days since
     last order (vs a fixed as-of date), order count, and lifetime
-    integer-cents revenue, each scored into quintiles with ntile(5).
-    Best quintile = 1 on every axis (recent / frequent / big
-    spenders). All three orderings carry the custkey tiebreak, so
-    quintile assignment is deterministic and engine-identical. The
-    ntile windows are global by definition (a quintile IS a global
-    rank bucket) but run over the per-customer AGGREGATE frame —
-    customers, not orders — and at warehouse scale the same scores
-    come from two-pass percentile boundaries instead; the aggregate
-    stays one shuffle on o_custkey."""
+    integer-cents revenue, each scored into quintiles. Best quintile =
+    1 on every axis (recent / frequent / big spenders). All three
+    orderings carry the custkey tiebreak, so quintile assignment is
+    deterministic and engine-identical (the oracle keeps the literal
+    ntile(5) windows).
+
+    Scale shape (VERDICT r6 #2): a global ntile window would sort the
+    ENTIRE customer aggregate in one task — fatal at 10^8 customers.
+    Instead each axis gets an exact global rank from the two-level
+    bucketed prefix pattern (operators/ranking.py), then ntile is
+    reconstructed by integer arithmetic from (rank, N). Bucket spines
+    are bounded by VALUE DOMAINS, not customer count: recency_days by
+    the order-date range (~2.5k days), frequency by orders-per-customer
+    (SF-invariant in TPC-H, O(50)), monetary by $10k-wide cents ranges
+    over the bounded per-customer lifetime spend. The only
+    unpartitioned windows run over those bucket summaries."""
     o = load_table(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
         F.datediff(
@@ -829,17 +841,37 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("monetary_cents"),
     )
-    wr = Window.orderBy("recency_days", "o_custkey")
-    wf = Window.orderBy(F.col("frequency").desc(), "o_custkey")
-    wm = Window.orderBy(F.col("monetary_cents").desc(), "o_custkey")
+    # Referenced by the scalar-count frame and three rank passes —
+    # materialize the aggregate once instead of re-scanning orders.
+    rfm = rfm.localCheckpoint(eager=False)
+    n = rfm.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    rfm = rfm.crossJoin(F.broadcast(n))
+    rfm = bucketed_global_rank(
+        rfm,
+        F.col("recency_days"),
+        [F.asc("recency_days"), F.asc("o_custkey")],
+        "_r_rank",
+    )
+    rfm = bucketed_global_rank(
+        rfm,
+        (-F.col("frequency")).cast("bigint"),
+        [F.desc("frequency"), F.asc("o_custkey")],
+        "_f_rank",
+    )
+    rfm = bucketed_global_rank(
+        rfm,
+        F.expr(f"-(monetary_cents DIV {RFM_MONETARY_BUCKET_CENTS})"),
+        [F.desc("monetary_cents"), F.asc("o_custkey")],
+        "_m_rank",
+    )
     return rfm.select(
         "o_custkey",
         "recency_days",
         "frequency",
         "monetary_cents",
-        F.ntile(5).over(wr).cast("bigint").alias("r_score"),
-        F.ntile(5).over(wf).cast("bigint").alias("f_score"),
-        F.ntile(5).over(wm).cast("bigint").alias("m_score"),
+        ntile_from_rank("_r_rank", "_n", 5).alias("r_score"),
+        ntile_from_rank("_f_rank", "_n", 5).alias("f_score"),
+        ntile_from_rank("_m_rank", "_n", 5).alias("m_score"),
     )
 
 

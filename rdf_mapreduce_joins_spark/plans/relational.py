@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from rdf_mapreduce_joins_spark.operators.ranking import bucketed_running_sum
 from rdf_mapreduce_joins_spark.plans.registry import query
 from rdf_mapreduce_joins_spark.sources.tables import load_table
 
@@ -1828,6 +1829,9 @@ def orders_monthly_trend_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ABC_REVENUE_BUCKET_CENTS = 100_000  # $1k-wide prefix-sum buckets
+
+
 @query(
     "lineitem_abc_pareto",
     oracle="""
@@ -1859,25 +1863,35 @@ def lineitem_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cross-multiplication (cum*100 <= total*80) — no division,
     no float, no rounding-mode exposure at the class boundary. The
     running sum orders by (revenue DESC, partkey) — a total order, so
-    equal-revenue parts class deterministically. The unpartitioned
-    window runs on the per-part aggregate (|parts| rows), not on
-    lineitem."""
+    equal-revenue parts class deterministically.
+
+    Scale shape (VERDICT r6 #2): the cumulative sum runs as the
+    two-level bucketed prefix pattern (operators/ranking.py) instead of
+    one global window over the full part spine — per-part revenue is
+    SF-invariant in TPC-H (~30 lineitems/part), so $1k-wide cents
+    buckets give a value-domain-bounded spine (~few thousand buckets)
+    no matter how many parts exist; only the bucket summary crosses a
+    single task. total_cents is a 1-row global aggregate broadcast
+    back (the tpch_q11 scalar-subquery shape)."""
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
         .cast("bigint")
         .alias("revenue_cents")
     )
-    w_cum = Window.orderBy(F.desc("revenue_cents"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # Referenced by the scalar-total frame and both prefix passes —
+    # materialize the per-part aggregate once.
+    rev = rev.localCheckpoint(eager=False)
+    tot = rev.groupBy().agg(
+        F.sum("revenue_cents").cast("bigint").alias("total_cents")
     )
-    w_all = Window.partitionBy()
-    ranked = rev.select(
-        "l_partkey",
+    ranked = bucketed_running_sum(
+        rev,
+        F.expr(f"-(revenue_cents DIV {ABC_REVENUE_BUCKET_CENTS})"),
+        [F.desc("revenue_cents"), F.asc("l_partkey")],
         "revenue_cents",
-        F.sum("revenue_cents").over(w_cum).alias("cum_cents"),
-        F.sum("revenue_cents").over(w_all).alias("total_cents"),
-    )
+        "cum_cents",
+    ).crossJoin(F.broadcast(tot))
     return ranked.select(
         "l_partkey",
         "revenue_cents",

@@ -66,7 +66,76 @@ _BOUNDED_BUILD_SIDE_OK = {
     # to tag each event reference/current — scalar-subquery shape
     # again (build side exactly 1 row: a global MIN aggregate).
     "dq_drift_psi",
+    # 1-row broadcast global COUNT(*) (the ntile N) / SUM (the Pareto
+    # total) crossJoined back — scalar-subquery shape again, introduced
+    # by the VERDICT r6 #2 de-scale-kill of their global windows.
+    "customer_rfm_segments",
+    "lineitem_abc_pareto",
 }
+
+
+# Unpartitioned-window sanction list (VERDICT r6 #2): a Window with no
+# PARTITION BY sorts its whole input in ONE task. Allowed ONLY over
+# spines bounded by a VALUE DOMAIN (never by a dimension's row count);
+# each entry documents the spine and its bound. Every query absent from
+# this dict must plan ZERO unpartitioned windows.
+_UNPARTITIONED_WINDOW_SPINES = {
+    # three bucket-summary cumulative counts (operators/ranking.py):
+    # recency-day domain (~2.5k days), orders-per-customer domain
+    # (SF-invariant, O(50)), $10k-wide lifetime-cents buckets (O(100)).
+    "customer_rfm_segments": 3,
+    # one bucket-summary cumulative sum: $1k-wide per-part revenue
+    # buckets — per-part revenue is SF-invariant (~30 lineitems/part).
+    "lineitem_abc_pareto": 1,
+    # per-bucket maxima frame, #buckets = price domain / 200.
+    "parts_pareto_skyline": 1,
+    # per-month spine (~80 months in the order-date domain).
+    "orders_monthly_trend_yoy": 1,
+    # per-day sketch frame (one HLL row per day in the event range).
+    "events_rolling_distinct_hll": 1,
+}
+
+
+def _unpartitioned_windows(df) -> int:
+    """Count logical Window nodes with an empty partitionSpec (the
+    shapes behind Spark's 'No Partition Defined' warning), via a py4j
+    walk of the optimized plan — AQE-independent."""
+    n = 0
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+        ):
+            n += 1
+        kids = node.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+    return n
+
+
+@pytest.mark.parametrize("name", sorted(_UNPARTITIONED_WINDOW_SPINES))
+def test_sanctioned_unpartitioned_window_counts(spark, sf_dir, name):
+    """The sanctioned queries must carry EXACTLY their documented
+    bounded-spine window count — a regression that re-introduces a
+    full-frame global window shows up as count+1 here."""
+    df = entrymod.queries()[name](spark, sf_dir)
+    assert _unpartitioned_windows(df) == _UNPARTITIONED_WINDOW_SPINES[name]
+
+
+def test_unpartitioned_windows_sanctioned(spark, sf_dir):
+    """No UNSANCTIONED query may plan an unpartitioned window at all:
+    anything new must either partition or argue a value-domain bound
+    here. One sweep over the registry (plan-only, nothing executes)."""
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        if name in _UNPARTITIONED_WINDOW_SPINES:
+            continue
+        n = _unpartitioned_windows(fn(spark, sf_dir))
+        if n:
+            offenders[name] = n
+    assert not offenders, f"unsanctioned single-task windows: {offenders}"
 
 
 @pytest.mark.parametrize("name", _NO_CARTESIAN)

@@ -14,6 +14,14 @@ arrives (HEAD is then the code the driver just verified):
 
     python tools/refresh_fingerprints.py            # update newly-verified names
     python tools/refresh_fingerprints.py --all      # stamp every name (init)
+    python tools/refresh_fingerprints.py --add-only # MID-ROUND: stamp only
+                                                    # newly-registered names
+
+``--add-only`` is the safe mid-round mode: after the round-start run,
+code edits move HEAD away from what the driver verified, so re-stamping
+latest-correctness names would hide an edited query from the sampler's
+re-prove tier. It touches nothing but registry names missing from the
+file (registration-time stamping, VERDICT r6 #1).
 
 Default mode updates only names with a row in the NEWEST correctness
 file (they were just verified at ~HEAD) and adds missing entries for
@@ -38,6 +46,7 @@ PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "query_fingerpri
 
 def main() -> int:
     stamp_all = "--all" in sys.argv
+    add_only = "--add-only" in sys.argv
     try:
         with open(PATH) as fh:
             recorded = json.load(fh)
@@ -53,7 +62,7 @@ def main() -> int:
     out: dict[str, str] = {}
     for n, fn in QUERIES.items():
         fp = entrymod._source_fingerprint(fn, ORACLES.get(n))
-        if stamp_all or n in latest_names:
+        if (stamp_all or n in latest_names) and not (add_only and n in recorded):
             out[n] = fp
             updated += n in recorded
             added += n not in recorded
