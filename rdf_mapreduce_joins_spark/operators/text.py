@@ -115,11 +115,15 @@ def rolling_hash(
     )
 
 
+LANGID_BROADCAST_MAX_PROFILE_ROWS = 2_000_000
+
+
 def language_id(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     label_col: str = "lang",
+    broadcast_max_profile_rows: int = LANGID_BROADCAST_MAX_PROFILE_ROWS,
 ) -> DataFrame:
     """Corpus-trained naive-Bayes language identifier over word
     unigrams.
@@ -139,15 +143,30 @@ def language_id(
         Σ_seen ln(count+1)  −  n_d · ln(count(L) + V)
 
     (ln(0+1) = 0 for unseen tokens), so the seen part stays a sparse
-    join against the tiny broadcast profile and the penalty rides the
-    per-(doc, lang) frame — no dense doc×vocab join. The candidate
-    frame is doc × languages (label-domain-bounded broadcast).
+    join against the profile and the penalty rides the per-(doc, lang)
+    frame — no dense doc×vocab join. The candidate frame is
+    doc × languages (label-domain-bounded broadcast).
     Output: (id, lang, lang_pred, score). Deterministic: ties break on
-    lang ascending."""
+    lang ascending.
+
+    Scale posture (VERDICT r6 #3): the (lang, tok) profile is
+    corpus-trained, so on an open-web corpus its vocabulary is NOT
+    broadcast-sized. One 1-row probe aggregate computes BOTH the
+    profile row count and the vocabulary size (folding the former
+    separate distinct-count job); the profile joins via broadcast only
+    when it fits under ``broadcast_max_profile_rows``, else the same
+    join runs as an ordinary shuffle equi-join on ``tok`` — identical
+    results either way (gate = physical strategy only, mirroring the
+    Jaccard hub-cap skew probe pattern in plans/llm.py)."""
     toks = spread(docs).select(
         F.col(id_col), F.col(label_col), F.explode(tokens(text_col)).alias("tok")
     ).filter(F.col("tok") != "")
-    vocab_size = toks.select("tok").distinct().count()
+    stats = toks.agg(
+        F.count_distinct(F.col(label_col), F.col("tok")).alias("profile_rows"),
+        F.count_distinct(F.col("tok")).alias("vocab"),
+    ).collect()[0]
+    vocab_size = stats["vocab"]
+    profile_fits = stats["profile_rows"] <= broadcast_max_profile_rows
     lang_totals = toks.groupBy(label_col).agg(F.count(F.lit(1)).alias("lang_n"))
     profile = (
         toks.groupBy(label_col, "tok")
@@ -163,7 +182,7 @@ def language_id(
     )
     seen = (
         toks.select(id_col, "tok")
-        .join(F.broadcast(profile), on="tok")
+        .join(F.broadcast(profile) if profile_fits else profile, on="tok")
         .groupBy(id_col, "cand_lang")
         .agg(F.sum("lnum").alias("seen_ll"))
     )

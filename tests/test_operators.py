@@ -170,6 +170,22 @@ def test_language_id_recovers_separable_langs(spark):
     assert all(r.lang_pred == r.lang for r in out)
 
 
+def test_language_id_shuffle_route_matches_broadcast(spark):
+    """VERDICT r6 #3: the profile-size gate changes only the physical
+    join strategy. Force the shuffle route with a 0-row threshold and
+    require bit-identical output to the broadcast route."""
+    rows = []
+    for i in range(12):
+        rows.append((i, "alpha beta gamma delta", "aa"))
+        rows.append((100 + i, "uno dos tres cuatro", "bb"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    bcast = sorted(map(tuple, text.language_id(df).collect()))
+    shuf = sorted(
+        map(tuple, text.language_id(df, broadcast_max_profile_rows=0).collect())
+    )
+    assert bcast == shuf
+
+
 def test_word_ngrams(spark):
     df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     grams = df.select(text.word_ngrams("text", 2).alias("g")).head().g
