@@ -1,0 +1,71 @@
+"""Heavy-tail scaling spot-bench (VERDICT r6 #5): time a query subset
+at two scale factors and print the wall-clock scaling ratio — the
+measured counterpart to the plan-shape audits in tests/test_plans.py.
+
+Usage:
+    python tools/spot_bench.py [--reps N] [query ...]
+
+Defaults to the VERDICT r6 heavy-tail set over sf0.1 and the
+replica-scaled sf1 (tools/make_scaled_sf.py). Prints one JSON line:
+{"sf0.1": {...}, "sf1": {...}, "ratio": {...}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rdf_mapreduce_joins_spark import get_spark  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+DEFAULT_QUERIES = [
+    "rdf_pagerank",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_components",
+    "rdf_triangle_count",
+    "agg_kmv_overlap",
+]
+SF_DIRS = {
+    "sf0.1": "/root/testdata/sf0.1",
+    "sf1": "/root/repo/.scaledata/sf1",
+}
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    reps = 2
+    if args[:1] == ["--reps"]:
+        reps = int(args[1])
+        args = args[2:]
+    names = args or DEFAULT_QUERIES
+    spark = get_spark("spot-bench")
+    qs = entrymod.queries()
+    out: dict[str, dict[str, float]] = {}
+    for sf, sf_dir in SF_DIRS.items():
+        times: dict[str, float] = {}
+        for name in names:
+            best = None
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                t = round(time.perf_counter() - t0, 2)
+                best = t if best is None else min(best, t)
+            times[name] = best
+            print(f"{sf} {name}: {best}s", file=sys.stderr)
+        out[sf] = times
+    out["ratio"] = {
+        n: round(out["sf1"][n] / out["sf0.1"][n], 2) for n in names
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
