@@ -133,6 +133,7 @@ def minhash_lsh_pairs(
     round_digits: int = 4,
     max_bucket_size: int | None = 10_000,
     hash_family: str = "xxhash64",
+    probe: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs from banded LSH, with the signature-
     estimated Jaccard. Pair (d1 < d2) appears once regardless of how
@@ -145,7 +146,16 @@ def minhash_lsh_pairs(
     and only ever ADDS candidates, never drops a true pair), or the
     exact ``:``-joined value string in the md5 family (collision-free
     and engine-portable, so the DuckDB oracle joins on the identical
-    key)."""
+    key).
+
+    ``probe``: the INCREMENTAL shape. A signatures-shaped frame (must
+    be a subset of ``signatures``, e.g. the new batch); only pairs with
+    at least one ``probe`` endpoint are generated, by joining the
+    probe's band entries against the full band index instead of
+    self-joining the index — the candidate-generation cost scales with
+    the BATCH, not the corpus. Bucket capping stays on the index side
+    (full bucket population), so the emitted pair set equals the
+    from-scratch run's pairs restricted to probe-touching pairs."""
     num_perm = bands * rows_per_band
 
     def bucket_key(b: int) -> F.Column:
@@ -167,14 +177,36 @@ def minhash_lsh_pairs(
         F.col(id_col), F.explode(band_entries).alias("e")
     ).select(id_col, F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
     buckets = _cap_buckets(buckets, ["band", "bh"], max_bucket_size)
-    left = buckets.select(F.col(id_col).alias("d1"), "band", "bh")
-    right = buckets.select(F.col(id_col).alias("d2"), "band", "bh")
-    cand = (
-        left.join(right, on=["band", "bh"])
-        .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2")
-        .distinct()
-    )
+    if probe is None:
+        left = buckets.select(F.col(id_col).alias("d1"), "band", "bh")
+        right = buckets.select(F.col(id_col).alias("d2"), "band", "bh")
+        cand = (
+            left.join(right, on=["band", "bh"])
+            .filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2")
+            .distinct()
+        )
+    else:
+        # Probe entries need no cap pass of their own: a probe doc in a
+        # capped-out bucket finds the index side empty (the probe is a
+        # subset of the index), which reproduces the from-scratch drop.
+        pb = probe.select(
+            F.col(id_col), F.explode(band_entries).alias("e")
+        ).select(
+            F.col(id_col).alias("p"),
+            F.col("e.band").alias("band"),
+            F.col("e.bh").alias("bh"),
+        )
+        idx = buckets.select(F.col(id_col).alias("q"), "band", "bh")
+        cand = (
+            pb.join(idx, on=["band", "bh"])
+            .filter(F.col("p") != F.col("q"))
+            .select(
+                F.least("p", "q").alias("d1"),
+                F.greatest("p", "q").alias("d2"),
+            )
+            .distinct()
+        )
     s1 = signatures.select(F.col(id_col).alias("d1"), F.col("sig").alias("sig1"))
     s2 = signatures.select(F.col(id_col).alias("d2"), F.col("sig").alias("sig2"))
     eq = F.zip_with("sig1", "sig2", lambda x, y: F.when(x == y, 1).otherwise(0))

@@ -1728,6 +1728,103 @@ def dedup_retain_set_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return singles.unionByName(reps)
 
 
+INCR_NEW_MOD = 5  # doc_id % 5 == 0 -> the arriving "new batch" (~20%)
+
+
+@query(
+    "dedup_incremental_components",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_pairs_ctes()},
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM mh_pairs
+      UNION
+      SELECT d2, d1 FROM mh_pairs
+    ),
+    reach(node, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT re.node, e.b FROM reach re JOIN edges e ON re.r = e.a
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           CAST(COALESCE(comp.component, d.doc_id) AS BIGINT) AS component
+    FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+    """,
+)
+def dedup_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup clustering (VERDICT r6 #7 — the production
+    dedup shape dedup_incremental_batch's exact digests don't cover):
+    merge a new batch's LSH pairs into EXISTING cluster assignments
+    without recomputing the corpus components.
+
+    The corpus is split deterministically (doc_id % {INCR_NEW_MOD} == 0
+    is the arriving batch). Phase 1 builds the old corpus' components
+    and persists them to parquet — the assignment table an incremental
+    pipeline carries between runs (read back before use, so the merge
+    genuinely consumes the PERSISTED state). Phase 2 generates only
+    batch-touching pairs via the probe-mode band join
+    (operators/dedup.py::minhash_lsh_pairs(probe=...) — candidate cost
+    scales with the batch, not the corpus), CONTRACTS old endpoints to
+    their persisted component labels, and runs min-label closure over
+    the contracted delta graph only (batch-sized, not corpus-sized).
+    Because a persisted label is the MIN member id of its old
+    component, min-label over the contracted graph reproduces the
+    from-scratch min — the oracle IS the from-scratch recursive
+    closure over the full pair set (the agg_incremental_merge
+    soundness pattern applied to clustering), so the hash-match proves
+    merged == recomputed. Declared divergence class: a band bucket
+    crossing the 10k cap BETWEEN runs can admit old pairs a
+    from-scratch run would drop (an incremental system cannot un-know
+    old clusters); no fixture bucket approaches the cap."""
+    from rdf_mapreduce_joins_spark.plans.formats import _scratch
+
+    d = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % INCR_NEW_MOD == 0
+    sigs = dedup.minhash_signatures(d, hash_family="md5")
+    old_pairs = dedup.minhash_lsh_pairs(
+        sigs.filter(~is_new),
+        min_est_jaccard=MINHASH_MIN_EST_JACCARD,
+        hash_family="md5",
+    )
+    path = _scratch(sf_dir, "incremental_prev_components")
+    dedup.connected_components(old_pairs, "d1", "d2").write.mode(
+        "overwrite"
+    ).parquet(path)
+    prev = spark.read.parquet(path)
+    delta_pairs = dedup.minhash_lsh_pairs(
+        sigs,
+        min_est_jaccard=MINHASH_MIN_EST_JACCARD,
+        hash_family="md5",
+        probe=sigs.filter(is_new),
+    )
+    la = prev.select(F.col("node").alias("d1"), F.col("component").alias("la"))
+    lb = prev.select(F.col("node").alias("d2"), F.col("component").alias("lb"))
+    contracted = (
+        delta_pairs.join(la, on="d1", how="left")
+        .join(lb, on="d2", how="left")
+        .select(
+            F.coalesce("la", F.col("d1")).alias("a"),
+            F.coalesce("lb", F.col("d2")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    comp_delta = dedup.connected_components(contracted, "a", "b")
+    base = (
+        d.select("doc_id")
+        .join(prev.withColumnRenamed("node", "doc_id"), on="doc_id", how="left")
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("base")
+        )
+    )
+    merged = comp_delta.select(
+        F.col("node").alias("base"), F.col("component").alias("m")
+    )
+    return base.join(merged, on="base", how="left").select(
+        "doc_id",
+        F.coalesce("m", F.col("base")).cast("bigint").alias("component"),
+    )
+
+
 def _semantic_prune_oracle_sql(k: int = 8, n_iter: int = 2) -> str:
     """SemDeDup unrolled in DuckDB: the kmeans recurrence (shared
     builder suffix with _kmeans_oracle_sql's rounds), then cluster-

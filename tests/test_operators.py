@@ -37,6 +37,31 @@ def test_minhash_identical_docs_full_match(spark, tiny_docs):
     assert (0, 3) not in by_pair  # disjoint shingles shouldn't collide
 
 
+def test_minhash_probe_mode_equals_filtered_self_join(spark, tiny_docs):
+    """probe= (the incremental band-join shape) must emit exactly the
+    self-join pairs restricted to probe-touching pairs — no extras, no
+    losses, same est_jaccard values."""
+    sigs = dedup.minhash_signatures(tiny_docs)
+    full = {
+        (r.d1, r.d2): r.est_jaccard
+        for r in dedup.minhash_lsh_pairs(sigs, min_est_jaccard=0.0).collect()
+    }
+    probe_ids = {0, 4}
+    probed = {
+        (r.d1, r.d2): r.est_jaccard
+        for r in dedup.minhash_lsh_pairs(
+            sigs,
+            min_est_jaccard=0.0,
+            probe=sigs.filter(F.col("doc_id").isin(*probe_ids)),
+        ).collect()
+    }
+    expected = {
+        k: v for k, v in full.items() if k[0] in probe_ids or k[1] in probe_ids
+    }
+    assert probed == expected
+    assert probed  # fixture must actually produce probe-touching pairs
+
+
 def test_minhash_deterministic_across_runs(spark, tiny_docs):
     s1 = {(r.doc_id, tuple(r.sig)) for r in dedup.minhash_signatures(tiny_docs).collect()}
     s2 = {(r.doc_id, tuple(r.sig)) for r in dedup.minhash_signatures(tiny_docs).collect()}
