@@ -295,6 +295,25 @@ SHOWCASE = [
         "BroadcastNestedLoop), then bucket-wise MAX — merge state is "
         "constant per day regardless of event volume.",
     ),
+    (
+        "customer_rfm_segments",
+        "Global quintiles WITHOUT a single-partition window (r7): each "
+        "axis gets an exact rank from value-domain-bounded bucket "
+        "partials + a cumulative window over the BUCKET SUMMARY only + "
+        "a bucket-partitioned row_number; ntile is rebuilt from "
+        "(rank, N) by integer arithmetic. The only unpartitioned "
+        "windows run over bounded bucket spines — measured 1.01x wall "
+        "at 10x data.",
+    ),
+    (
+        "dedup_incremental_components",
+        "Incremental clustering (r7): the new batch's band entries join "
+        "the full band index (probe-mode LSH — candidate cost scales "
+        "with the batch), old endpoints contract to their PERSISTED "
+        "component labels, and min-label closure runs over the "
+        "contracted delta graph only; the from-scratch closure is the "
+        "oracle, so merged == recomputed is hash-proven.",
+    ),
 ]
 
 
