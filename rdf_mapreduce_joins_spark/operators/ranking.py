@@ -32,6 +32,25 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Route threshold for size-gated rank/prefix plans: when the BASE
+# TABLE scan is under this many bytes (Catalyst's sizeInBytes
+# statistic — the same metadata Spark's own broadcast-join pick reads,
+# so the probe costs ZERO jobs), a single-task global-window sort over
+# the derived aggregate is the FASTER plan (the two-level prefix path
+# pays ~12 fixed-overhead jobs; measured ~3x slower on a 15k-row frame
+# and 1.01x wall at 10x data on the big path). The threshold itself
+# bounds the window route's spine — the aggregate frame has at most as
+# many rows as its base table — so a sanctioned unpartitioned window
+# on the small route stays provably bounded.
+RANK_GLOBAL_WINDOW_MAX_INPUT_BYTES = 256 << 20
+
+
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's sizeInBytes estimate for the frame's optimized plan
+    (for a parquet scan: the file index's total bytes) — a pure
+    metadata read, no job."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
 
 def bucketed_global_rank(
     df: DataFrame,
@@ -45,7 +64,10 @@ def bucketed_global_rank(
     ``bucket`` MUST be monotone non-decreasing w.r.t. ``order`` (sorting
     by (bucket ASC, order) equals sorting by ``order`` alone) and its
     cardinality must be bounded by the value domain — the caller owns
-    that argument, documented at each call site.
+    that argument, documented at each call site. Sort keys and bucket
+    values must be NON-NULL (a null bucket key would drop out of the
+    offset equi-join; the global window's nulls-first order has no
+    analogue here).
     """
     d = df.withColumn("_rk_bkt", bucket)
     bm = d.groupBy("_rk_bkt").agg(F.count(F.lit(1)).alias("_rk_cnt"))

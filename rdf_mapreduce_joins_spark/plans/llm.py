@@ -1780,7 +1780,12 @@ def dedup_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % INCR_NEW_MOD == 0
-    sigs = dedup.minhash_signatures(d, hash_family="md5")
+    # The signature aggregate feeds BOTH phases (old-corpus index,
+    # probe, full index, and the est-jaccard re-joins) — materialize it
+    # once instead of re-running the shingle explode + 64-min agg.
+    sigs = dedup.minhash_signatures(d, hash_family="md5").localCheckpoint(
+        eager=False
+    )
     old_pairs = dedup.minhash_lsh_pairs(
         sigs.filter(~is_new),
         min_est_jaccard=MINHASH_MIN_EST_JACCARD,

@@ -66,11 +66,6 @@ _BOUNDED_BUILD_SIDE_OK = {
     # to tag each event reference/current — scalar-subquery shape
     # again (build side exactly 1 row: a global MIN aggregate).
     "dq_drift_psi",
-    # 1-row broadcast global COUNT(*) (the ntile N) / SUM (the Pareto
-    # total) crossJoined back — scalar-subquery shape again, introduced
-    # by the VERDICT r6 #2 de-scale-kill of their global windows.
-    "customer_rfm_segments",
-    "lineitem_abc_pareto",
 }
 
 
@@ -80,12 +75,15 @@ _BOUNDED_BUILD_SIDE_OK = {
 # each entry documents the spine and its bound. Every query absent from
 # this dict must plan ZERO unpartitioned windows.
 _UNPARTITIONED_WINDOW_SPINES = {
-    # three bucket-summary cumulative counts (operators/ranking.py):
-    # recency-day domain (~2.5k days), orders-per-customer domain
-    # (SF-invariant, O(50)), $10k-wide lifetime-cents buckets (O(100)).
+    # size-gated route (operators/ranking.py): at fixture scale the
+    # THREE ntile windows run over the per-customer aggregate, bounded
+    # by RANK_GLOBAL_WINDOW_MAX_ROWS (above it the plan switches to
+    # bucket-summary windows over value-domain spines: recency-day
+    # range ~2.5k, orders-per-customer O(50), $10k cents buckets —
+    # route pinned by test_rank_bucketed_route_*).
     "customer_rfm_segments": 3,
-    # one bucket-summary cumulative sum: $1k-wide per-part revenue
-    # buckets — per-part revenue is SF-invariant (~30 lineitems/part).
+    # same gate: one running-sum window over the per-part aggregate
+    # below the threshold; a $1k-cents bucket-summary window above.
     "lineitem_abc_pareto": 1,
     # per-bucket maxima frame, #buckets = price domain / 200.
     "parts_pareto_skyline": 1,
@@ -127,7 +125,10 @@ def test_sanctioned_unpartitioned_window_counts(spark, sf_dir, name):
 def test_unpartitioned_windows_sanctioned(spark, sf_dir):
     """No UNSANCTIONED query may plan an unpartitioned window at all:
     anything new must either partition or argue a value-domain bound
-    here. One sweep over the registry (plan-only, nothing executes)."""
+    here. One sweep over the registry — plan inspection only, except
+    the two persisted-state queries (events_hll_summary_roundtrip,
+    dedup_incremental_components) whose builders run their phase-1
+    write as a side effect of constructing the returned frame."""
     offenders = {}
     for name, fn in entrymod.queries().items():
         if name in _UNPARTITIONED_WINDOW_SPINES:
@@ -136,6 +137,31 @@ def test_unpartitioned_windows_sanctioned(spark, sf_dir):
         if n:
             offenders[name] = n
     assert not offenders, f"unsanctioned single-task windows: {offenders}"
+
+
+@pytest.mark.parametrize("name", ["customer_rfm_segments", "lineitem_abc_pareto"])
+def test_rank_bucketed_route_matches_window_route(
+    spark, sf_dir, name, monkeypatch
+):
+    """Force the scale route (byte threshold -> -1) for the size-gated
+    rank/prefix queries and require (a) the plan actually switches —
+    bucket-partitioned windows appear, the full-frame ntile/global
+    running-sum disappears — and (b) the rows are IDENTICAL to the
+    window route's (the lang-id route-equivalence pattern)."""
+    import rdf_mapreduce_joins_spark.plans.analytics as pa
+    import rdf_mapreduce_joins_spark.plans.relational as pr
+
+    fn = entrymod.queries()[name]
+    small = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    monkeypatch.setattr(pa, "RANK_GLOBAL_WINDOW_MAX_INPUT_BYTES", -1)
+    monkeypatch.setattr(pr, "RANK_GLOBAL_WINDOW_MAX_INPUT_BYTES", -1)
+    big_df = fn(spark, sf_dir)
+    plan = _plan(big_df)
+    marker = "_rk_bkt" if name == "customer_rfm_segments" else "_ps_bkt"
+    assert marker in plan, f"{name} forced route did not switch plans"
+    assert "ntile(" not in plan
+    assert _unpartitioned_windows(big_df) == _UNPARTITIONED_WINDOW_SPINES[name]
+    assert sorted(map(tuple, big_df.collect())) == small
 
 
 @pytest.mark.parametrize("name", _NO_CARTESIAN)
