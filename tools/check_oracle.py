@@ -83,9 +83,12 @@ def run_sf(spark, sf_dir: str, only: set[str]) -> tuple[int, int]:
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # Driver fixtures are single files; Spark-written tables (e.g.
+        # the replica-scaled sf1 from tools/make_scaled_sf.py) are
+        # directories of part files — glob those for DuckDB.
+        path = f"{sf_dir}/{t}.parquet"
+        pat = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     n_pass = n_fail = 0
     for name, fn in qs.items():
