@@ -31,7 +31,7 @@ better handled by the exact-dedup pass (X1) than by pairwise emission.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from rdf_mapreduce_joins_spark.operators import hashing
@@ -457,3 +457,157 @@ def with_simhash_bands(
         for b in range(_N_BANDS)
     ]
     return with_votes.withColumn(out_col, F.array(*band_cols)).drop("_votes")
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtered exact set-similarity join (the LOSSLESS scale path)
+# --------------------------------------------------------------------------
+
+
+def prefix_filter_jaccard_pairs(
+    bi: DataFrame, t_num: int, t_den: int
+) -> DataFrame:
+    """Exact Jaccard pairs (d1 < d2, jaccard >= t_num/t_den) over a
+    DISTINCT (doc_id, lang, bigram) set table, with PREFIX-FILTERED
+    candidate generation — the classic SSJoin/All-Pairs/PPJoin family
+    (Chaudhuri et al. ICDE'06; Bayardo et al. WWW'07; Xiao et al.
+    WWW'08), all public literature.
+
+    Versus the shared-shingle self-join (plans/llm.py::
+    _exact_jaccard_pairs, cost Σ_token df²): order each document's
+    tokens by ascending GLOBAL document frequency and keep only the
+    first ``n - ceil(t·n) + 1`` as its *prefix*. Any pair with
+    J >= t must share at least one token inside BOTH prefixes — if all
+    shared tokens hid in A's suffix, then |∩| <= n_A - p_A =
+    ceil(t·n_A) - 1 < t·n_A <= t·|A∪B| <= |∩|, a contradiction (and
+    symmetrically for B). So joining prefix tokens only is LOSSLESS,
+    while the df-ascending order pushes exactly the high-df hub tokens
+    out of every prefix: the self-join's Σ df² blow-up collapses to
+    Σ df_prefix² over rare tokens, with zero recall loss — the exact
+    complement of the lossy df-cap heuristic in
+    dedup_ngram_jaccard_capped.
+
+    A length filter rides on candidate generation: J >= t forces
+    t·max(n1,n2) <= min(n1,n2), checked in integer cross-multiplied
+    form. Prefix lengths use pure integer arithmetic
+    (ceil(t·n) = (n·t_num + t_den - 1) div t_den), so no float ceil can
+    shorten a prefix and silently drop a pair.
+
+    Verification re-joins candidates against the full token table for
+    the exact intersection (cost Σ_cand n1 — the standard verify phase;
+    candidates, not all pairs, pay it). Output matches
+    ``_exact_jaccard_pairs`` row-for-row: (d1, d2, jaccard) with
+    jaccard rounded to 4 digits.
+    """
+    if not (0 < t_num <= t_den):
+        raise ValueError(f"threshold must be in (0, 1]: {t_num}/{t_den}")
+    threshold = t_num / t_den
+    # bi feeds five subtrees (sizes, dfs, ranked prefix, and both
+    # verification sides) — materialize once, the repo's shared-lineage
+    # idiom (ADVICE r5 #2, as in dedup_ngram_jaccard_capped).
+    bi = bi.localCheckpoint()
+    sz = bi.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfs = bi.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("df"))
+    # Canonical token order: (df ASC, bigram ASC) within language —
+    # rare tokens first. Rank per document: window partitioned by
+    # doc_id, bounded by the document's own token count (scale-safe;
+    # sanctioned-spine gate in test_plans applies to UNpartitioned
+    # windows only).
+    pos = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "bigram")
+    )
+    prefix_len = F.col("n") - F.expr(
+        f"(n * {t_num} + {t_den - 1}) div {t_den}"
+    ) + F.lit(1)
+    pref = (
+        bi.join(dfs, on=["lang", "bigram"])
+        .join(sz, on="doc_id")
+        .withColumn("pos", pos)
+        .filter(F.col("pos") <= prefix_len)
+        .select("doc_id", "lang", "bigram", "n")
+    )
+    a = pref.select(
+        F.col("doc_id").alias("d1"), "lang", "bigram", F.col("n").alias("n1")
+    )
+    b = pref.select(
+        F.col("doc_id").alias("d2"), "lang", "bigram", F.col("n").alias("n2")
+    )
+    cand = (
+        a.join(b, on=["lang", "bigram"])
+        .filter(F.col("d1") < F.col("d2"))
+        # length filter: t·max <= min, cross-multiplied (integer-exact)
+        .filter(
+            F.greatest("n1", "n2") * t_num <= F.least("n1", "n2") * t_den
+        )
+        .select("d1", "d2", "n1", "n2")
+        .distinct()
+    )
+    b1 = bi.select(F.col("doc_id").alias("d1"), "lang", "bigram")
+    b2 = bi.select(F.col("doc_id").alias("d2"), "lang", "bigram")
+    inter = (
+        cand.join(b1, on="d1")
+        .join(b2, on=["d2", "lang", "bigram"])
+        .groupBy("d1", "d2", "n1", "n2")
+        .agg(F.count(F.lit(1)).alias("both_n"))
+    )
+    jac = F.round(
+        F.col("both_n") / (F.col("n1") + F.col("n2") - F.col("both_n")), 4
+    )
+    return (
+        inter.select("d1", "d2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def merge_pairs_into_labels(
+    prev: DataFrame,
+    universe: DataFrame,
+    delta_pairs: DataFrame,
+    a_col: str = "d1",
+    b_col: str = "d2",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Merge a delta pair set into PERSISTED (node, component) labels
+    without recomputing corpus components — the incremental-clustering
+    algebra shared by the batch query (plans/llm.py::
+    dedup_incremental_components, where the oracle hash-proves
+    merged == from-scratch) and the streaming ingestion twin
+    (streaming/docs_stream.py::incremental_components_sink).
+
+    Endpoints of ``delta_pairs`` are CONTRACTED to their persisted
+    component labels (unlabeled endpoints stand for themselves), then
+    min-label closure runs over the contracted delta graph only —
+    batch-sized, not corpus-sized. Because a persisted label is the
+    MIN member id of its old component, min-label over the contraction
+    reproduces the from-scratch minimum (hypothesis-tested on random
+    graph/split pairs in test_incremental_merge_equals_from_scratch_
+    closure, hash-proven differentially by the batch query's oracle).
+
+    ``universe`` (one ``id_col`` column) is every id the output must
+    cover — persisted nodes, the arriving batch, and singletons; ids
+    absent from ``prev`` label themselves. Returns (id_col, component).
+    """
+    la = prev.select(F.col("node").alias(a_col), F.col("component").alias("_la"))
+    lb = prev.select(F.col("node").alias(b_col), F.col("component").alias("_lb"))
+    contracted = (
+        delta_pairs.join(la, on=a_col, how="left")
+        .join(lb, on=b_col, how="left")
+        .select(
+            F.coalesce("_la", F.col(a_col)).alias("a"),
+            F.coalesce("_lb", F.col(b_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    comp_delta = connected_components(contracted, "a", "b")
+    base = (
+        universe.select(F.col(id_col))
+        .join(prev.withColumnRenamed("node", id_col), on=id_col, how="left")
+        .select(id_col, F.coalesce("component", F.col(id_col)).alias("base"))
+    )
+    merged = comp_delta.select(
+        F.col("node").alias("base"), F.col("component").alias("m")
+    )
+    return base.join(merged, on="base", how="left").select(
+        F.col(id_col),
+        F.coalesce("m", F.col("base")).cast("bigint").alias("component"),
+    )

@@ -24,7 +24,10 @@ from rdf_mapreduce_joins_spark.operators import (
 from rdf_mapreduce_joins_spark.plans.registry import query
 from rdf_mapreduce_joins_spark.sources.tables import load_table, spread
 
-NGRAM_JACCARD_THRESHOLD = 0.2
+# Rational form feeds the prefix filter's integer arithmetic; the float
+# is the value every comparison (Spark and DuckDB) actually uses.
+NGRAM_JACCARD_T_NUM, NGRAM_JACCARD_T_DEN = 1, 5
+NGRAM_JACCARD_THRESHOLD = NGRAM_JACCARD_T_NUM / NGRAM_JACCARD_T_DEN
 EMB_COSINE_THRESHOLD = 0.3
 TOPK = 10
 
@@ -295,6 +298,50 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _exact_jaccard_pairs(bi)
+
+
+@query(
+    "dedup_jaccard_prefix_filter",
+    oracle=f"""
+    WITH {_JACCARD_PAIRS_CTES}
+    SELECT d1, d2, jaccard FROM pairs
+    """,
+)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard (X2 — the LOSSLESS scale path,
+    complementing dedup_ngram_jaccard_capped's lossy hub cap): same
+    word-bigram sets and threshold as dedup_ngram_jaccard, but
+    candidate generation joins only each document's df-ascending
+    PREFIX tokens (operators/dedup.py::prefix_filter_jaccard_pairs —
+    SSJoin/All-Pairs/PPJoin family), provably missing no qualifying
+    pair while keeping hub tokens out of the self-join entirely.
+
+    The oracle is deliberately the PLAIN quadratic shared-token SQL
+    (the same pairs CTE dedup_ngram_jaccard hashes against): a
+    hash-match therefore differentially PROVES the prefix filter
+    lossless on the fixture — the filter is verified against an
+    oracle that has never heard of prefixes, not merely
+    self-consistent. The no-false-negative guarantee is additionally
+    hypothesis-tested on random corpora
+    (test_prefix_filter_equals_bruteforce).
+
+    Why this exists next to the capped variant at 100 TB: the cap
+    bounds Σ df² by DROPPING hub shingles from candidate generation
+    (recall documented, skew-gated); the prefix filter bounds the same
+    functional with ZERO recall loss whenever t is meaningful
+    (prefixes shrink as (1-t)·n + 1), at the price of the extra df
+    join + per-doc ranking window. Corpus-dependent which wins; an
+    engine needs both levers."""
+    d = load_table(spark, sf_dir, "documents")
+    bi = (
+        spread(d).select(
+            "doc_id", "lang", F.explode(text.word_ngrams("text", 2)).alias("bigram")
+        )
+        .distinct()
+    )
+    return dedup.prefix_filter_jaccard_pairs(
+        bi, NGRAM_JACCARD_T_NUM, NGRAM_JACCARD_T_DEN
+    )
 
 
 def _exact_jaccard_pairs(bi: DataFrame) -> DataFrame:
@@ -1802,32 +1849,7 @@ def dedup_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_family="md5",
         probe=sigs.filter(is_new),
     )
-    la = prev.select(F.col("node").alias("d1"), F.col("component").alias("la"))
-    lb = prev.select(F.col("node").alias("d2"), F.col("component").alias("lb"))
-    contracted = (
-        delta_pairs.join(la, on="d1", how="left")
-        .join(lb, on="d2", how="left")
-        .select(
-            F.coalesce("la", F.col("d1")).alias("a"),
-            F.coalesce("lb", F.col("d2")).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-    )
-    comp_delta = dedup.connected_components(contracted, "a", "b")
-    base = (
-        d.select("doc_id")
-        .join(prev.withColumnRenamed("node", "doc_id"), on="doc_id", how="left")
-        .select(
-            "doc_id", F.coalesce("component", F.col("doc_id")).alias("base")
-        )
-    )
-    merged = comp_delta.select(
-        F.col("node").alias("base"), F.col("component").alias("m")
-    )
-    return base.join(merged, on="base", how="left").select(
-        "doc_id",
-        F.coalesce("m", F.col("base")).cast("bigint").alias("component"),
-    )
+    return dedup.merge_pairs_into_labels(prev, d.select("doc_id"), delta_pairs)
 
 
 def _semantic_prune_oracle_sql(k: int = 8, n_iter: int = 2) -> str:

@@ -126,3 +126,130 @@ def simhash_candidates_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental near-dup CLUSTERING (the ingestion twin of
+# plans/llm.py::dedup_incremental_components)
+# --------------------------------------------------------------------------
+
+_ASG_SCHEMA = "node bigint, component bigint"
+
+
+def merge_components_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_est_jaccard: float = 0.5,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> None:
+    """Merge ONE batch of documents into the persisted clustering state
+    under ``state_dir`` (two parquet tables):
+
+    * ``signatures/`` — minhash signatures of every document seen; the
+      band index the next batch probes,
+    * ``assignments/`` — (node, component), component = min doc_id
+      reachable in the near-dup pair graph over everything seen.
+
+    Batch signatures probe the accumulated ∪ batch band index
+    (operators/dedup.py::minhash_lsh_pairs(probe=…) — candidate cost
+    scales with the batch, not the corpus), then
+    ``merge_pairs_into_labels`` contracts old endpoints to their
+    persisted labels and closes over the contracted delta graph only.
+    merged == from-scratch is the merge algebra's invariant
+    (hypothesis-tested, and hash-proven differentially by the batch
+    query's from-scratch-closure oracle).
+
+    Idempotent under micro-batch REPLAY: a re-appended batch's
+    signature rows are deduped by id on read, and the assignments
+    overwrite is a deterministic function of (accumulated signatures,
+    batch) — so foreachBatch's at-least-once delivery yields
+    exactly-once state."""
+    from rdf_mapreduce_joins_spark.operators.dedup import (
+        merge_pairs_into_labels,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    sig_path = os.path.join(state_dir, "signatures")
+    asg_path = os.path.join(state_dir, "assignments")
+    sigs_b = minhash_signatures(
+        batch.select(F.col(id_col), F.col(text_col)),
+        id_col=id_col,
+        num_perm=bands * rows_per_band,
+    ).localCheckpoint()
+    if os.path.isdir(sig_path):
+        prev_sigs = spark.read.parquet(sig_path).dropDuplicates([id_col])
+        # re-sent ids (replay) must not self-pair against their own
+        # earlier signature row
+        prev_sigs = prev_sigs.join(sigs_b.select(id_col), on=id_col, how="left_anti")
+        all_sigs = prev_sigs.unionByName(sigs_b)
+    else:
+        all_sigs = sigs_b
+    if os.path.isdir(asg_path):
+        prev = spark.read.parquet(asg_path)
+    else:
+        prev = spark.createDataFrame([], _ASG_SCHEMA)
+    delta_pairs = minhash_lsh_pairs(
+        all_sigs,
+        id_col=id_col,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        min_est_jaccard=min_est_jaccard,
+        probe=sigs_b,
+    )
+    universe = prev.select(F.col("node").alias(id_col)).unionByName(
+        sigs_b.select(id_col)
+    ).distinct()
+    updated = merge_pairs_into_labels(
+        prev, universe, delta_pairs, id_col=id_col
+    ).select(F.col(id_col).alias("node"), "component")
+    # materialize BEFORE the overwrite truncates the table being read
+    updated = updated.localCheckpoint()
+    updated.write.mode("overwrite").parquet(asg_path)
+    sigs_b.write.mode("append").parquet(sig_path)
+
+
+def incremental_components_sink(
+    docs: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_est_jaccard: float = 0.5,
+    bands: int = 16,
+    rows_per_band: int = 4,
+):
+    """Start the streaming incremental-clustering sink: every
+    micro-batch folds into the persisted state via
+    :func:`merge_components_batch` (availableNow trigger — replay-run
+    like the repo's other streaming twins; a production deployment
+    swaps the trigger).
+
+    State here is TABLE-shaped, so it lives in parquet behind
+    foreachBatch rather than the keyed state store: the band index must
+    be probe-JOINABLE (a per-key state store cannot run a distributed
+    join against its own state), and mid-stream consumers read the
+    assignments table directly."""
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        merge_components_batch(
+            batch.sparkSession,
+            batch,
+            state_dir,
+            id_col=id_col,
+            text_col=text_col,
+            min_est_jaccard=min_est_jaccard,
+            bands=bands,
+            rows_per_band=rows_per_band,
+        )
+
+    return (
+        docs.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -108,3 +108,88 @@ def test_stream_candidates_agree_with_batch_pairs(spark, doc_batches_dir):
         union(r.doc_id, r.first_doc_id)
     for d1, d2 in batch_pairs:
         assert find(d1) == find(d2), f"batch pair ({d1},{d2}) not linked in stream"
+
+
+@pytest.fixture(scope="module")
+def cluster_batches_dir(spark, tmp_path_factory):
+    """Three micro-batches engineered so clusters MERGE across batches:
+    batch1 docs 10/11 are near-dups; batch2 doc 20 matches neither;
+    batch3 doc 30 is a near-dup of BOTH 11 and 20's families, bridging
+    an old cluster and an old singleton — the case where incremental
+    merge must relabel previously-persisted assignments."""
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    a2 = a + " lambda"
+    b = "one two three four five six seven eight nine ten eleven"
+    bridge = a + " one two three four five six seven eight nine ten"
+    flat = tmp_path_factory.mktemp("docs_clusters_flat")
+    raw = tmp_path_factory.mktemp("docs_clusters_raw")
+
+    def write(name, rows, mtime_off):
+        spark.createDataFrame(rows, DOCS_SCHEMA).coalesce(1).write.parquet(
+            str(raw / name)
+        )
+        src = glob.glob(str(raw / name / "*.parquet"))[0]
+        dst = str(flat / f"{name}.parquet")
+        shutil.copy(src, dst)
+        t = time.time() + mtime_off
+        os.utime(dst, (t, t))
+
+    write("b1", [(10, a), (11, a2)], 0)
+    write("b2", [(20, b)], 10)
+    write("b3", [(30, bridge)], 20)
+    return str(flat)
+
+
+def test_incremental_components_stream_equals_from_scratch(
+    spark, cluster_batches_dir, tmp_path
+):
+    """The streaming incremental-clustering sink's FINAL persisted
+    assignments equal a from-scratch batch run over everything that
+    arrived (the merge algebra's invariant, exercised through the real
+    foreachBatch replay path, one file per micro-batch)."""
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    stream = ds.read_docs_stream(spark, cluster_batches_dir, max_files_per_trigger=1)
+    q = ds.incremental_components_sink(
+        stream, state, ckpt, min_est_jaccard=0.2, bands=32, rows_per_band=2
+    )
+    q.awaitTermination(300)
+    got = {
+        r.node: r.component
+        for r in spark.read.parquet(os.path.join(state, "assignments")).collect()
+    }
+    corpus = spark.read.parquet(cluster_batches_dir)
+    sigs = dedup.minhash_signatures(corpus, num_perm=64)
+    pairs = dedup.minhash_lsh_pairs(
+        sigs, bands=32, rows_per_band=2, min_est_jaccard=0.2
+    )
+    labels = {
+        r.node: r.component
+        for r in dedup.connected_components(pairs, "d1", "d2").collect()
+    }
+    want = {
+        r.doc_id: labels.get(r.doc_id, r.doc_id) for r in corpus.collect()
+    }
+    assert got == want
+    # the bridge doc must actually have merged previously-separate state
+    assert got[30] == got[10] == got[11] == got[20]
+
+
+def test_merge_components_batch_replay_idempotent(spark, tmp_path):
+    """Re-delivering the SAME batch (foreachBatch's at-least-once case)
+    leaves assignments unchanged and does not self-pair a doc against
+    its own earlier signature row."""
+    state = str(tmp_path / "state")
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    batch = spark.createDataFrame([(1, a), (2, a + " extra")], DOCS_SCHEMA)
+    ds.merge_components_batch(spark, batch, state, min_est_jaccard=0.2)
+    first = {
+        r.node: r.component
+        for r in spark.read.parquet(os.path.join(state, "assignments")).collect()
+    }
+    ds.merge_components_batch(spark, batch, state, min_est_jaccard=0.2)
+    second = {
+        r.node: r.component
+        for r in spark.read.parquet(os.path.join(state, "assignments")).collect()
+    }
+    assert first == second == {1: 1, 2: 1}

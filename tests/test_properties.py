@@ -559,3 +559,92 @@ def test_incremental_merge_equals_from_scratch_closure(spark, edges, mod):
     comp_delta = comps(contracted)
     merged = {x: comp_delta.get(lab(x), lab(x)) for x in nodes}
     assert merged == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.sets(st.integers(0, 12), min_size=1, max_size=8),
+        min_size=2,
+        max_size=10,
+    ),
+    t=st.sampled_from([(1, 5), (1, 2), (3, 4), (9, 10)]),
+)
+def test_prefix_filter_equals_bruteforce(spark, docs, t):
+    """Losslessness of the prefix filter (operators/dedup.py::
+    prefix_filter_jaccard_pairs): on arbitrary token-set corpora and
+    thresholds, the prefix-filtered pairs equal the brute-force
+    all-pairs exact Jaccard — no false negatives (the theorem the
+    candidate join relies on) and no false positives (verification is
+    exact)."""
+    t_num, t_den = t
+    rows = [
+        (i, "en", f"tok{tok}") for i, s in enumerate(docs) for tok in s
+    ]
+    bi = spark.createDataFrame(rows, "doc_id long, lang string, bigram string")
+    got = {
+        (r.d1, r.d2): r.jaccard
+        for r in dedup.prefix_filter_jaccard_pairs(bi, t_num, t_den).collect()
+    }
+    want = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            inter = len(docs[i] & docs[j])
+            if inter == 0:
+                continue
+            jac = round(inter / len(docs[i] | docs[j]), 4)
+            if jac >= t_num / t_den:
+                want[(i, j)] = jac
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=1, max_size=14
+    ),
+    mod=st.sampled_from([2, 3]),
+)
+def test_merge_pairs_into_labels_matches_from_scratch(spark, edges, mod):
+    """The FACTORED merge operator (operators/dedup.py::
+    merge_pairs_into_labels — shared by the batch query and the
+    streaming sink) reproduces from-scratch min-label components for
+    any edge set and old/new split, including singletons supplied only
+    via the universe frame."""
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    nodes = sorted({x for e in edges for x in e})
+    is_new = lambda x: x % mod == 0  # noqa: E731
+    old_edges = [(a, b) for a, b in edges if not is_new(a) and not is_new(b)]
+    delta_edges = [(a, b) for a, b in edges if is_new(a) or is_new(b)]
+    universe_ids = list(range(12))  # includes ids not in any edge
+
+    if old_edges:
+        prev = dedup.connected_components(
+            spark.createDataFrame(old_edges, "d1 long, d2 long")
+        )
+    else:
+        prev = spark.createDataFrame([], "node bigint, component bigint")
+    delta = spark.createDataFrame(
+        delta_edges or [], "d1 long, d2 long"
+    ) if delta_edges else spark.createDataFrame([], "d1 long, d2 long")
+    universe = spark.createDataFrame(
+        [(i,) for i in universe_ids], "doc_id long"
+    )
+    got = {
+        r.doc_id: r.component
+        for r in dedup.merge_pairs_into_labels(prev, universe, delta).collect()
+    }
+    full = (
+        {
+            r.node: r.component
+            for r in dedup.connected_components(
+                spark.createDataFrame(edges, "d1 long, d2 long")
+            ).collect()
+        }
+        if edges
+        else {}
+    )
+    want = {i: full.get(i, i) for i in universe_ids}
+    assert got == want

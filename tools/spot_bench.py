@@ -39,14 +39,23 @@ SF_DIRS = {
 def main() -> int:
     args = sys.argv[1:]
     reps = 2
-    if args[:1] == ["--reps"]:
-        reps = int(args[1])
-        args = args[2:]
+    sf_dirs = dict(SF_DIRS)
+    while args and args[0] in ("--reps", "--pair"):
+        if args[0] == "--reps":
+            reps = int(args[1])
+            args = args[2:]
+        else:
+            # --pair base=<dir> scaled=<dir>: ratio = scaled/base wall
+            bk, bd = args[1].split("=", 1)
+            sk, sd = args[2].split("=", 1)
+            sf_dirs = {bk: bd, sk: sd}
+            args = args[3:]
+    base_key, scaled_key = list(sf_dirs)
     names = args or DEFAULT_QUERIES
     spark = get_spark("spot-bench")
     qs = entrymod.queries()
     out: dict[str, dict[str, float]] = {}
-    for sf, sf_dir in SF_DIRS.items():
+    for sf, sf_dir in sf_dirs.items():
         times: dict[str, float] = {}
         for name in names:
             best = None
@@ -61,7 +70,7 @@ def main() -> int:
             print(f"{sf} {name}: {best}s", file=sys.stderr)
         out[sf] = times
     out["ratio"] = {
-        n: round(out["sf1"][n] / out["sf0.1"][n], 2) for n in names
+        n: round(out[scaled_key][n] / out[base_key][n], 2) for n in names
     }
     print(json.dumps(out))
     return 0
