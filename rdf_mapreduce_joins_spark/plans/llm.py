@@ -34,7 +34,7 @@ TOPK = 10
 # Shared oracle CTE chain producing the n-gram Jaccard near-dup pairs
 # (d1 < d2, jaccard >= threshold) — used by dedup_ngram_jaccard and as
 # the edge set of dedup_cluster_components' recursive oracle.
-_JACCARD_PAIRS_CTES = """
+_JACCARD_PAIRS_CTES_TEMPLATE = """
     t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
     postok AS (
       SELECT doc_id, lang, unnest(w) AS w1,
@@ -66,7 +66,20 @@ _JACCARD_PAIRS_CTES = """
       WHERE ROUND(both_n * 1.0 / (s1.n + s2.n - both_n), 4)
             >= {NGRAM_JACCARD_THRESHOLD}
     )
-""".replace("{NGRAM_JACCARD_THRESHOLD}", str(NGRAM_JACCARD_THRESHOLD))
+"""
+_JACCARD_PAIRS_CTES = _JACCARD_PAIRS_CTES_TEMPLATE.replace(
+    "{NGRAM_JACCARD_THRESHOLD}", str(NGRAM_JACCARD_THRESHOLD)
+)
+# The prefix-filter query runs at the HIGH-similarity operating point
+# (4/5) where prefix filtering is effective — prefixes shrink to
+# ~n/5; at the family's 0.2 the prefix keeps ~0.8n and the machinery
+# was MEASURED costing ~9x the plain self-join at sf1 (see the query
+# docstring). Same CTE chain, different threshold literal.
+PREFIX_JACCARD_T_NUM, PREFIX_JACCARD_T_DEN = 4, 5
+PREFIX_JACCARD_THRESHOLD = PREFIX_JACCARD_T_NUM / PREFIX_JACCARD_T_DEN
+_JACCARD_PAIRS_CTES_HI = _JACCARD_PAIRS_CTES_TEMPLATE.replace(
+    "{NGRAM_JACCARD_THRESHOLD}", str(PREFIX_JACCARD_THRESHOLD)
+)
 
 
 # --------------------------------------------------------------------------

@@ -314,6 +314,17 @@ SHOWCASE = [
         "contracted delta graph only; the from-scratch closure is the "
         "oracle, so merged == recomputed is hash-proven.",
     ),
+    (
+        "dedup_jaccard_prefix_filter",
+        "Prefix-filtered exact Jaccard (r7 second session): candidates "
+        "come from a self-join over each doc's df-ASCENDING prefix "
+        "tokens only (window partitioned by doc_id — never global), so "
+        "hub tokens never enter the candidate join; verification "
+        "re-joins candidates against the full token table for the "
+        "exact intersection. LOSSLESS by the prefix theorem — the "
+        "oracle is the plain quadratic SQL, so the hash-match proves "
+        "zero recall loss.",
+    ),
 ]
 
 

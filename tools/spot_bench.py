@@ -66,6 +66,18 @@ def main() -> int:
                 ).save()
                 t = round(time.perf_counter() - t0, 2)
                 best = t if best is None else min(best, t)
+                # Release the query's localCheckpoint/persist blocks
+                # BETWEEN measurements: blocks are freed by the
+                # ContextCleaner only after the driver-side refs are
+                # GC'd, so without an explicit collect a heavy-query
+                # sequence accumulates executor storage and later
+                # queries measure the eviction pressure, not the plan
+                # (observed: same-session repeat of rdf_pagerank at
+                # sf1 drifted 100.7 s -> 148.2 s).
+                import gc
+
+                gc.collect()
+                spark.sparkContext._jvm.System.gc()
             times[name] = best
             print(f"{sf} {name}: {best}s", file=sys.stderr)
         out[sf] = times
