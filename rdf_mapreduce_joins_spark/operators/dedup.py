@@ -465,7 +465,7 @@ def with_simhash_bands(
 
 
 def prefix_filter_jaccard_pairs(
-    bi: DataFrame, t_num: int, t_den: int
+    bi: DataFrame, t_num: int, t_den: int, pre_materialized: bool = False
 ) -> DataFrame:
     """Exact Jaccard pairs (d1 < d2, jaccard >= t_num/t_den) over a
     DISTINCT (doc_id, lang, bigram) set table, with PREFIX-FILTERED
@@ -504,8 +504,11 @@ def prefix_filter_jaccard_pairs(
     threshold = t_num / t_den
     # bi feeds five subtrees (sizes, dfs, ranked prefix, and both
     # verification sides) — materialize once, the repo's shared-lineage
-    # idiom (ADVICE r5 #2, as in dedup_ngram_jaccard_capped).
-    bi = bi.localCheckpoint()
+    # idiom (ADVICE r5 #2, as in dedup_ngram_jaccard_capped). Callers
+    # that already checkpointed (e.g. the skew-probe router in
+    # plans/llm.py) pass pre_materialized=True to skip the second copy.
+    if not pre_materialized:
+        bi = bi.localCheckpoint()
     sz = bi.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     dfs = bi.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("df"))
     # Canonical token order: (df ASC, bigram ASC) within language —

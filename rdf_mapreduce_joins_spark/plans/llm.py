@@ -70,16 +70,13 @@ _JACCARD_PAIRS_CTES_TEMPLATE = """
 _JACCARD_PAIRS_CTES = _JACCARD_PAIRS_CTES_TEMPLATE.replace(
     "{NGRAM_JACCARD_THRESHOLD}", str(NGRAM_JACCARD_THRESHOLD)
 )
-# The prefix-filter query runs at the HIGH-similarity operating point
-# (4/5) where prefix filtering is effective — prefixes shrink to
-# ~n/5; at the family's 0.2 the prefix keeps ~0.8n and the machinery
-# was MEASURED costing ~9x the plain self-join at sf1 (see the query
-# docstring). Same CTE chain, different threshold literal.
-PREFIX_JACCARD_T_NUM, PREFIX_JACCARD_T_DEN = 4, 5
-PREFIX_JACCARD_THRESHOLD = PREFIX_JACCARD_T_NUM / PREFIX_JACCARD_T_DEN
-_JACCARD_PAIRS_CTES_HI = _JACCARD_PAIRS_CTES_TEMPLATE.replace(
-    "{NGRAM_JACCARD_THRESHOLD}", str(PREFIX_JACCARD_THRESHOLD)
-)
+# dedup_jaccard_prefix_filter deliberately shares dedup_ngram_jaccard's
+# 0.2 threshold AND its plain-quadratic oracle CTE: both routes of the
+# gated query are lossless, so one oracle differential-proves either
+# route, and the shared threshold keeps the two queries row-comparable.
+# (ADVICE r7: an earlier high-threshold (4/5) oracle variant lived here
+# unused — removed; the operating point is chosen by the SKEW PROBE in
+# the query body now, not by moving the threshold.)
 
 
 # --------------------------------------------------------------------------
@@ -323,20 +320,33 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filtered exact Jaccard (X2 — the LOSSLESS scale path,
     complementing dedup_ngram_jaccard_capped's lossy hub cap): same
-    word-bigram sets and threshold as dedup_ngram_jaccard, but
-    candidate generation joins only each document's df-ascending
-    PREFIX tokens (operators/dedup.py::prefix_filter_jaccard_pairs —
-    SSJoin/All-Pairs/PPJoin family), provably missing no qualifying
-    pair while keeping hub tokens out of the self-join entirely.
+    word-bigram sets and threshold as dedup_ngram_jaccard, but when
+    the corpus is hub-skewed, candidate generation joins only each
+    document's df-ascending PREFIX tokens (operators/dedup.py::
+    prefix_filter_jaccard_pairs — SSJoin/All-Pairs/PPJoin family),
+    provably missing no qualifying pair while keeping hub tokens out
+    of the self-join entirely.
+
+    SKEW-GATED (VERDICT r7 #2): the prefix machinery (global df join +
+    per-doc ranking window + candidate verification re-join) pays for
+    itself exactly when hub tokens dominate the plain self-join's
+    Σ df² cost functional — the same probe statistic (and the same
+    50% engage threshold) dedup_ngram_jaccard_capped uses. On this
+    near-uniform fixture the probe routes to the plain
+    _exact_jaccard_pairs plan (measured 6.5 s vs 16.4 s idle at sf0.1
+    for the unconditional prefix route, and ~9x at sf1 — the fixture's
+    flat vocabulary can't reward prefix shrinkage at t=0.2). Unlike
+    the capped query's gate, NO oracle mirroring is needed: BOTH
+    routes are lossless, so one plain-quadratic oracle covers either.
 
     The oracle is deliberately the PLAIN quadratic shared-token SQL
     (the same pairs CTE dedup_ngram_jaccard hashes against): a
-    hash-match therefore differentially PROVES the prefix filter
-    lossless on the fixture — the filter is verified against an
-    oracle that has never heard of prefixes, not merely
-    self-consistent. The no-false-negative guarantee is additionally
-    hypothesis-tested on random corpora
-    (test_prefix_filter_equals_bruteforce).
+    hash-match therefore differentially PROVES the taken route
+    lossless on the fixture. The prefix route itself stays pinned by
+    (a) test_prefix_filter_equals_bruteforce (hypothesis, random
+    corpora, 4 thresholds) and (b) test_prefix_route_forced_on_skew
+    (a hub-skewed micro-corpus whose probe FORCES the prefix route,
+    plan-asserted, compared row-for-row against the plain route).
 
     Why this exists next to the capped variant at 100 TB: the cap
     bounds Σ df² by DROPPING hub shingles from candidate generation
@@ -346,15 +356,52 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     join + per-doc ranking window. Corpus-dependent which wins; an
     engine needs both levers."""
     d = load_table(spark, sf_dir, "documents")
+    df_cap = int(-(-NGRAM_DF_CAP_FRAC * d.count() // 1))  # ceil
     bi = (
         spread(d).select(
             "doc_id", "lang", F.explode(text.word_ngrams("text", 2)).alias("bigram")
         )
         .distinct()
+        # One materialization feeds the probe AND either route
+        # (ADVICE r5 #2 shared-lineage idiom, as in the capped query).
+        .localCheckpoint()
     )
-    return dedup.prefix_filter_jaccard_pairs(
-        bi, NGRAM_JACCARD_T_NUM, NGRAM_JACCARD_T_DEN
+    return _prefix_or_plain_jaccard(
+        bi, df_cap, NGRAM_JACCARD_T_NUM, NGRAM_JACCARD_T_DEN
     )
+
+
+def _prefix_or_plain_jaccard(
+    bi: DataFrame, df_cap: int, t_num: int, t_den: int
+) -> DataFrame:
+    """Route an exact-Jaccard pair join on the df-skew probe: prefix
+    filtering when hub tokens (df > df_cap) carry >= 1/2 of Σ df²
+    (the self-join's cost functional), the plain shared-token
+    self-join otherwise. Both routes are exact and lossless — the
+    probe picks a PLAN, never an answer. `bi` must be materialized
+    (localCheckpoint) by the caller; the probe is a 1-row bounded
+    aggregate, never data rows. The plain route reuses
+    _exact_jaccard_pairs, which filters on the module-level
+    NGRAM_JACCARD_THRESHOLD — so this router only accepts that
+    threshold (guarded below)."""
+    if (t_num, t_den) != (NGRAM_JACCARD_T_NUM, NGRAM_JACCARD_T_DEN):
+        raise ValueError(
+            "_prefix_or_plain_jaccard routes to _exact_jaccard_pairs, "
+            f"which is pinned to {NGRAM_JACCARD_T_NUM}/{NGRAM_JACCARD_T_DEN}"
+        )
+    dfs = bi.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("df"))
+    st = dfs.agg(
+        F.sum(F.col("df") * F.col("df")).alias("total_cost"),
+        F.sum(
+            F.when(F.col("df") > df_cap, F.col("df") * F.col("df")).otherwise(0)
+        ).alias("hub_cost"),
+    ).head()
+    hub_skewed = st.total_cost is not None and 2 * st.hub_cost >= st.total_cost
+    if hub_skewed:
+        return dedup.prefix_filter_jaccard_pairs(
+            bi, t_num, t_den, pre_materialized=True
+        )
+    return _exact_jaccard_pairs(bi)
 
 
 def _exact_jaccard_pairs(bi: DataFrame) -> DataFrame:

