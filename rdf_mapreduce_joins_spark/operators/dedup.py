@@ -124,6 +124,51 @@ def _cap_buckets(
     )
 
 
+def band_index_entries(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+    hash_family: str = "xxhash64",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Explode signatures into their LSH band-bucket entries:
+    one row per (id, band, bh) where ``bh`` compacts the band's
+    ``rows_per_band`` signature values (xxhash64 of the tuple in the
+    default family; the exact ``:``-joined value string in the
+    engine-portable md5 family). ``extra_cols`` are carried through
+    unchanged (e.g. ``sig`` for a denormalized persisted index).
+
+    This is THE band-key computation — minhash_lsh_pairs builds both
+    its index and probe sides from it, and the streaming
+    incremental-clustering sink persists exactly these rows, so
+    stream and batch band keys are identical by construction."""
+
+    def bucket_key(b: int) -> F.Column:
+        vals = [
+            F.element_at("sig", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        if hash_family == "md5":
+            return F.concat_ws(":", *[v.cast("string") for v in vals])
+        return F.xxhash64(F.lit(b), *vals)
+
+    entries = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), bucket_key(b).alias("bh"))
+            for b in range(bands)
+        ]
+    )
+    return signatures.select(
+        F.col(id_col), F.explode(entries).alias("e"), *extra_cols
+    ).select(
+        id_col,
+        F.col("e.band").alias("band"),
+        F.col("e.bh").alias("bh"),
+        *extra_cols,
+    )
+
+
 def minhash_lsh_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -157,25 +202,9 @@ def minhash_lsh_pairs(
     (full bucket population), so the emitted pair set equals the
     from-scratch run's pairs restricted to probe-touching pairs."""
     num_perm = bands * rows_per_band
-
-    def bucket_key(b: int) -> F.Column:
-        vals = [
-            F.element_at("sig", b * rows_per_band + r + 1)
-            for r in range(rows_per_band)
-        ]
-        if hash_family == "md5":
-            return F.concat_ws(":", *[v.cast("string") for v in vals])
-        return F.xxhash64(F.lit(b), *vals)
-
-    band_entries = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), bucket_key(b).alias("bh"))
-            for b in range(bands)
-        ]
+    buckets = band_index_entries(
+        signatures, id_col, bands, rows_per_band, hash_family
     )
-    buckets = signatures.select(
-        F.col(id_col), F.explode(band_entries).alias("e")
-    ).select(id_col, F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
     buckets = _cap_buckets(buckets, ["band", "bh"], max_bucket_size)
     if probe is None:
         left = buckets.select(F.col(id_col).alias("d1"), "band", "bh")
@@ -190,13 +219,9 @@ def minhash_lsh_pairs(
         # Probe entries need no cap pass of their own: a probe doc in a
         # capped-out bucket finds the index side empty (the probe is a
         # subset of the index), which reproduces the from-scratch drop.
-        pb = probe.select(
-            F.col(id_col), F.explode(band_entries).alias("e")
-        ).select(
-            F.col(id_col).alias("p"),
-            F.col("e.band").alias("band"),
-            F.col("e.bh").alias("bh"),
-        )
+        pb = band_index_entries(
+            probe, id_col, bands, rows_per_band, hash_family
+        ).withColumnRenamed(id_col, "p")
         idx = buckets.select(F.col(id_col).alias("q"), "band", "bh")
         cand = (
             pb.join(idx, on=["band", "bh"])

@@ -46,8 +46,21 @@ def main() -> int:
             args = args[2:]
         else:
             # --pair base=<dir> scaled=<dir>: ratio = scaled/base wall
+            if len(args) < 3 or "=" not in args[1] or "=" not in args[2]:
+                print(
+                    "usage: --pair <basekey>=<dir> <scaledkey>=<dir> "
+                    "(two key=dir operands)",
+                    file=sys.stderr,
+                )
+                return 2
             bk, bd = args[1].split("=", 1)
             sk, sd = args[2].split("=", 1)
+            if bk == sk:
+                print(
+                    f"--pair keys must be distinct (got {bk!r} twice)",
+                    file=sys.stderr,
+                )
+                return 2
             sf_dirs = {bk: bd, sk: sd}
             args = args[3:]
     base_key, scaled_key = list(sf_dirs)
