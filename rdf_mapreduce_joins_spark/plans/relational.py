@@ -1094,12 +1094,12 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
              AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
              AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                     * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+                    * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE)
              AS sum_charge,
            ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                  / COUNT(*), 4) AS avg_qty,
@@ -1116,7 +1116,12 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass over lineitem, 6 aggregates over a 6-group key. The shipdate
     filter reaches the parquet scan; sums run in DECIMAL so the merge
     order cannot perturb values; averages divide the exact decimal sum
-    by the count (not float avg — order-dependent). At 100 TB this is
+    by the count (not float avg — order-dependent). The product sums
+    (scale 6) are ROUNDed to 2 digits IN DECIMAL before the double
+    cast: at sf1 the scale-6 integer numerator exceeds 2^53, where
+    DuckDB's int/10^scale cast double-rounds while the JVM's
+    BigDecimal cast rounds once — a 1-ulp split the sf1 sweep caught;
+    rounding first keeps the cast numerator exactly representable. At 100 TB this is
     pure map-side partial aggregation: 6 groups means the final
     exchange carries ~6 rows per task."""
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -1132,8 +1137,12 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(qty).cast("double").alias("sum_qty"),
             F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
-            F.sum(price * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
+            F.round(F.sum(price * (1 - disc)), 2)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.sum(price * (1 - disc) * (1 + tax)), 2)
+            .cast("double")
+            .alias("sum_charge"),
             F.round(F.sum(qty).cast("double") / n, 4).alias("avg_qty"),
             F.round(F.sum(disc).cast("double") / n, 4).alias("avg_disc"),
             n.cast("long").alias("count_order"),
