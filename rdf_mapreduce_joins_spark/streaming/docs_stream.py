@@ -202,6 +202,46 @@ def _publish_assignments(updated: DataFrame, state_dir: str) -> None:
         shutil.rmtree(os.path.join(state_dir, stale), ignore_errors=True)
 
 
+def _probe_pairs(
+    p_side: DataFrame,
+    q_side: DataFrame,
+    num_perm: int,
+    min_est_jaccard: float,
+) -> DataFrame:
+    """Candidate pairs with signature-estimated Jaccard from two band-
+    entry frames: p_side(p, band, bh, sig_p) joined against
+    q_side(q, band, bh, sig_q) on the bucket key, each unordered pair
+    once (least/greatest + dedup — works for probe-vs-index and for a
+    self-join alike), est = matching-position fraction of the
+    denormalized signatures. Shared by the per-batch merge and epoch
+    compaction so both compute pairs identically."""
+    eq = F.zip_with(
+        "sig1", "sig2", lambda x, y: F.when(x == y, 1).otherwise(0)
+    )
+    est = F.round(
+        F.aggregate(eq, F.lit(0), lambda acc, x: acc + x)
+        / F.lit(float(num_perm)),
+        4,
+    )
+    return (
+        p_side.join(q_side, on=["band", "bh"])
+        .filter(F.col("p") != F.col("q"))
+        .select(
+            F.least("p", "q").alias("d1"),
+            F.greatest("p", "q").alias("d2"),
+            F.when(F.col("p") < F.col("q"), F.col("sig_p"))
+            .otherwise(F.col("sig_q"))
+            .alias("sig1"),
+            F.when(F.col("p") < F.col("q"), F.col("sig_q"))
+            .otherwise(F.col("sig_p"))
+            .alias("sig2"),
+        )
+        .dropDuplicates(["d1", "d2"])
+        .select("d1", "d2", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+    )
+
+
 def merge_components_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -211,15 +251,20 @@ def merge_components_batch(
     min_est_jaccard: float = 0.5,
     bands: int = 16,
     rows_per_band: int = 4,
+    epoch: int = 0,
 ) -> None:
     """Merge ONE batch of documents into the persisted clustering state
     under ``state_dir``:
 
     * ``band_index/`` — one row per (doc, band): (id, bh, sig),
-      hive-partitioned by (band, pfx=hash(bh)%_N_PFX) and APPENDED per
-      batch. The signature array is denormalized onto every row so a
-      probe hit carries both endpoints' signatures — no second
-      corpus-sized lookup join for the Jaccard estimate.
+      hive-partitioned by (epoch, band, pfx=hash(bh)%_N_PFX) and
+      APPENDED per batch. The signature array is denormalized onto
+      every row so a probe hit carries both endpoints' signatures — no
+      corpus-sized lookup join for the Jaccard estimate. ``epoch`` is
+      the retention unit (a day/week in production): leading the
+      partition spec makes eviction a directory delete
+      (:func:`compact_components_state`), while probe pruning on
+      (band, pfx) still prunes inside every epoch dir.
     * ``assignments-v*/`` + ``ASSIGNMENTS_CURRENT`` — versioned
       (node, component) snapshots behind an atomic pointer
       (:func:`read_assignments`); component = min doc_id reachable in
@@ -259,9 +304,14 @@ def merge_components_batch(
         id_col=id_col,
         num_perm=num_perm,
     ).localCheckpoint()
-    entries_b = band_index_entries(
-        sigs_b, id_col, bands, rows_per_band, extra_cols=("sig",)
-    ).withColumn("pfx", _pfx_col()).localCheckpoint()
+    entries_b = (
+        band_index_entries(
+            sigs_b, id_col, bands, rows_per_band, extra_cols=("sig",)
+        )
+        .withColumn("pfx", _pfx_col())
+        .withColumn("epoch", F.lit(int(epoch)))
+        .localCheckpoint()
+    )
 
     # The probed partition set: bounded by bands × _N_PFX (a 1-row-per-
     # leaf collect, like inverted_index._term_buckets — never data).
@@ -292,31 +342,7 @@ def merge_components_batch(
     q_side = idx.select(
         F.col(id_col).alias("q"), "band", "bh", F.col("sig").alias("sig_q")
     )
-    eq = F.zip_with(
-        "sig1", "sig2", lambda x, y: F.when(x == y, 1).otherwise(0)
-    )
-    est = F.round(
-        F.aggregate(eq, F.lit(0), lambda acc, x: acc + x)
-        / F.lit(float(num_perm)),
-        4,
-    )
-    delta_pairs = (
-        p_side.join(q_side, on=["band", "bh"])
-        .filter(F.col("p") != F.col("q"))
-        .select(
-            F.least("p", "q").alias("d1"),
-            F.greatest("p", "q").alias("d2"),
-            F.when(F.col("p") < F.col("q"), F.col("sig_p"))
-            .otherwise(F.col("sig_q"))
-            .alias("sig1"),
-            F.when(F.col("p") < F.col("q"), F.col("sig_q"))
-            .otherwise(F.col("sig_p"))
-            .alias("sig2"),
-        )
-        .dropDuplicates(["d1", "d2"])
-        .select("d1", "d2", est.alias("est_jaccard"))
-        .filter(F.col("est_jaccard") >= min_est_jaccard)
-    )
+    delta_pairs = _probe_pairs(p_side, q_side, num_perm, min_est_jaccard)
     prev = read_assignments(spark, state_dir)
     universe = prev.select(F.col("node").alias(id_col)).unionByName(
         sigs_b.select(id_col)
@@ -328,7 +354,78 @@ def merge_components_batch(
     # Index append AFTER the snapshot flip: a crash between the two
     # replays the batch, which re-appends identical rows (deduped on
     # read) and republishes an identical snapshot.
-    entries_b.write.mode("append").partitionBy("band", "pfx").parquet(idx_path)
+    entries_b.write.mode("append").partitionBy("epoch", "band", "pfx").parquet(
+        idx_path
+    )
+
+
+def compact_components_state(
+    spark: SparkSession,
+    state_dir: str,
+    min_epoch: int,
+    id_col: str = "doc_id",
+    min_est_jaccard: float = 0.5,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> None:
+    """EPOCH COMPACTION of the streaming clustering state — the state-
+    layer twin of the oracled batch query plans/llm.py::
+    dedup_epoch_compaction (VERDICT r7 #7):
+
+    1. EVICT every band-index epoch below ``min_epoch``. Because
+       ``epoch`` LEADS the index's partition spec, eviction is a
+       directory delete — zero data pass, the designed 100 TB shape.
+    2. RECANONICALIZE: recompute assignments from a self-join of the
+       RETAINED band entries only (the same `_probe_pairs` kernel the
+       per-batch merge uses), and publish the snapshot atomically.
+       Recompute, not relabel, by design: evicted docs may have been
+       the only bridge between two retained clusters, and old
+       min-labels may BE evicted ids — forgetful semantics require a
+       closure over retained-retained pairs (O(window), once per
+       epoch, against per-batch O(batch) merges).
+
+    Post-compaction merges remain exact: merged == from-scratch over
+    the retained window ∪ later batches is pinned by
+    test_compaction_then_merge_equals_from_scratch, mirroring the
+    batch query's oracle proof at the stream-state level."""
+    import shutil
+
+    from rdf_mapreduce_joins_spark.operators.dedup import (
+        _cap_buckets,
+        merge_pairs_into_labels,
+    )
+
+    idx_path = os.path.join(state_dir, "band_index")
+    if os.path.isdir(idx_path):
+        for d in os.listdir(idx_path):
+            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < min_epoch:
+                shutil.rmtree(os.path.join(idx_path, d), ignore_errors=True)
+    retained = (
+        spark.read.parquet(idx_path)
+        .select(id_col, "band", "bh", "sig")
+        .dropDuplicates([id_col, "band"])
+        if os.path.isdir(idx_path) and any(
+            d.startswith("epoch=") for d in os.listdir(idx_path)
+        )
+        else spark.createDataFrame(
+            [], f"{id_col} bigint, band int, bh bigint, sig array<bigint>"
+        )
+    )
+    retained = _cap_buckets(retained, ["band", "bh"], 10_000).localCheckpoint()
+    num_perm = bands * rows_per_band
+    p_side = retained.select(
+        F.col(id_col).alias("p"), "band", "bh", F.col("sig").alias("sig_p")
+    )
+    q_side = retained.select(
+        F.col(id_col).alias("q"), "band", "bh", F.col("sig").alias("sig_q")
+    )
+    pairs = _probe_pairs(p_side, q_side, num_perm, min_est_jaccard)
+    universe = retained.select(id_col).distinct()
+    empty_prev = spark.createDataFrame([], _ASG_SCHEMA)
+    updated = merge_pairs_into_labels(
+        empty_prev, universe, pairs, id_col=id_col
+    ).select(F.col(id_col).alias("node"), "component")
+    _publish_assignments(updated, state_dir)
 
 
 def incremental_components_sink(
@@ -340,6 +437,7 @@ def incremental_components_sink(
     min_est_jaccard: float = 0.5,
     bands: int = 16,
     rows_per_band: int = 4,
+    epoch: int = 0,
 ):
     """Start the streaming incremental-clustering sink: every
     micro-batch folds into the persisted state via
@@ -363,6 +461,7 @@ def incremental_components_sink(
             min_est_jaccard=min_est_jaccard,
             bands=bands,
             rows_per_band=rows_per_band,
+            epoch=epoch,
         )
 
     return (

@@ -270,3 +270,73 @@ def test_assignments_pointer_flip_is_atomic_commit_point(spark, tmp_path):
     assert os.path.isdir(os.path.join(state, v0))
     got = {r.node: r.component for r in ds.read_assignments(spark, state).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_compaction_then_merge_equals_from_scratch(spark, tmp_path):
+    """Epoch compaction at the stream-state level (the twin of the
+    oracled batch query dedup_epoch_compaction): after merging epochs
+    0-2, compacting at min_epoch=1 must (a) DELETE epoch-0 index
+    directories outright (eviction is a partition delete), (b) publish
+    assignments equal to from-scratch clustering over the retained
+    docs only — clusters glued solely through evicted docs split —
+    and (c) leave the state mergeable: a later batch folds in and the
+    result still equals from-scratch over retained ∪ new."""
+    state = str(tmp_path / "state")
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "one two three four five six seven eight nine ten eleven"
+    bridge = a + " one two three four five six seven eight nine ten"
+    batches = {
+        0: [(10, a), (11, bridge)],   # 11 bridges a-family and b-family
+        1: [(20, a + " x")],
+        2: [(30, b)],
+    }
+    for ep, rows in batches.items():
+        ds.merge_components_batch(
+            spark,
+            spark.createDataFrame(rows, DOCS_SCHEMA),
+            state,
+            min_est_jaccard=0.2,
+            bands=32,
+            rows_per_band=2,
+            epoch=ep,
+        )
+    before = {r.node: r.component for r in ds.read_assignments(spark, state).collect()}
+    # pre-compaction, the bridge doc links 20 and 30's families via 10/11
+    assert before[20] == before[30] == before[10] == before[11] == 10
+
+    ds.compact_components_state(
+        spark, state, min_epoch=1, min_est_jaccard=0.2, bands=32, rows_per_band=2
+    )
+    idx = os.path.join(state, "band_index")
+    assert not os.path.isdir(os.path.join(idx, "epoch=0"))
+    assert os.path.isdir(os.path.join(idx, "epoch=1"))
+    got = {r.node: r.component for r in ds.read_assignments(spark, state).collect()}
+    # from-scratch over retained docs {20, 30}: unrelated texts → two
+    # singletons, the evicted bridge no longer glues them
+    assert got == {20: 20, 30: 30}
+
+    # (c) post-compaction merge: doc 40 is a near-dup of 20's text
+    ds.merge_components_batch(
+        spark,
+        spark.createDataFrame([(40, a + " y")], DOCS_SCHEMA),
+        state,
+        min_est_jaccard=0.2,
+        bands=32,
+        rows_per_band=2,
+        epoch=3,
+    )
+    final = {r.node: r.component for r in ds.read_assignments(spark, state).collect()}
+    # from-scratch over {20, 30, 40}: 20-40 cluster, 30 singleton
+    corpus = spark.createDataFrame(
+        [(20, a + " x"), (30, b), (40, a + " y")], DOCS_SCHEMA
+    )
+    sigs = dedup.minhash_signatures(corpus, num_perm=64)
+    pairs = dedup.minhash_lsh_pairs(
+        sigs, bands=32, rows_per_band=2, min_est_jaccard=0.2
+    )
+    labels = {
+        r.node: r.component
+        for r in dedup.connected_components(pairs, "d1", "d2").collect()
+    }
+    want = {i: labels.get(i, i) for i in (20, 30, 40)}
+    assert final == want and final[40] == final[20] != final[30]
