@@ -843,9 +843,22 @@ def rdf_generic_triples_sparql(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rdf_generic_seq_closure",
     oracle="""
     WITH RECURSIVE m2(src, dst) AS (
-      SELECT s_suppkey, s_suppkey // 4 FROM supplier WHERE s_suppkey >= 2
+      -- composed edge s -> s//4 exists only when the intermediate
+      -- s//2 IS a supplier (each atomic manager hop needs a supplier
+      -- source); further closure hops additionally need dst itself to
+      -- be a supplier — on contiguous fixture keys both joins are
+      -- no-ops, but replica-offset keys (sf1) have non-supplier
+      -- intermediates that must stop the path, as the engine's
+      -- composed-edge closure does
+      SELECT s.s_suppkey, s.s_suppkey // 4
+      FROM supplier s JOIN supplier mid ON mid.s_suppkey = s.s_suppkey // 2
+      WHERE s.s_suppkey >= 2
       UNION
-      SELECT c.src, c.dst // 4 FROM m2 c WHERE c.dst >= 2
+      SELECT c.src, c.dst // 4
+      FROM m2 c
+      JOIN supplier d ON d.s_suppkey = c.dst
+      JOIN supplier mid ON mid.s_suppkey = c.dst // 2
+      WHERE c.dst >= 2
     )
     SELECT 'supplier/' || src AS s, 'supplier/' || dst AS anc FROM m2
     """,

@@ -1046,18 +1046,33 @@ def rdf_chain_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "rdf_cyclic_join",
     oracle="""
-    SELECT DISTINCT 'customer/' || o_custkey AS c,
+    WITH lo AS MATERIALIZED (
+      SELECT o_custkey, l_suppkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    loc AS MATERIALIZED (
+      SELECT c_custkey, l_suppkey, c_nationkey
+      FROM lo JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT DISTINCT 'customer/' || c_custkey AS c,
            'supplier/' || l_suppkey AS s,
            'nation/' || c_nationkey AS n
-    FROM lineitem
-    JOIN orders   ON l_orderkey = o_orderkey
-    JOIN customer ON o_custkey  = c_custkey
-    JOIN supplier ON l_suppkey  = s_suppkey AND s_nationkey = c_nationkey
+    FROM loc
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
     """,
 )
 def rdf_cyclic_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LUBM Q2/Q9 analog: cyclic (triangle) join — customer and supplier
-    connected by an order AND co-located in the same nation (J3)."""
+    connected by an order AND co-located in the same nation (J3).
+
+    Oracle note (r8 sf1 sweep): the SQL stages the chain joins through
+    MATERIALIZED CTEs before the two-condition supplier join. As one
+    flat 4-way join, DuckDB's reorderer at sf1 picks the
+    nation-key join (25 distinct values) as an early build side — a
+    ~6e9-row intermediate that runs >9 min where the staged form takes
+    1.7 s. Same rows either way; the fence only pins the sane order.
+    Spark's own plan is unaffected (Catalyst keys the supplier join on
+    l_suppkey with the nation equality as a residual)."""
     return bgp(
         spark,
         sf_dir,
@@ -1445,8 +1460,13 @@ def rdf_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(s_suppkey // 2 AS BIGINT), s_suppkey
       FROM supplier WHERE s_suppkey >= 1
       UNION
+      -- a further ancestor hop exists only if anc IS a supplier (the
+      -- manager edge's domain): replica-offset keys at sf1 have
+      -- non-supplier halving intermediates that stop the path, as the
+      -- engine's edge-wise closure does
       SELECT CAST(c.anc // 2 AS BIGINT), c.node
-      FROM closure c WHERE c.anc >= 1
+      FROM closure c JOIN supplier sm ON sm.s_suppkey = c.anc
+      WHERE c.anc >= 1
     )
     SELECT 'supplier/' || closure.anc AS manager,
            COUNT(*) AS n_reports,

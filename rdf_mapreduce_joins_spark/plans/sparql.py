@@ -1734,8 +1734,14 @@ def rdf_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT s_suppkey, CAST(FLOOR(s_suppkey / 2) AS BIGINT)
       FROM supplier WHERE s_suppkey >= 1
       UNION
+      -- a further hop exists only if dst IS a supplier (the manager
+      -- edge relation's domain) — on contiguous fixture keys this
+      -- join is a no-op, but replica-offset keys (sf1 scaling) have
+      -- non-supplier halving intermediates that must stop the path,
+      -- exactly as the engine's edge-wise closure does
       SELECT c.src, CAST(FLOOR(c.dst / 2) AS BIGINT)
-      FROM closure c WHERE c.dst >= 1
+      FROM closure c JOIN supplier sm ON sm.s_suppkey = c.dst
+      WHERE c.dst >= 1
     )
     SELECT 'supplier/' || closure.src AS s,
            'supplier/' || closure.dst AS boss,
@@ -1774,8 +1780,10 @@ def rdf_path_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), closure(src, dst) AS (
       SELECT src, dst FROM edges
       UNION
+      -- intermediate hops must be suppliers (see rdf_path_transitive)
       SELECT c.src, CAST(FLOOR(c.dst / 2) AS BIGINT)
-      FROM closure c WHERE c.dst >= 1
+      FROM closure c JOIN supplier sm ON sm.s_suppkey = c.dst
+      WHERE c.dst >= 1
     ), star(src, dst) AS (
       SELECT src, dst FROM closure
       UNION
@@ -2095,9 +2103,22 @@ def rdf_negated_property_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rdf_path_seq_closure",
     oracle="""
     WITH RECURSIVE m2(src, dst) AS (
-      SELECT s_suppkey, s_suppkey // 4 FROM supplier WHERE s_suppkey >= 2
+      -- composed edge s -> s//4 exists only when the intermediate
+      -- s//2 IS a supplier (each atomic manager hop needs a supplier
+      -- source); further closure hops additionally need dst itself to
+      -- be a supplier — on contiguous fixture keys both joins are
+      -- no-ops, but replica-offset keys (sf1) have non-supplier
+      -- intermediates that must stop the path, as the engine's
+      -- composed-edge closure does
+      SELECT s.s_suppkey, s.s_suppkey // 4
+      FROM supplier s JOIN supplier mid ON mid.s_suppkey = s.s_suppkey // 2
+      WHERE s.s_suppkey >= 2
       UNION
-      SELECT c.src, c.dst // 4 FROM m2 c WHERE c.dst >= 2
+      SELECT c.src, c.dst // 4
+      FROM m2 c
+      JOIN supplier d ON d.s_suppkey = c.dst
+      JOIN supplier mid ON mid.s_suppkey = c.dst // 2
+      WHERE c.dst >= 2
     )
     SELECT 'supplier/' || src AS s, 'supplier/' || dst AS anc FROM m2
     """,
