@@ -100,20 +100,50 @@ def main() -> None:
     # mechanical ~10% high vs the min-of-10 baselines on pure run
     # variance).
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
-    # Heavy queries run ONCE (VERDICT r7 #6 — the suite-wall lever):
-    # a query whose rep-0 wall exceeds this is dominated by real plan
-    # execution, not codegen compile, so a second pass buys little
-    # precision while adding its full cost to the driver's bench
-    # session (and the session's own load is what inflates everyone
-    # else's numbers — BASELINE.md round-8 adjudication note).
+    # GATE-AWARE heavy-query single-rep lever (VERDICT r7 #6, refined
+    # after a blind rep-0>5s threshold produced 5 false breaches —
+    # graph queries whose rep-0 is compile-dominated lost their warm
+    # rep and a cold single pass was gated against warm minima): a
+    # second suite pass is skipped ONLY when rep 0 was heavy (> 5 s,
+    # so the skipped pass is expensive) AND already comfortably inside
+    # the 2x gate (<= 1.8x the recorded BASELINE minimum). Queries in
+    # gate danger always get their warm rep — the lever can reduce
+    # wall, never distort the gate. No BASELINE.md → no skipping.
     heavy_s = float(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_S", "5"))
+    minima: dict[str, float] = {}
+    try:
+        import re
+
+        row = re.compile(
+            r"^\| (\S+) \| [0-9.]+ \| ([0-9.]+) \| \d{4}-\d{2}-\d{2} \|$"
+        )
+        here_md = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BASELINE.md"
+        )
+        for ln in open(here_md):
+            m = row.match(ln.rstrip("\n"))
+            if m:
+                minima[m.group(1)] = float(m.group(2))
+    except OSError:
+        pass
+
+    def skip_later_reps(name: str) -> bool:
+        t = timings.get(name)
+        mn = minima.get(name)
+        return (
+            t is not None
+            and mn is not None
+            and t > heavy_s
+            and t <= 1.8 * mn
+        )
+
     timings: dict[str, float | None] = {}
     errors: dict[str, str] = {}
     for rep in range(reps):
         for name, fn in qs.items():
             if name in errors:
                 continue
-            if rep > 0 and (timings.get(name) or 0) > heavy_s:
+            if rep > 0 and skip_later_reps(name):
                 continue
             t0 = time.perf_counter()
             try:
