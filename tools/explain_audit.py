@@ -316,14 +316,35 @@ SHOWCASE = [
     ),
     (
         "dedup_jaccard_prefix_filter",
-        "Prefix-filtered exact Jaccard (r7 second session): candidates "
-        "come from a self-join over each doc's df-ASCENDING prefix "
-        "tokens only (window partitioned by doc_id — never global), so "
-        "hub tokens never enter the candidate join; verification "
-        "re-joins candidates against the full token table for the "
-        "exact intersection. LOSSLESS by the prefix theorem — the "
-        "oracle is the plain quadratic SQL, so the hash-match proves "
-        "zero recall loss.",
+        "Prefix-filtered exact Jaccard, SKEW-GATED since r8: a 1-row "
+        "df-distribution probe (the capped query's statistic) picks the "
+        "route — on this near-uniform fixture the plan below IS the "
+        "plain shared-token self-join (no ranking window); on "
+        "hub-skewed corpora the df-ASCENDING prefix route engages "
+        "(window partitioned by doc_id — never global) so hub tokens "
+        "never enter the candidate join. Both routes are LOSSLESS, so "
+        "one plain-quadratic oracle hash-proves whichever ran; the "
+        "prefix plan itself is pinned by a forced-route test.",
+    ),
+    (
+        "dedup_epoch_compaction",
+        "Epoch compaction (r8): persisted signature state is evicted "
+        "below an id-range horizon (a partition delete at scale), the "
+        "retained window's labels are RECOMPUTED (evicted nodes may be "
+        "the only bridge between retained clusters), and the arriving "
+        "batch folds in via probe-mode band candidates + label "
+        "contraction. Oracle = from-scratch closure over exactly the "
+        "retained window: one hash-match proves no-leakage, "
+        "compaction==from-scratch, and merge exactness.",
+    ),
+    (
+        "tpch_q1_pricing_summary",
+        "Scan-heavy pricing summary: shipdate filter pushed to the "
+        "scan, sums accumulate in DECIMAL (order-independent), and "
+        "since r8 the scale-6 product sums ROUND to 2 digits in "
+        "decimal BEFORE the double cast — at sf1 the cast numerator "
+        "passes 2^53 where DuckDB double-rounds and the JVM rounds "
+        "once, a 1-ulp split only visible at 10x scale.",
     ),
 ]
 
