@@ -8,7 +8,7 @@ as disjoint replica subgraphs sharing only the fixed nation/region
 spine (whose hub degree grows linearly — the realistic skew path).
 Two content adjustments keep the DATA character honest at scale:
 
-- ``documents.text`` tokens are prefixed per replica (``r3·tok``), so
+- ``documents.text`` tokens are prefixed per replica (``r3_tok``), so
   replicas are independent corpora — naive duplication would hand the
   near-dup queries an artificial worst case (every doc x10 exact
   copies) and distort the scaling measurement.
@@ -59,7 +59,7 @@ def scale_table(spark, name: str, factor: int, out_dir: str) -> int:
             d = d.withColumn(c, (F.col(c) + F.lit(i * STRIDE)).cast("long"))
         if name == "documents" and i > 0:
             d = d.withColumn(
-                "text", F.regexp_replace("text", r"(\S+)", f"r{i}·$1")
+                "text", F.regexp_replace("text", r"(\S+)", f"r{i}_$1")
             )
         if name == "embeddings" and i > 0:
             d = d.withColumn(
