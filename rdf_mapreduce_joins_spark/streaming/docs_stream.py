@@ -176,15 +176,25 @@ def _publish_assignments(updated: DataFrame, state_dir: str) -> None:
     versioned directory COMPLETELY, then flip the pointer file with
     os.replace (atomic on POSIX). A crash before the flip leaves the
     previous snapshot current; a crash after it leaves the new one —
-    never a half-written table (ADVICE r7). The previous snapshot is
-    kept (n-1 GC) so a reader that resolved the pointer just before
-    the flip still finds its files."""
+    never a half-written table (ADVICE r7). GC retains BY IDENTITY,
+    not position (ADVICE r8): the survivors are the new snapshot plus
+    whatever directory the pointer named going in — so a half-written
+    ``assignments-v*`` orphan from a publish that crashed before its
+    flip is collected, and the genuinely-current predecessor survives
+    one more cycle for readers that resolved the pointer just before
+    the flip."""
+    import shutil
+
     os.makedirs(state_dir, exist_ok=True)
     existing = sorted(
         d for d in os.listdir(state_dir)
         if d.startswith("assignments-v") and
         os.path.isdir(os.path.join(state_dir, d))
     )
+    # The committed predecessor is what the POINTER names — existing[-1]
+    # may be a crashed publish's orphan, which must not shield itself.
+    prev_current = _current_assignments_path(state_dir)
+    prev_name = os.path.basename(prev_current) if prev_current else None
     next_ord = (
         int(existing[-1].rsplit("v", 1)[1]) + 1 if existing else 0
     )
@@ -196,10 +206,10 @@ def _publish_assignments(updated: DataFrame, state_dir: str) -> None:
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, os.path.join(state_dir, _ASG_POINTER))
-    for stale in existing[:-1]:  # keep current + immediate predecessor
-        import shutil
-
-        shutil.rmtree(os.path.join(state_dir, stale), ignore_errors=True)
+    keep = {snap, prev_name}
+    for stale in existing:
+        if stale not in keep:
+            shutil.rmtree(os.path.join(state_dir, stale), ignore_errors=True)
 
 
 def _probe_pairs(
@@ -367,22 +377,47 @@ def compact_components_state(
     min_est_jaccard: float = 0.5,
     bands: int = 16,
     rows_per_band: int = 4,
+    bucket_cap: int | None = 10_000,
 ) -> None:
     """EPOCH COMPACTION of the streaming clustering state — the state-
     layer twin of the oracled batch query plans/llm.py::
     dedup_epoch_compaction (VERDICT r7 #7):
 
-    1. EVICT every band-index epoch below ``min_epoch``. Because
-       ``epoch`` LEADS the index's partition spec, eviction is a
-       directory delete — zero data pass, the designed 100 TB shape.
-    2. RECANONICALIZE: recompute assignments from a self-join of the
-       RETAINED band entries only (the same `_probe_pairs` kernel the
-       per-batch merge uses), and publish the snapshot atomically.
-       Recompute, not relabel, by design: evicted docs may have been
-       the only bridge between two retained clusters, and old
-       min-labels may BE evicted ids — forgetful semantics require a
-       closure over retained-retained pairs (O(window), once per
+    1. RECANONICALIZE: recompute assignments from a self-join of the
+       RETAINED band entries only — read via an ``epoch >= min_epoch``
+       PARTITION filter, so evicted epochs never enter the scan even
+       though their directories still exist (the same file-listing
+       pruning the per-batch probe uses) — and publish the snapshot
+       atomically. Recompute, not relabel, by design: evicted docs may
+       have been the only bridge between two retained clusters, and
+       old min-labels may BE evicted ids — forgetful semantics require
+       a closure over retained-retained pairs (O(window), once per
        epoch, against per-batch O(batch) merges).
+    2. EVICT every band-index epoch below ``min_epoch`` — AFTER the
+       snapshot flip (ADVICE r8): a crash anywhere leaves a
+       self-consistent state (before the flip: old snapshot + full
+       index, the compaction simply reruns; after it: new snapshot,
+       with eviction resuming as directory deletes that the partition
+       filter already excludes from reads). Because ``epoch`` LEADS
+       the index's partition spec, eviction is a directory delete —
+       zero data pass, the designed 100 TB shape.
+
+    The assignments universe is EVERY retained doc id, taken BEFORE
+    bucket capping (ADVICE r8): a doc whose every (band, bh) bucket
+    exceeds ``bucket_cap`` contributes no candidate pairs (exactly the
+    batch twin's lossy-hub-cap semantics) but must still surface as a
+    singleton — mirroring how :func:`merge_components_batch` builds
+    its universe from prev ∪ batch ids rather than from capped index
+    rows.
+
+    Single-writer contract: compaction and merges are SERIALIZED (in
+    the streaming sink both run inside foreachBatch, which Spark
+    serializes per query). A concurrent reader of the band index could
+    list an epoch directory just before its eviction; the publish-
+    then-evict order bounds the damage to a transient listing error on
+    already-superseded data, and the versioned assignments snapshots
+    (the only cross-process read surface, via
+    :func:`read_assignments`) are never affected.
 
     Post-compaction merges remain exact: merged == from-scratch over
     the retained window ∪ later batches is pinned by
@@ -396,22 +431,24 @@ def compact_components_state(
     )
 
     idx_path = os.path.join(state_dir, "band_index")
-    if os.path.isdir(idx_path):
-        for d in os.listdir(idx_path):
-            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < min_epoch:
-                shutil.rmtree(os.path.join(idx_path, d), ignore_errors=True)
-    retained = (
+    has_retained = os.path.isdir(idx_path) and any(
+        d.startswith("epoch=") and int(d.split("=", 1)[1]) >= min_epoch
+        for d in os.listdir(idx_path)
+    )
+    retained_all = (
         spark.read.parquet(idx_path)
+        # partition column leads the spec → pruned at file listing
+        .filter(F.col("epoch") >= min_epoch)
         .select(id_col, "band", "bh", "sig")
         .dropDuplicates([id_col, "band"])
-        if os.path.isdir(idx_path) and any(
-            d.startswith("epoch=") for d in os.listdir(idx_path)
-        )
+        if has_retained
         else spark.createDataFrame(
             [], f"{id_col} bigint, band int, bh bigint, sig array<bigint>"
         )
-    )
-    retained = _cap_buckets(retained, ["band", "bh"], 10_000).localCheckpoint()
+    ).localCheckpoint()
+    # Universe BEFORE capping: capped-out docs survive as singletons.
+    universe = retained_all.select(id_col).distinct()
+    retained = _cap_buckets(retained_all, ["band", "bh"], bucket_cap)
     num_perm = bands * rows_per_band
     p_side = retained.select(
         F.col(id_col).alias("p"), "band", "bh", F.col("sig").alias("sig_p")
@@ -420,12 +457,16 @@ def compact_components_state(
         F.col(id_col).alias("q"), "band", "bh", F.col("sig").alias("sig_q")
     )
     pairs = _probe_pairs(p_side, q_side, num_perm, min_est_jaccard)
-    universe = retained.select(id_col).distinct()
     empty_prev = spark.createDataFrame([], _ASG_SCHEMA)
     updated = merge_pairs_into_labels(
         empty_prev, universe, pairs, id_col=id_col
     ).select(F.col(id_col).alias("node"), "component")
     _publish_assignments(updated, state_dir)
+    # Eviction LAST — each step above is individually crash-safe.
+    if os.path.isdir(idx_path):
+        for d in os.listdir(idx_path):
+            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < min_epoch:
+                shutil.rmtree(os.path.join(idx_path, d), ignore_errors=True)
 
 
 def incremental_components_sink(

@@ -340,3 +340,94 @@ def test_compaction_then_merge_equals_from_scratch(spark, tmp_path):
     }
     want = {i: labels.get(i, i) for i in (20, 30, 40)}
     assert final == want and final[40] == final[20] != final[30]
+
+
+def test_publish_gc_survives_crashed_orphan_snapshot(spark, tmp_path):
+    """ADVICE r8: GC must retain by IDENTITY (the pointer-named dir),
+    not position. Simulate a publish that crashed after creating its
+    assignments-v* directory but before the pointer flip: the next
+    successful publish must keep the genuinely-current predecessor
+    (the pointer-named one), collect the orphan, and read_assignments
+    must keep resolving correctly throughout."""
+    state = str(tmp_path / "state")
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ds.merge_components_batch(
+        spark, spark.createDataFrame([(1, a)], DOCS_SCHEMA), state,
+        min_est_jaccard=0.2,
+    )
+    committed = open(os.path.join(state, "ASSIGNMENTS_CURRENT")).read().strip()
+    # crashed publish: a half-written v-dir that sorts AFTER `committed`
+    orphan = "assignments-v999999998"
+    os.makedirs(os.path.join(state, orphan))
+    ds.merge_components_batch(
+        spark, spark.createDataFrame([(2, a + " x")], DOCS_SCHEMA), state,
+        min_est_jaccard=0.2,
+    )
+    new = open(os.path.join(state, "ASSIGNMENTS_CURRENT")).read().strip()
+    # the real predecessor survives; the orphan is collected
+    assert os.path.isdir(os.path.join(state, committed))
+    assert not os.path.isdir(os.path.join(state, orphan))
+    assert os.path.isdir(os.path.join(state, new)) and new != committed
+    got = {r.node: r.component for r in ds.read_assignments(spark, state).collect()}
+    assert got == {1: 1, 2: 1}
+
+
+def test_compaction_universe_keeps_capped_out_docs(spark, tmp_path):
+    """ADVICE r8 (medium): docs whose EVERY band bucket exceeds the
+    bucket cap must survive compaction as singletons — the assignments
+    universe is the full retained-doc set (pre-cap), matching the
+    batch twin dedup_epoch_compaction's full-universe semantics."""
+    state = str(tmp_path / "state")
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # 5 identical docs: every (band, bh) bucket they occupy has 5
+    # members, so a cap of 4 drops ALL their index rows.
+    rows = [(i, a) for i in range(1, 6)] + [(9, "unrelated words here only")]
+    ds.merge_components_batch(
+        spark, spark.createDataFrame(rows, DOCS_SCHEMA), state,
+        min_est_jaccard=0.2, bands=32, rows_per_band=2, epoch=0,
+    )
+    ds.compact_components_state(
+        spark, state, min_epoch=0, min_est_jaccard=0.2,
+        bands=32, rows_per_band=2, bucket_cap=4,
+    )
+    got = {r.node: r.component for r in ds.read_assignments(spark, state).collect()}
+    # capped-out docs 1-5 surface as singletons (no pairs → own label);
+    # doc 9's buckets are under the cap and it is a singleton anyway
+    assert got == {i: i for i in (1, 2, 3, 4, 5, 9)}
+
+
+def test_compaction_publishes_before_evicting(spark, tmp_path, monkeypatch):
+    """ADVICE r8: eviction must happen AFTER the snapshot publish — a
+    crash during publish leaves every epoch directory intact (and the
+    old snapshot current), so a rerun sees the full index."""
+    state = str(tmp_path / "state")
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    for ep, did in ((0, 10), (1, 20)):
+        ds.merge_components_batch(
+            spark, spark.createDataFrame([(did, a + f" {ep}")], DOCS_SCHEMA),
+            state, min_est_jaccard=0.2, bands=32, rows_per_band=2, epoch=ep,
+        )
+    before = open(os.path.join(state, "ASSIGNMENTS_CURRENT")).read().strip()
+
+    def boom(updated, state_dir):
+        raise RuntimeError("simulated crash during publish")
+
+    monkeypatch.setattr(ds, "_publish_assignments", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ds.compact_components_state(
+            spark, state, min_epoch=1, min_est_jaccard=0.2,
+            bands=32, rows_per_band=2,
+        )
+    idx = os.path.join(state, "band_index")
+    # nothing evicted, old snapshot still current → compaction reruns
+    assert os.path.isdir(os.path.join(idx, "epoch=0"))
+    assert os.path.isdir(os.path.join(idx, "epoch=1"))
+    assert open(os.path.join(state, "ASSIGNMENTS_CURRENT")).read().strip() == before
+    monkeypatch.undo()
+    ds.compact_components_state(
+        spark, state, min_epoch=1, min_est_jaccard=0.2,
+        bands=32, rows_per_band=2,
+    )
+    assert not os.path.isdir(os.path.join(idx, "epoch=0"))
+    got = {r.node: r.component for r in ds.read_assignments(spark, state).collect()}
+    assert got == {20: 20}
