@@ -46,18 +46,18 @@ _JACCARD_PAIRS_CTES_TEMPLATE = """
              lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
       FROM postok
     ),
-    bi AS (
+    bi AS MATERIALIZED (
       SELECT DISTINCT doc_id, lang, w1 || ' ' || w2 AS bigram
       FROM nbr WHERE w2 IS NOT NULL
     ),
     sz AS (SELECT doc_id, COUNT(*) AS n FROM bi GROUP BY doc_id),
-    inter AS (
+    inter AS MATERIALIZED (
       SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS both_n
       FROM bi a JOIN bi b USING (lang, bigram)
       WHERE a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT d1, d2,
              ROUND(both_n * 1.0 / (s1.n + s2.n - both_n), 4) AS jaccard
       FROM inter
@@ -449,11 +449,13 @@ NGRAM_DF_CAP_FRAC = 0.04  # a "hub" shingle appears in > 4% of documents
              lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
       FROM postok
     ),
-    bi AS (
+    bi AS MATERIALIZED (
       SELECT DISTINCT doc_id, lang, w1 || ' ' || w2 AS bigram
       FROM nbr WHERE w2 IS NOT NULL
     ),
-    dfs AS (SELECT lang, bigram, COUNT(*) AS df FROM bi GROUP BY lang, bigram),
+    dfs AS MATERIALIZED (
+      SELECT lang, bigram, COUNT(*) AS df FROM bi GROUP BY lang, bigram
+    ),
     cap AS (
       SELECT CAST(ceil({NGRAM_DF_CAP_FRAC} * (SELECT COUNT(*) FROM documents))
                   AS BIGINT) AS c
@@ -464,23 +466,33 @@ NGRAM_DF_CAP_FRAC = 0.04  # a "hub" shingle appears in > 4% of documents
                   THEN 1 ELSE 0 END AS use_cap
       FROM dfs
     ),
-    hub AS (
+    hub AS MATERIALIZED (
       SELECT lang, bigram FROM dfs, skew
       WHERE skew.use_cap = 1 AND df > (SELECT c FROM cap)
     ),
-    bic AS (SELECT * FROM bi ANTI JOIN hub USING (lang, bigram)),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    bic AS MATERIALIZED (SELECT * FROM bi ANTI JOIN hub USING (lang, bigram)),
+    -- |∩| decomposes as |∩ non-hub| + |∩ hub| (the engine's own shape,
+    -- round-9 oracle restage): the non-hub part IS the candidate
+    -- self-join's group count — the old cand×bi re-join materialized
+    -- every candidate against its FULL bigram list and thrashed at sf1.
+    inter_nh AS MATERIALIZED (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS nonhub_n
       FROM bic a JOIN bic b USING (lang, bigram)
       WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    hb AS MATERIALIZED (SELECT * FROM bi SEMI JOIN hub USING (lang, bigram)),
+    inter_h AS MATERIALIZED (
+      SELECT c.d1, c.d2, COUNT(*) AS hub_n
+      FROM inter_nh c
+      JOIN hb a ON a.doc_id = c.d1
+      JOIN hb b ON b.doc_id = c.d2 AND a.lang = b.lang AND a.bigram = b.bigram
+      GROUP BY c.d1, c.d2
     ),
     sz AS (SELECT doc_id, COUNT(*) AS n FROM bi GROUP BY doc_id),
     inter AS (
-      SELECT c.d1, c.d2, COUNT(*) AS both_n
-      FROM cand c
-      JOIN bi a ON a.doc_id = c.d1
-      JOIN bi b ON b.doc_id = c.d2 AND a.lang = b.lang AND a.bigram = b.bigram
-      GROUP BY c.d1, c.d2
+      SELECT n.d1, n.d2, n.nonhub_n + COALESCE(h.hub_n, 0) AS both_n
+      FROM inter_nh n LEFT JOIN inter_h h ON n.d1 = h.d1 AND n.d2 = h.d2
     )
     SELECT d1, d2,
            ROUND(both_n * 1.0 / (s1.n + s2.n - both_n), 4) AS jaccard
@@ -659,7 +671,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT re.node, e.b FROM reach re JOIN edges e ON re.r = e.a
     ),
-    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    comp AS MATERIALIZED (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
     ranked AS (
       SELECT c.node, c.component,
              ROW_NUMBER() OVER (
@@ -1785,7 +1797,7 @@ def dataset_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT re.node, e.b FROM reach re JOIN edges e ON re.r = e.a
     ),
-    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    comp AS MATERIALIZED (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
     ranked AS (
       SELECT c.node, c.component,
              ROW_NUMBER() OVER (
