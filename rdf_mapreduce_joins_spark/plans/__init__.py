@@ -7,6 +7,7 @@ query + its DuckDB oracle SQL.
 from rdf_mapreduce_joins_spark.plans import (  # noqa: F401
     analytics,
     assembly,
+    cdc,
     curation,
     events,
     formats,

@@ -1,0 +1,252 @@
+"""CDC MERGE / upsert apply (SURVEY.md §2.10 addition, round 9).
+
+Completes the incremental-maintenance story the way epoch compaction
+completed clustering retention (VERDICT r8 #6): batch-apply a keyed
+changelog (insert / update / delete rows) onto a persisted snapshot
+table and prove ``apply(changelog, snapshot) == from-scratch(final
+state)`` by hash, plus the SCD2 history side composing the same
+changelog with the interval builder shape of
+``analytics.orders_scd2_intervals``.
+
+The changelog is derived deterministically from the TPC-H tables so
+the DuckDB oracle can rebuild it independently:
+
+- **snapshot** = ``customer`` rows with ``c_custkey % 3 != 0`` (the
+  missing third makes some changelog keys genuine INSERTs);
+- **changelog** = one event per ``orders`` row, keyed by
+  ``o_custkey``, sequenced by ``(o_orderdate, o_orderkey)``, split
+  into two epochs at 1995-01-01, with ``o_orderkey % 10 == 0`` rows
+  acting as DELETEs and the rest as UPSERTs.
+
+Last-writer-wins semantics: per key, the final row is the latest
+version in sequence order; the key is absent iff that latest version
+is a DELETE (a later upsert after a delete re-inserts the key).
+
+Scale notes (100 TB posture): the per-epoch "latest version per key"
+is a ``max_by`` aggregate over a struct ordering — one shuffle with
+map-side partial aggregation, never a window sort over the changelog;
+the MERGE itself is a single full-outer join on the key (bucketable /
+storage-partitioned on a real deployment, so the state table never
+reshuffles); the two epochs round-trip through parquet between
+applies, so the query genuinely consumes PERSISTED state the way a
+production CDC pipeline does, and per-batch cost is O(batch ∪ touched
+keys), never O(history).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rdf_mapreduce_joins_spark.plans.registry import query
+from rdf_mapreduce_joins_spark.sources.tables import load_table
+
+CDC_EPOCH_CUTOFF = "1995-01-01"
+CDC_SNAPSHOT_MOD = 3  # custkeys % 3 == 0 are absent from the snapshot
+CDC_DELETE_MOD = 10  # orderkeys % 10 == 0 are DELETE events
+CDC_OPEN_END = "2099-12-31"
+_SNAP_SENTINEL_TS = "1980-01-01"
+
+# Shared derivation, mirrored EXACTLY by the oracle CTEs below. Money
+# goes through FLOOR(x*100 + 0.5) into cents-BIGINTs (the
+# events_resample_interp convention) so both engines do identical
+# double arithmetic — no decimal/rounding divergence surface.
+_ORACLE_SNAP_LOG_CTES = f"""
+    snap AS (
+      SELECT c_custkey AS cust_key,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS balance_cents,
+             c_nationkey AS nation_key,
+             'BASE' AS status,
+             0 AS ep,
+             TIMESTAMP '{_SNAP_SENTINEL_TS}' AS seq_ts,
+             CAST(-1 AS BIGINT) AS seq_id,
+             'U' AS op
+      FROM customer WHERE c_custkey % {CDC_SNAPSHOT_MOD} <> 0
+    ),
+    chlog AS (
+      SELECT o_custkey AS cust_key,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS balance_cents,
+             CAST(o_orderkey % 25 AS INTEGER) AS nation_key,
+             o_orderstatus AS status,
+             CASE WHEN o_orderdate < TIMESTAMP '{CDC_EPOCH_CUTOFF}'
+                  THEN 1 ELSE 2 END AS ep,
+             o_orderdate AS seq_ts,
+             o_orderkey AS seq_id,
+             CASE WHEN o_orderkey % {CDC_DELETE_MOD} = 0
+                  THEN 'D' ELSE 'U' END AS op
+      FROM orders
+    )
+"""
+
+_VALUE_COLS = ["balance_cents", "nation_key", "status"]
+
+
+def _cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(F.col("c_custkey") % CDC_SNAPSHOT_MOD != 0).select(
+        F.col("c_custkey").alias("cust_key"),
+        F.floor(F.col("c_acctbal") * 100 + 0.5)
+        .cast("bigint")
+        .alias("balance_cents"),
+        F.col("c_nationkey").alias("nation_key"),
+        F.lit("BASE").alias("status"),
+        F.lit(0).alias("ep"),
+        F.lit(_SNAP_SENTINEL_TS).cast("timestamp").alias("seq_ts"),
+        F.lit(-1).cast("bigint").alias("seq_id"),
+        F.lit("U").alias("op"),
+    )
+
+
+def _cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_custkey").alias("cust_key"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("balance_cents"),
+        (F.col("o_orderkey") % 25).cast("int").alias("nation_key"),
+        F.col("o_orderstatus").alias("status"),
+        F.when(
+            F.col("o_orderdate") < F.lit(CDC_EPOCH_CUTOFF).cast("timestamp"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(2))
+        .alias("ep"),
+        F.col("o_orderdate").alias("seq_ts"),
+        F.col("o_orderkey").alias("seq_id"),
+        F.when(F.col("o_orderkey") % CDC_DELETE_MOD == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+
+
+def merge_apply(state: DataFrame, changelog: DataFrame) -> DataFrame:
+    """Apply one changelog batch onto a keyed state table (the MERGE /
+    upsert-apply operator).
+
+    1. Collapse the batch to its latest version per key with a
+       ``max_by(values, (seq_ts, seq_id))`` aggregate — one shuffle,
+       map-side combinable, no window sort (at 100 TB the changelog
+       batch may itself be huge; an aggregate keeps it a single pass).
+    2. Full-outer join onto the state: absent key → state row wins;
+       latest op 'D' → key dropped; else changelog values win (an
+       upsert inserts or overwrites).
+
+    ``state`` columns: cust_key + ``_VALUE_COLS``. Returns the same
+    shape, so applies chain: ``merge_apply(merge_apply(s, e1), e2)``.
+    """
+    latest = changelog.groupBy("cust_key").agg(
+        F.max_by(
+            F.struct("op", *_VALUE_COLS), F.struct("seq_ts", "seq_id")
+        ).alias("v")
+    )
+    joined = state.join(latest, "cust_key", "full_outer")
+    return joined.filter(
+        F.col("v").isNull() | (F.col("v.op") != "D")
+    ).select(
+        "cust_key",
+        *[
+            F.coalesce(F.col(f"v.{c}"), F.col(c)).alias(c)
+            for c in _VALUE_COLS
+        ],
+    )
+
+
+@query(
+    "cdc_merge_apply",
+    oracle=f"""
+    WITH
+    {_ORACLE_SNAP_LOG_CTES},
+    unioned AS (
+      SELECT * FROM snap
+      UNION ALL
+      SELECT * FROM chlog
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY cust_key
+        ORDER BY ep DESC, seq_ts DESC, seq_id DESC
+      ) AS rn
+      FROM unioned
+    )
+    SELECT cust_key, balance_cents, nation_key, status
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE/upsert apply, proven incremental: the changelog is
+    split into two epochs; epoch 1 is merged onto the snapshot, the
+    merged state is PERSISTED to parquet and read back (the table a
+    production pipeline carries between runs), then epoch 2 is merged
+    onto the persisted state. The oracle is the FROM-SCRATCH
+    last-writer-wins fold over snapshot ∪ full changelog (row_number
+    over the total version order), so the hash-match proves
+    apply∘apply == from-scratch — the MERGE twin of the
+    agg_incremental_merge / dedup_epoch_compaction soundness pattern.
+
+    Sequential-apply soundness: the epoch split is a global timestamp
+    cutoff, so within any key every epoch-1 version precedes every
+    epoch-2 version; the overall latest version is therefore the
+    latest version of the newest epoch that touches the key — exactly
+    what chained full-outer merges compute."""
+    from rdf_mapreduce_joins_spark.plans.formats import _scratch
+
+    snapshot = _cdc_snapshot(spark, sf_dir).select("cust_key", *_VALUE_COLS)
+    log = _cdc_changelog(spark, sf_dir)
+    state1 = merge_apply(snapshot, log.filter(F.col("ep") == 1))
+    path = _scratch(sf_dir, "cdc_state_epoch1")
+    state1.write.mode("overwrite").parquet(path)
+    persisted = spark.read.parquet(path)
+    return merge_apply(persisted, log.filter(F.col("ep") == 2))
+
+
+@query(
+    "cdc_scd2_history",
+    oracle=f"""
+    WITH
+    {_ORACLE_SNAP_LOG_CTES},
+    unioned AS (
+      SELECT * FROM snap
+      UNION ALL
+      SELECT * FROM chlog
+    ),
+    iv AS (
+      SELECT *,
+             LEAD(seq_ts) OVER w AS next_ts
+      FROM unioned
+      WINDOW w AS (PARTITION BY cust_key ORDER BY ep, seq_ts, seq_id)
+    )
+    SELECT cust_key, balance_cents, nation_key, status,
+           CAST(seq_ts AS DATE) AS valid_from,
+           CAST(COALESCE(next_ts, TIMESTAMP '{CDC_OPEN_END}') AS DATE)
+             AS valid_to,
+           next_ts IS NULL AS is_current
+    FROM iv WHERE op <> 'D'
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The history side of the CDC apply: every version (snapshot row
+    + each changelog upsert) becomes a type-2 [valid_from, valid_to)
+    interval — the ``orders_scd2_intervals`` lead() shape composed
+    with the CDC version stream. A DELETE event contributes no
+    interval of its own but its timestamp closes the preceding
+    version's interval (the lead() runs over ALL versions, the filter
+    drops only the emitted row), so a deleted key's history ends
+    without an open row and ``is_current`` is exactly "live in the
+    final state". One window per key — same single-shuffle posture as
+    the apply; no self-join against the history table."""
+    versions = _cdc_snapshot(spark, sf_dir).unionByName(
+        _cdc_changelog(spark, sf_dir)
+    )
+    w = Window.partitionBy("cust_key").orderBy("ep", "seq_ts", "seq_id")
+    next_ts = F.lead("seq_ts").over(w)
+    return versions.select(
+        "cust_key",
+        *_VALUE_COLS,
+        "op",
+        F.to_date("seq_ts").alias("valid_from"),
+        F.to_date(
+            F.coalesce(next_ts, F.lit(CDC_OPEN_END).cast("timestamp"))
+        ).alias("valid_to"),
+        next_ts.isNull().alias("is_current"),
+    ).filter(F.col("op") != "D").drop("op")
