@@ -37,6 +37,7 @@ from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 from rdf_mapreduce_joins_spark.operators.dedup import with_simhash_bands
 from rdf_mapreduce_joins_spark.session import ensure_runtime_confs
+from rdf_mapreduce_joins_spark.streaming import snapshots
 
 _N_BANDS = 4
 
@@ -152,12 +153,7 @@ def _pfx_col() -> F.Column:
 
 
 def _current_assignments_path(state_dir: str) -> str | None:
-    ptr = os.path.join(state_dir, _ASG_POINTER)
-    if not os.path.isfile(ptr):
-        return None
-    name = open(ptr).read().strip()
-    path = os.path.join(state_dir, name)
-    return path if os.path.isdir(path) else None
+    return snapshots.current_snapshot_path(state_dir, _ASG_POINTER)
 
 
 def read_assignments(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -165,51 +161,16 @@ def read_assignments(spark: SparkSession, state_dir: str) -> DataFrame:
     snapshot the atomic pointer names. Mid-stream consumers use this
     (never a raw parquet path): snapshots are versioned and the
     pointer flip is the commit point."""
-    path = _current_assignments_path(state_dir)
-    if path is None:
-        return spark.createDataFrame([], _ASG_SCHEMA)
-    return spark.read.parquet(path)
+    return snapshots.read_snapshot(spark, state_dir, _ASG_POINTER, _ASG_SCHEMA)
 
 
 def _publish_assignments(updated: DataFrame, state_dir: str) -> None:
-    """Atomically publish a new assignments snapshot: write a fresh
-    versioned directory COMPLETELY, then flip the pointer file with
-    os.replace (atomic on POSIX). A crash before the flip leaves the
-    previous snapshot current; a crash after it leaves the new one —
-    never a half-written table (ADVICE r7). GC retains BY IDENTITY,
-    not position (ADVICE r8): the survivors are the new snapshot plus
-    whatever directory the pointer named going in — so a half-written
-    ``assignments-v*`` orphan from a publish that crashed before its
-    flip is collected, and the genuinely-current predecessor survives
-    one more cycle for readers that resolved the pointer just before
-    the flip."""
-    import shutil
-
-    os.makedirs(state_dir, exist_ok=True)
-    existing = sorted(
-        d for d in os.listdir(state_dir)
-        if d.startswith("assignments-v") and
-        os.path.isdir(os.path.join(state_dir, d))
-    )
-    # The committed predecessor is what the POINTER names — existing[-1]
-    # may be a crashed publish's orphan, which must not shield itself.
-    prev_current = _current_assignments_path(state_dir)
-    prev_name = os.path.basename(prev_current) if prev_current else None
-    next_ord = (
-        int(existing[-1].rsplit("v", 1)[1]) + 1 if existing else 0
-    )
-    snap = f"assignments-v{next_ord:09d}"
-    updated.write.mode("overwrite").parquet(os.path.join(state_dir, snap))
-    tmp = os.path.join(state_dir, _ASG_POINTER + ".tmp")
-    with open(tmp, "w") as fh:
-        fh.write(snap)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, os.path.join(state_dir, _ASG_POINTER))
-    keep = {snap, prev_name}
-    for stale in existing:
-        if stale not in keep:
-            shutil.rmtree(os.path.join(state_dir, stale), ignore_errors=True)
+    """Atomically publish a new assignments snapshot (r9: the protocol
+    is factored into streaming/snapshots.py, shared with the CDC apply
+    sink — write the versioned directory completely, flip the pointer
+    with os.replace, GC by identity with n-1 reader grace; see that
+    module for the ADVICE r7/r8 crash-safety contract)."""
+    snapshots.publish_snapshot(updated, state_dir, "assignments-v", _ASG_POINTER)
 
 
 def _probe_pairs(

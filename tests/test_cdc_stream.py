@@ -1,0 +1,138 @@
+"""Streaming CDC apply sink tests (streaming/cdc_stream.py): the
+batch-twin + replay policy's proof obligations — stream-applied final
+state equals the from-scratch batch fold, micro-batch replay is
+idempotent, and the snapshot pointer survives a crashed publish."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_mapreduce_joins_spark.plans.cdc import merge_apply
+from rdf_mapreduce_joins_spark.streaming import cdc_stream as cs
+
+LOG_SCHEMA = (
+    "cust_key bigint, balance_cents bigint, nation_key int, status string, "
+    "seq_ts timestamp, seq_id bigint, op string"
+)
+
+# Three micro-batches exercising insert, overwrite, delete, and
+# delete-then-reinsert across batch boundaries.
+BATCHES = [
+    [
+        (1, 100, 1, "a", "2020-01-01 00:00:00", 1, "U"),
+        (2, 200, 2, "b", "2020-01-01 00:00:01", 2, "U"),
+        (3, 300, 3, "c", "2020-01-01 00:00:02", 3, "U"),
+    ],
+    [
+        (2, 0, 0, "x", "2020-01-02 00:00:00", 4, "D"),  # delete 2
+        (1, 111, 1, "a2", "2020-01-02 00:00:01", 5, "U"),  # overwrite 1
+        (4, 400, 4, "d", "2020-01-02 00:00:02", 6, "U"),  # insert 4
+    ],
+    [
+        (2, 222, 2, "back", "2020-01-03 00:00:00", 7, "U"),  # reinsert 2
+        (3, 0, 0, "x", "2020-01-03 00:00:01", 8, "D"),  # delete 3
+    ],
+]
+FINAL = {1: (111, 1, "a2"), 2: (222, 2, "back"), 4: (400, 4, "d")}
+
+
+def _mk_batch(spark, rows):
+    df = spark.createDataFrame(
+        rows, LOG_SCHEMA.replace("seq_ts timestamp", "seq_ts string")
+    )
+    return df.withColumn("seq_ts", F.col("seq_ts").cast("timestamp"))
+
+
+@pytest.fixture(scope="module")
+def log_batches_dir(spark, tmp_path_factory):
+    """The three micro-batches as single parquet files with staggered
+    mtimes so maxFilesPerTrigger=1 replays them in order."""
+    flat = tmp_path_factory.mktemp("cdc_flat")
+    raw = tmp_path_factory.mktemp("cdc_raw")
+    for i, rows in enumerate(BATCHES):
+        name = f"b{i}"
+        _mk_batch(spark, rows).coalesce(1).write.parquet(str(raw / name))
+        src = glob.glob(str(raw / name / "*.parquet"))[0]
+        dst = str(flat / f"{name}.parquet")
+        shutil.copy(src, dst)
+        t = time.time() + i * 10
+        os.utime(dst, (t, t))
+    return str(flat)
+
+
+def _state_dict(df) -> dict:
+    return {
+        r.cust_key: (r.balance_cents, r.nation_key, r.status)
+        for r in df.collect()
+    }
+
+
+def test_stream_apply_equals_batch_fold(spark, log_batches_dir, tmp_path):
+    """Drive the real file-source stream (one file per trigger) through
+    the foreachBatch sink; the final published snapshot must equal the
+    from-scratch batch fold over the concatenated changelog."""
+    state_dir = str(tmp_path / "state")
+    changelog = (
+        spark.readStream.schema(LOG_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(log_batches_dir)
+    )
+    q = cs.apply_changelog_stream(
+        changelog, state_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = _state_dict(cs.read_cdc_state(spark, state_dir))
+    assert got == FINAL
+    # from-scratch: one merge_apply over the whole changelog from empty
+    whole = _mk_batch(spark, [r for b in BATCHES for r in b])
+    empty = spark.createDataFrame([], cs.STATE_SCHEMA)
+    assert _state_dict(merge_apply(empty, whole)) == FINAL
+
+
+def test_replay_idempotent(spark, tmp_path):
+    """At-least-once delivery: re-applying the SAME micro-batch onto a
+    state that already absorbed it must not change the state (upserts
+    overwrite with identical values, deletes of absent keys no-op) —
+    the property that lets foreachBatch run without a dedup ledger."""
+    state_dir = str(tmp_path / "state")
+    for rows in BATCHES:
+        cs.apply_changelog_batch(_mk_batch(spark, rows), state_dir)
+    before = _state_dict(cs.read_cdc_state(spark, state_dir))
+    cs.apply_changelog_batch(_mk_batch(spark, BATCHES[-1]), state_dir)
+    after = _state_dict(cs.read_cdc_state(spark, state_dir))
+    assert before == after == FINAL
+
+
+def test_snapshot_pointer_survives_crashed_publish(spark, tmp_path, monkeypatch):
+    """A publish that crashes mid-write leaves the previous snapshot
+    current and readable; the retried batch then commits normally
+    (the shared snapshots.py contract applied to the CDC sink)."""
+    from rdf_mapreduce_joins_spark.streaming import snapshots
+
+    state_dir = str(tmp_path / "state")
+    cs.apply_changelog_batch(_mk_batch(spark, BATCHES[0]), state_dir)
+    committed = _state_dict(cs.read_cdc_state(spark, state_dir))
+
+    real_replace = os.replace
+
+    def boom(src, dst):
+        if os.path.basename(dst) == cs.STATE_POINTER:
+            raise RuntimeError("simulated crash before pointer flip")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(snapshots.os, "replace", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        cs.apply_changelog_batch(_mk_batch(spark, BATCHES[1]), state_dir)
+    monkeypatch.setattr(snapshots.os, "replace", real_replace)
+    # reader still sees the last committed state
+    assert _state_dict(cs.read_cdc_state(spark, state_dir)) == committed
+    # retry commits, and the orphan dir does not break version numbering
+    cs.apply_changelog_batch(_mk_batch(spark, BATCHES[1]), state_dir)
+    cs.apply_changelog_batch(_mk_batch(spark, BATCHES[2]), state_dir)
+    assert _state_dict(cs.read_cdc_state(spark, state_dir)) == FINAL

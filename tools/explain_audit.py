@@ -338,6 +338,16 @@ SHOWCASE = [
         "compaction==from-scratch, and merge exactness.",
     ),
     (
+        "cdc_merge_apply",
+        "CDC MERGE/upsert apply (r9): the changelog batch collapses to "
+        "its latest version per key with a max_by AGGREGATE (one "
+        "shuffle, map-side combinable — no window sort over the "
+        "changelog), and the merge onto the persisted snapshot is a "
+        "single full-outer SortMergeJoin on the key. Per-batch cost is "
+        "O(batch ∪ touched keys); the oracle's from-scratch "
+        "last-writer-wins fold proves chained applies exact.",
+    ),
+    (
         "tpch_q1_pricing_summary",
         "Scan-heavy pricing summary: shipdate filter pushed to the "
         "scan, sums accumulate in DECIMAL (order-independent), and "
