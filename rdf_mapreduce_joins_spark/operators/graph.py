@@ -267,6 +267,15 @@ def _pagerank_iteration(
     )
 
 
+# Route flip for triangle counting: below this id-ordered wedge volume
+# the degree-orientation machinery (degree agg + two edge⋈degree joins)
+# costs more than the wedges it saves; above it the wedge stream
+# dominates everything. Measured crossover between sf1 (19M wedges:
+# id route 8.1 s vs degree 17.7 s) and sf3 (69M wedges: 43.2 s vs
+# 17.0 s) on the replica-scaled FK graph.
+TRIANGLE_DEGREE_ROUTE_MIN_WEDGES = 32_000_000
+
+
 def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
@@ -274,14 +283,31 @@ def triangle_count(
     an edge relation (direction and multiplicity dropped; self-loops
     ignored).
 
-    Canonicalizes every edge to (lo, hi) with lo < hi, then counts
-    wedges closed by a third edge: (a<b) ⋈ (b<c) ⋈ (a,c). Ordering
-    each triangle as a<b<c counts it exactly once — no /3 or /6
-    correction, no double counting, and the join degrees are bounded
-    by the ORDERED degree (max O(√|E|) after this orientation — the
-    standard scalable formulation; hub vertices contribute only their
-    higher-id neighbors). Two shuffle joins on small int/string keys;
-    result is one row (n_triangles)."""
+    Two routes behind a measured wedge-volume probe, both exact (any
+    consistent total vertex order counts each triangle once):
+
+    - **id-ordered** (cheap): orient (lo, hi) by id, wedges at the low
+      endpoint, one self-join + one semi join. Wedge volume is
+      Σ deg→(v)² under id order — fine until hubs grow.
+    - **degree-oriented** (the node-iterator++ / Latapy formulation):
+      orient toward the higher (degree, id) endpoint, so each triangle
+      is charged to its LOWEST-degree vertex and hubs — ranked highest
+      — contribute ZERO ordered wedges no matter how large they grow.
+      Costs a degree aggregation plus two edge⋈degree joins, which is
+      pure overhead while wedges are cheap (measured 8.1 s → 17.7 s at
+      sf1) and the whole query once they aren't (43.2 s → 17.0 s
+      standalone at sf3, where the fixed nation/region hub spine had
+      pushed the id-ordered wedge stream to 68M rows; degree-oriented
+      wall is FLAT sf1→sf3 at 3x data; routed end-to-end: 10.2 s at
+      sf1, 26.1 s at sf3 including the probe and canon recompute).
+
+    The probe IS the routed quantity: Σ d(d-1)/2 over id-ordered lower
+    endpoints — one 1-row aggregate over the canonical edges (the
+    Σdf² hub-cost probe pattern from the gated Jaccard route). Both
+    routes' closing-edge probes hash the (small) edge side
+    (shuffle_hash) instead of sort-merging — an SMJ would sort the
+    wedge stream, the one thing the orientation bounds.
+    Result is one row (n_triangles)."""
     canon = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("lo"),
@@ -290,12 +316,61 @@ def triangle_count(
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
     )
-    e1 = canon.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
-    e2 = canon.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
-    e3 = canon.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
-    wedges = e1.join(e2, "b")
+    # No persist: the probe's single extra pass over canon is cheaper
+    # than a cache entry that would outlive this call (the returned
+    # frame executes after we could unpersist) across a 221-query
+    # bench session.
+    id_wedges = (
+        canon.groupBy("lo")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.sum(F.expr("d * (d - 1) / 2")).alias("w"))
+        .collect()[0].w
+        or 0
+    )
+    if id_wedges <= TRIANGLE_DEGREE_ROUTE_MIN_WEDGES:
+        e1 = canon.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+        e2 = canon.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+        e3 = canon.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+        wedges = e1.join(e2, "b").select(
+            F.col("a").alias("wa"), F.col("c").alias("wb")
+        )
+        closing = e3.select(
+            F.col("a").alias("wa"), F.col("c").alias("wb")
+        )
+    else:
+        deg = (
+            canon.select(F.col("lo").alias("v"))
+            .unionAll(canon.select(F.col("hi").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        e = canon.join(
+            deg.select(F.col("v").alias("lo"), F.col("d").alias("dlo")), "lo"
+        ).join(
+            deg.select(F.col("v").alias("hi"), F.col("d").alias("dhi")), "hi"
+        )
+        lo_first = F.struct("dlo", "lo") < F.struct("dhi", "hi")
+        oriented = e.select(
+            F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("a"),
+            F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("b"),
+            F.when(lo_first, F.col("dhi")).otherwise(F.col("dlo")).alias("db"),
+        )
+        w1 = oriented.select(
+            "a", F.col("b").alias("b1"), F.col("db").alias("d1")
+        )
+        w2 = oriented.select(
+            "a", F.col("b").alias("b2"), F.col("db").alias("d2")
+        )
+        wedges = (
+            w1.join(w2, "a")
+            .filter(F.struct("d1", "b1") < F.struct("d2", "b2"))
+            .select(F.col("b1").alias("wa"), F.col("b2").alias("wb"))
+        )
+        closing = oriented.select(
+            F.col("a").alias("wa"), F.col("b").alias("wb")
+        )
     return (
-        wedges.join(e3, ["a", "c"], "left_semi")
+        wedges.join(closing.hint("shuffle_hash"), ["wa", "wb"], "left_semi")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
 

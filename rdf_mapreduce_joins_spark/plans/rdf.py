@@ -1408,11 +1408,29 @@ def rdf_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     nondeterminism). The a<b<c orientation counts each triangle once
     and bounds join fan-out by the ordered degree (hubs contribute
     only higher-id neighbors — the scalable formulation); the oracle
-    is an independent DuckDB 3-way self-join with EXISTS closure."""
+    is an independent DuckDB 3-way self-join with EXISTS closure.
+
+    Vertices join as int64 DICTIONARY IDS (r9): the count is invariant
+    under any vertex bijection (the orientation just uses a different
+    total order), so the edge set is built with ``encoded=True`` and
+    no decode ever happens. At sf3 the string formulation shuffled
+    ~4 GB of IRI text through the wedge join and hit G1
+    humongous-allocation storms (124 s; encoded + the operator's
+    hashed closing probe and wedge-gated degree orientation: 26 s,
+    and sf1→sf3 wall is 2.56x at 3x data/3.65x wedge work); int64
+    keys are the same fix the BGP compiler uses for every encoded
+    join."""
     from rdf_mapreduce_joins_spark.operators.graph import triangle_count
 
-    fk_preds = sorted({s.pred for s in PRED_SPECS if s.obj_prefix is not None})
-    edges = triples(spark, sf_dir, preds=fk_preds)
+    fk_specs = [s for s in PRED_SPECS if s.obj_prefix is not None]
+    dfs = [
+        spec_df(spark, sf_dir, s, encoded=True) for s in sorted(
+            fk_specs, key=lambda s: (s.pred, s.table)
+        )
+    ]
+    edges = dfs[0]
+    for d in dfs[1:]:
+        edges = edges.unionByName(d)
     return triangle_count(edges, src="subject", dst="object")
 
 

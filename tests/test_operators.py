@@ -681,6 +681,31 @@ class TestGraphAnalytics:
         )
         assert triangle_count(e).collect()[0].n_triangles == 0
 
+    def test_triangle_degree_route_matches_id_route(
+        self, spark, sf_dir, monkeypatch
+    ):
+        """Force the degree-oriented scale route (wedge threshold → -1)
+        and require the count identical to the id-ordered route on the
+        real FK graph AND on a hub-heavy star+clique graph (the shape
+        the route exists for) — the forced-route parity pattern from
+        the gated rank/prefix queries."""
+        import __spark_entry__ as entrymod
+        from rdf_mapreduce_joins_spark.operators import graph
+
+        fn = entrymod.queries()["rdf_triangle_count"]
+        small = fn(spark, sf_dir).collect()[0].n_triangles
+        monkeypatch.setattr(graph, "TRIANGLE_DEGREE_ROUTE_MIN_WEDGES", -1)
+        assert fn(spark, sf_dir).collect()[0].n_triangles == small
+
+        hub = [("h", f"x{i}") for i in range(50)]  # star: no triangles
+        tri = [("x1", "x2"), ("x3", "x4"), ("x3", "h")]  # close 2 of them
+        e = spark.createDataFrame(hub + tri, "src string, dst string")
+        forced = graph.triangle_count(e).collect()[0].n_triangles
+        monkeypatch.setattr(
+            graph, "TRIANGLE_DEGREE_ROUTE_MIN_WEDGES", 10**12
+        )
+        assert graph.triangle_count(e).collect()[0].n_triangles == forced == 2
+
 
 def test_approx_percentiles_within_rank_error(spark, sf_dir):
     """Each sketch value must sit within a small rank window of the
