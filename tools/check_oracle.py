@@ -82,6 +82,20 @@ def run_sf(spark, sf_dir: str, only: set[str]) -> tuple[int, int]:
     # resolved against the SAME fixture the DuckDB views read.
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     con = duckdb.connect()
+    # Bound the oracle side so a big-sf run SPILLS instead of OOMing:
+    # DuckDB's default memory_limit is ~80% of RAM, which stacked on
+    # the Spark JVM + collected result rows got the whole process
+    # kernel-OOM-killed on the first sf3 (30x) pagerank certification
+    # attempt (round 9). A fixed limit + temp_directory turns that
+    # into out-of-core execution; the env override lets a dedicated
+    # box raise it.
+    mem_gb = os.environ.get("SPARK_GRAFT_ORACLE_MEM_GB", "40")
+    tmp = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), "duckdb_oracle_spill"
+    )
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET memory_limit='{mem_gb}GB'")
+    con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         # Driver fixtures are single files; Spark-written tables (e.g.
         # the replica-scaled sf1 from tools/make_scaled_sf.py) are
