@@ -176,10 +176,15 @@ SHOWCASE = [
     ),
     (
         "rdf_triangle_count",
-        "Exact triangles: canonicalized lo<hi edges, wedge join on the "
-        "middle vertex, left-semi closure check — each triangle counted "
-        "once under the a<b<c orientation, join fan-out bounded by the "
-        "ordered degree.",
+        "Exact triangles over int64 dictionary ids (nothing decodes — "
+        "the count is invariant under vertex bijection): canonicalized "
+        "lo<hi edges, wedge join on the middle vertex, then a "
+        "shuffle-hash left-semi probe of the closing edge (hash the "
+        "small edge side, never sort the wedge stream). Orientation is "
+        "gated on a 1-row wedge-volume probe: id-ordered when wedges "
+        "are cheap, degree-ordered (node-iterator++: hubs contribute "
+        "zero ordered wedges) when the hub spine would blow up wedge "
+        "volume — each triangle counted once either way.",
     ),
     (
         "events_interval_join",
