@@ -1383,6 +1383,20 @@ def rdf_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rdf_triangle_count",
+    # Degree-oriented (node-iterator++) oracle, restaged round 9: the
+    # original id-ordered wedge join (canon e1 JOIN canon e2 ON
+    # e1.hi = e2.lo + EXISTS closure) was certified through sf1 but
+    # filled 75 GB of spill at sf3 — the fixed nation/region hub spine
+    # gains 30x degree and id-ordered wedges THROUGH a hub grow
+    # quadratically in that degree. Orienting every canonical edge
+    # toward the higher (degree, vertex) endpoint gives hubs ~zero
+    # out-edges, so wedge volume collapses while the count is
+    # unchanged (each triangle a<b<c in the total order is counted
+    # exactly once at its lowest vertex: wedge a→b, a→c with b<c,
+    # closing edge b→c). Same restage precedent as
+    # dedup_ngram_jaccard_capped: the naive formulation stays the
+    # documented semantics; equality old==new verified at
+    # sf0.001/0.01/0.1 before the swap (334/384 triangles identical).
     oracle=f"""
     WITH tri AS ({_TRI_CTE}),
     fk AS (
@@ -1390,16 +1404,31 @@ def rdf_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE predicate IN ('nation', 'region', 'customer', 'order',
                             'supplier', 'manager')
     ),
-    canon AS (
+    canon AS MATERIALIZED (
         SELECT DISTINCT LEAST(subject, object) AS lo,
                         GREATEST(subject, object) AS hi
         FROM fk WHERE subject <> object
+    ),
+    deg AS MATERIALIZED (
+        SELECT v, COUNT(*) AS d FROM (
+            SELECT lo AS v FROM canon UNION ALL SELECT hi AS v FROM canon
+        ) GROUP BY v
+    ),
+    dir AS MATERIALIZED (
+        SELECT CASE WHEN (dl.d, c.lo) < (dh.d, c.hi)
+                    THEN c.lo ELSE c.hi END AS u,
+               CASE WHEN (dl.d, c.lo) < (dh.d, c.hi)
+                    THEN c.hi ELSE c.lo END AS v,
+               CASE WHEN (dl.d, c.lo) < (dh.d, c.hi)
+                    THEN dh.d ELSE dl.d END AS dv
+        FROM canon c
+        JOIN deg dl ON dl.v = c.lo
+        JOIN deg dh ON dh.v = c.hi
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
-    FROM canon e1
-    JOIN canon e2 ON e1.hi = e2.lo
-    WHERE EXISTS (SELECT 1 FROM canon e3
-                  WHERE e3.lo = e1.lo AND e3.hi = e2.hi)
+    FROM dir e1
+    JOIN dir e2 ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)
+    JOIN dir e3 ON e3.u = e1.v AND e3.v = e2.v
     """,
 )
 def rdf_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
