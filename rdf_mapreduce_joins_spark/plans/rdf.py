@@ -1299,7 +1299,17 @@ def _pagerank_oracle_sql() -> str:
     the same unroll pattern as the kcore oracle. Every float literal
     is cast to DOUBLE so DuckDB's DECIMAL literals can't change the
     arithmetic; the per-round fixed-point round mirrors
-    operators/graph.py::pagerank(fixed_point_scale=1e9)."""
+    operators/graph.py::pagerank(fixed_point_scale=1e9).
+
+    The recurrence runs over int64 node ids (round-9 restage, the
+    triangle-oracle precedent): the VARCHAR formulation materialized
+    ten chained ~28M-row string-keyed rank CTEs at sf3 and exceeded
+    79 GB of spill even under a 64 GB DuckDB cap. Rank values are a
+    function of graph STRUCTURE only, so a bijective id relabeling
+    cannot change any rank; ids enter before r0 and decode after
+    r{PR_ITER} through the one nid dictionary join. old==new was
+    verified by full-result hash at sf0.001/0.01/0.1 before the
+    swap."""
     fk = sorted({s.pred for s in PRED_SPECS if s.obj_prefix is not None})
     preds = ", ".join(f"'{p}'" for p in fk)
     damp = "CAST(0.85 AS DOUBLE)"
@@ -1310,14 +1320,14 @@ def _pagerank_oracle_sql() -> str:
         cur = f"r{i}"
         rounds.append(f"""
     {cur} AS MATERIALIZED (
-      SELECT nodes.node, nodes.is_dangling,
+      SELECT nodes.id, nodes.is_dangling,
              round(({base} + {damp} *
                     (COALESCE(m.in_mass, CAST(0 AS DOUBLE))
                      + d.dm / (SELECT cnt FROM nn))) * 1e9) / 1e9 AS rank
       FROM nodes
-      LEFT JOIN (SELECT a.dst AS node, SUM(p.rank * a.w) AS in_mass
-                 FROM {prev} p JOIN adj a ON p.node = a.node
-                 GROUP BY a.dst) m ON m.node = nodes.node
+      LEFT JOIN (SELECT a.did, SUM(p.rank * a.w) AS in_mass
+                 FROM {prev} p JOIN adj a ON p.id = a.sid
+                 GROUP BY a.did) m ON m.did = nodes.id
       CROSS JOIN (SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS dm
                   FROM {prev} WHERE is_dangling) d
     )""")
@@ -1328,25 +1338,33 @@ def _pagerank_oracle_sql() -> str:
       SELECT DISTINCT subject AS src, object AS dst FROM tri
       WHERE predicate IN ({preds})
     ),
-    outd AS MATERIALIZED (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
-    adj AS MATERIALIZED (
-      SELECT e.src AS node, e.dst, CAST(1.0 AS DOUBLE) / out_deg AS w
-      FROM e JOIN outd USING (src)
-    ),
     alln AS MATERIALIZED (
       SELECT DISTINCT node
       FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
     ),
-    nodes AS MATERIALIZED (
-      SELECT node, node NOT IN (SELECT src FROM outd) AS is_dangling
-      FROM alln
+    nid AS MATERIALIZED (
+      SELECT node, ROW_NUMBER() OVER (ORDER BY node) AS id FROM alln
     ),
-    nn AS MATERIALIZED (SELECT COUNT(*) AS cnt FROM alln),
-    r0 AS MATERIALIZED (SELECT node, is_dangling, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+    ei AS MATERIALIZED (
+      SELECT ns.id AS sid, nd.id AS did
+      FROM e JOIN nid ns ON ns.node = e.src
+             JOIN nid nd ON nd.node = e.dst
+    ),
+    outd AS MATERIALIZED (SELECT sid, COUNT(*) AS out_deg FROM ei GROUP BY sid),
+    adj AS MATERIALIZED (
+      SELECT ei.sid, ei.did, CAST(1.0 AS DOUBLE) / out_deg AS w
+      FROM ei JOIN outd USING (sid)
+    ),
+    nodes AS MATERIALIZED (
+      SELECT id, id NOT IN (SELECT sid FROM outd) AS is_dangling
+      FROM nid
+    ),
+    nn AS MATERIALIZED (SELECT COUNT(*) AS cnt FROM nid),
+    r0 AS MATERIALIZED (SELECT id, is_dangling, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
     {",".join(rounds)}
-    SELECT node, round(rank, 4) AS rank_r
-    FROM r{PR_ITER}
-    ORDER BY rank_r DESC, node
+    SELECT nid.node, round(r.rank, 4) AS rank_r
+    FROM r{PR_ITER} r JOIN nid ON nid.id = r.id
+    ORDER BY rank_r DESC, nid.node
     """
 
 
