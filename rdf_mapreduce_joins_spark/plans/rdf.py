@@ -1415,6 +1415,10 @@ def rdf_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup_ngram_jaccard_capped: the naive formulation stays the
     # documented semantics; equality old==new verified at
     # sf0.001/0.01/0.1 before the swap (334/384 triangles identical).
+    # Like the pagerank oracle, the orientation runs over int64 ids
+    # (nid) — the VARCHAR-keyed dir CTE hit DuckDB's 40 GB pin limit
+    # at sf10; the count is invariant under the relabeling and no
+    # decode is needed (the output is a single count).
     oracle=f"""
     WITH tri AS ({_TRI_CTE}),
     fk AS (
@@ -1422,10 +1426,21 @@ def rdf_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE predicate IN ('nation', 'region', 'customer', 'order',
                             'supplier', 'manager')
     ),
-    canon AS MATERIALIZED (
+    canon0 AS MATERIALIZED (
         SELECT DISTINCT LEAST(subject, object) AS lo,
                         GREATEST(subject, object) AS hi
         FROM fk WHERE subject <> object
+    ),
+    nid AS MATERIALIZED (
+        SELECT node, ROW_NUMBER() OVER (ORDER BY node) AS id FROM (
+            SELECT DISTINCT lo AS node FROM canon0
+            UNION SELECT hi FROM canon0
+        )
+    ),
+    canon AS MATERIALIZED (
+        SELECT nl.id AS lo, nh.id AS hi
+        FROM canon0 c JOIN nid nl ON nl.node = c.lo
+                      JOIN nid nh ON nh.node = c.hi
     ),
     deg AS MATERIALIZED (
         SELECT v, COUNT(*) AS d FROM (
