@@ -109,6 +109,63 @@ def test_replay_idempotent(spark, tmp_path):
     assert before == after == FINAL
 
 
+def test_stream_recovers_from_crash_mid_publish(
+    spark, log_batches_dir, tmp_path, monkeypatch
+):
+    """VERDICT r9 #8: kill the REAL streaming query between the
+    snapshot parquet write and the pointer flip (the narrowest crash
+    window the publish protocol has), then restart it from the SAME
+    checkpoint. Structured Streaming must replay the failed
+    micro-batch (its offset never committed), the replay must re-merge
+    onto the last COMMITTED snapshot (the pointer still names it), and
+    the recovered final state must equal the from-scratch batch fold —
+    the streaming counterpart of test_docs_stream's crashed-publish
+    bridge test, exercised through the checkpoint machinery instead of
+    a hand-retried batch."""
+    from rdf_mapreduce_joins_spark.streaming import snapshots
+
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    real_replace = os.replace
+    flips = {"n": 0}
+
+    def boom(src, dst):
+        if os.path.basename(dst) == cs.STATE_POINTER:
+            flips["n"] += 1
+            if flips["n"] == 2:  # second micro-batch: snapshot written,
+                raise RuntimeError("crash before pointer flip")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(snapshots.os, "replace", boom)
+    changelog = (
+        spark.readStream.schema(LOG_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(log_batches_dir)
+    )
+    q = cs.apply_changelog_stream(changelog, state_dir, ckpt)
+    with pytest.raises(Exception, match="crash before pointer flip"):
+        q.awaitTermination(120)
+        raise AssertionError("query should have failed mid-publish")
+    # the crash window left an orphan snapshot dir; the pointer still
+    # names batch 0's state — a reader at this instant sees only b0
+    assert _state_dict(cs.read_cdc_state(spark, state_dir)) == {
+        k: (b, n, s) for (k, b, n, s, _ts, _seq, _op) in BATCHES[0]
+    }
+    monkeypatch.setattr(snapshots.os, "replace", real_replace)
+    q2 = cs.apply_changelog_stream(
+        spark.readStream.schema(LOG_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(log_batches_dir),
+        state_dir,
+        ckpt,
+    )
+    q2.awaitTermination(120)
+    got = _state_dict(cs.read_cdc_state(spark, state_dir))
+    whole = _mk_batch(spark, [r for b in BATCHES for r in b])
+    empty = spark.createDataFrame([], cs.STATE_SCHEMA)
+    assert got == _state_dict(merge_apply(empty, whole)) == FINAL
+
+
 def test_snapshot_pointer_survives_crashed_publish(spark, tmp_path, monkeypatch):
     """A publish that crashes mid-write leaves the previous snapshot
     current and readable; the retried batch then commits normally
