@@ -36,7 +36,11 @@ from pyspark.sql import functions as F
 from rdf_mapreduce_joins_spark.operators import hashing, sketches
 from rdf_mapreduce_joins_spark.operators.hashing import hex60_sql
 from rdf_mapreduce_joins_spark.plans.registry import query
-from rdf_mapreduce_joins_spark.sources.tables import load_table, spread
+from rdf_mapreduce_joins_spark.sources.tables import (
+    bounded_sort,
+    load_table,
+    spread,
+)
 
 HLL_LGK = 12  # 2^12 registers → ~1.6% relative standard error
 
@@ -59,15 +63,14 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_regionkey", "c_nationkey")
         .agg(F.hll_sketch_agg("c_custkey", F.lit(HLL_LGK)).alias("sk"))
     )
-    return (
-        per_nation.groupBy("n_regionkey")
-        .agg(
+    return bounded_sort(
+        per_nation.groupBy("n_regionkey").agg(
             F.hll_sketch_estimate(F.hll_union_agg("sk"))
             .cast("bigint")
             .alias("est_customers"),
             F.count("*").cast("bigint").alias("n_nations"),
-        )
-        .orderBy("n_regionkey")
+        ),
+        "n_regionkey",
     )
 
 
@@ -85,13 +88,16 @@ def agg_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.kll_sketch_agg_double("value").alias("sk"),
         F.count("*").cast("bigint").alias("n"),
     )
-    return sk.select(
+    return bounded_sort(
+        sk.select(
+            "event_type",
+            "n",
+            F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.99)), 4).alias("p99"),
+        ),
         "event_type",
-        "n",
-        F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.5)), 4).alias("p50"),
-        F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.9)), 4).alias("p90"),
-        F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.99)), 4).alias("p99"),
-    ).orderBy("event_type")
+    )
 
 
 @query("agg_theta_distinct")  # rows-only: sketch estimates not SQL-expressible
@@ -103,14 +109,13 @@ def agg_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     audience-overlap composition is exercised in tests against exact
     intersections."""
     e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(
+    return bounded_sort(
+        e.groupBy("event_type").agg(
             F.theta_sketch_estimate(F.theta_sketch_agg("user_id"))
             .cast("bigint")
             .alias("est_users")
-        )
-        .orderBy("event_type")
+        ),
+        "event_type",
     )
 
 

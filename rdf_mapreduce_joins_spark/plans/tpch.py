@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from rdf_mapreduce_joins_spark.plans.registry import query
-from rdf_mapreduce_joins_spark.sources.tables import load_table
+from rdf_mapreduce_joins_spark.sources.tables import bounded_sort, load_table
 
 DEC = "decimal(18,2)"
 
@@ -918,7 +918,7 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2000-07-01").cast("timestamp")
     ).select("o_custkey")
-    return (
+    return bounded_sort(
         c.crossJoin(F.broadcast(pos))
         .filter(_dec("c_acctbal") * F.col("c") > F.col("s"))
         .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
@@ -926,6 +926,6 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("numcust"),
             F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
-        )
-        .orderBy("cntrycode")
+        ),
+        "cntrycode",
     )

@@ -118,6 +118,22 @@ def spread(df: DataFrame, *key_cols: str, partitions: int | None = None) -> Data
     return df.repartition(n)
 
 
+def bounded_sort(df: DataFrame, *cols: str) -> DataFrame:
+    """Global sort for BOUNDED-cardinality outputs — grouped aggregates
+    whose row count is the group-key domain (per-region /
+    per-event-type / per-country summaries, ≤ hundreds of rows at ANY
+    input scale). A plain ``orderBy`` plans a rangepartitioning
+    exchange whose boundary-sampling pass is a separate Spark job:
+    measured round 10 at sf0.1, that fixed overhead is 0.2-0.5 s per
+    query (agg_theta_distinct 0.82 s -> 0.31 s, agg_kll_quantiles
+    0.55 s -> 0.29 s, min-of-10 same session) — pure waste on a
+    dozen-row result. ``coalesce(1)`` + ``sortWithinPartitions`` gives
+    the identical total order with a narrow dependency and no extra
+    job. NOT for unbounded outputs: coalesce(1) would serialize the
+    sort — keep ``orderBy`` there."""
+    return df.coalesce(1).sortWithinPartitions(*cols)
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
     """Register each table as a temp view (for the spark.sql entry path)."""
     for name in tables or TABLES:
