@@ -1,0 +1,326 @@
+"""Staged at-scale oracle certifications (VERDICT r9 #4 and #7).
+
+The blocked certifications share one cause: check_oracle.py hands
+DuckDB ONE monolithic WITH-chain, so every MATERIALIZED CTE of a deep
+pipeline is alive simultaneously — rdf_pagerank's sf10 oracle was
+projected at ~80 GB of spill against 76 GB of disk, and
+dedup_epoch_compaction's sf3 oracle exceeded the host the same way.
+This tool runs the SAME recurrences as staged TEMP TABLES, DROPPING
+each intermediate as soon as its consumer is materialized, so peak
+memory is one round's working set instead of the whole chain. The SQL
+per stage is byte-for-byte the logic of the registered oracles
+(identical constants imported from the engine modules: P31, the
+universal-permutation constants, hex60 decoding, the 1e-9 per-round
+fixed-point grid), so the differential proof is preserved — only the
+*materialization schedule* changes, which cannot change any value.
+
+Readouts:
+
+* ``epoch <sf_dir>``  — dedup_epoch_compaction: the output is small
+  (one row per retained doc), so the comparison is the FULL
+  order-insensitive value hash, exactly check_oracle.py's.
+* ``pagerank <sf_dir>`` — rdf_pagerank: the sf10 output is ~62M rows,
+  too big to collect, so the comparison is a deterministic DIGEST
+  computed identically on both engines over the identical final
+  relation: (row count, SUM of md5-60bit(node ':' round(rank_r*1e4))
+  as a 38-digit decimal, and the exact top-100 rows by
+  (rank_r DESC, node) — unique because node is unique). rank_r enters
+  the digest as an INTEGER (round(rank_r*10000)) because float→text
+  rendering is engine-specific while BIGINT rendering is not; rank_r
+  sits on the 1e-4 grid by construction so the scaling is exact.
+
+Usage:
+    python tools/certify_staged.py epoch /root/repo/.scaledata/sf3
+    SPARK_DRIVER_MEMORY=48g \\
+        python tools/certify_staged.py pagerank /root/repo/.scaledata/sf10
+
+The pagerank engine side at sf10 needs the 48g local-mode heap (the
+107M-edge persisted adjacency lives in the single local JVM; the
+default 12g fails in the contribution join's shuffle write). Recorded
+results (2026-08-16): epoch FULL-TABLE hash-match at sf3 (110,000
+rows) AND sf10 (375,000 rows); pagerank DIGEST-MATCH at sf10 over
+62,311,130 nodes (count + hash-sum + exact top-100), staged DuckDB
+rounds ~4 s each under the 40 GB cap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rdf_mapreduce_joins_spark import get_spark  # noqa: E402
+from rdf_mapreduce_joins_spark.operators.dedup import P31, _perm_constants  # noqa: E402
+from rdf_mapreduce_joins_spark.operators.hashing import hex60_sql  # noqa: E402
+from rdf_mapreduce_joins_spark.plans.llm import (  # noqa: E402
+    EPOCH_EVICT_DIV,
+    MINHASH_BANDS,
+    MINHASH_MIN_EST_JACCARD,
+    MINHASH_NUM_PERM,
+    MINHASH_ROWS_PER_BAND,
+)
+from rdf_mapreduce_joins_spark.plans.rdf import (  # noqa: E402
+    PRED_SPECS,
+    PR_ITER,
+    triples_sql,
+)
+from check_oracle import value_hash  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    mem_gb = os.environ.get("SPARK_GRAFT_ORACLE_MEM_GB", "40")
+    tmp = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"duckdb_staged_{os.getpid()}"
+    )
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET memory_limit='{mem_gb}GB'")
+    con.execute(f"SET temp_directory='{tmp}'")
+    for t in ("documents", "customer", "nation", "region", "orders",
+              "supplier", "lineitem"):
+        path = f"{sf_dir}/{t}.parquet"
+        pat = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
+    return con
+
+
+def _run(con, label: str, sql: str) -> None:
+    t0 = time.time()
+    con.execute(sql)
+    print(f"  [duck] {label}: {time.time() - t0:.1f}s", file=sys.stderr)
+
+
+# ---------------------------------------------------------------- epoch
+
+
+def certify_epoch(sf_dir: str) -> bool:
+    """Stage dedup_epoch_compaction's from-scratch retained-window
+    closure (plans/llm.py oracle, same constants) as temp tables."""
+    spark = get_spark("certify-epoch")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    sdf = entrymod.queries()["dedup_epoch_compaction"](spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    print(f"[spark] {len(srows)} rows in {time.time() - t0:.1f}s",
+          file=sys.stderr)
+
+    con = _connect(sf_dir)
+    num_perm, bands, rpb = (
+        MINHASH_NUM_PERM, MINHASH_BANDS, MINHASH_ROWS_PER_BAND
+    )
+    mins = ",\n         ".join(
+        f"MIN(({a} * h0 + {b}) % {P31}) AS m{i}"
+        for i, (a, b) in enumerate(_perm_constants(num_perm))
+    )
+    band_sel = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ':' || ".join(
+            f"CAST(m{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+        )
+        + " AS bh FROM c_sig"
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN s1.m{i} = s2.m{i} THEN 1 ELSE 0 END)"
+        for i in range(num_perm)
+    )
+    _run(con, "retained", f"""
+    CREATE TEMP TABLE c_retained AS
+    SELECT * FROM documents
+    WHERE doc_id >= (SELECT MIN(doc_id)
+                     + (MAX(doc_id) - MIN(doc_id)) // {EPOCH_EVICT_DIV}
+                     FROM documents)""")
+    _run(con, "h0", f"""
+    CREATE TEMP TABLE c_h0 AS
+    WITH mh_t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS w FROM c_retained
+      WHERE doc_id IS NOT NULL
+    ),
+    mh_sh AS (
+      SELECT doc_id,
+             w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS shingle
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+            FROM mh_t WHERE len(w) >= 3)
+      UNION ALL
+      SELECT doc_id, text FROM mh_t WHERE len(w) < 3
+    )
+    SELECT doc_id, {hex60_sql('hx')} % {P31} AS h0
+    FROM (SELECT doc_id, md5(shingle) AS hx FROM mh_sh)""")
+    _run(con, "sig", f"""
+    CREATE TEMP TABLE c_sig AS
+    SELECT doc_id, {mins} FROM c_h0 GROUP BY doc_id""")
+    _run(con, "drop h0", "DROP TABLE c_h0")
+    _run(con, "pairs", f"""
+    CREATE TEMP TABLE c_pairs AS
+    WITH mh_buckets AS (
+      SELECT * FROM ({band_sel})
+      QUALIFY COUNT(*) OVER (PARTITION BY band, bh) <= 10000
+    ),
+    mh_cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM mh_buckets a JOIN mh_buckets b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT d1, d2
+    FROM mh_cand JOIN c_sig s1 ON s1.doc_id = d1
+                 JOIN c_sig s2 ON s2.doc_id = d2
+    WHERE ROUND(({matches}) * 1.0 / {num_perm}, 4)
+          >= {MINHASH_MIN_EST_JACCARD}""")
+    _run(con, "drop sig", "DROP TABLE c_sig")
+    t0 = time.time()
+    res = con.execute("""
+    WITH RECURSIVE edges AS (
+      SELECT d1 AS a, d2 AS b FROM c_pairs
+      UNION
+      SELECT d2, d1 FROM c_pairs
+    ),
+    reach(node, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT re.node, e.b FROM reach re JOIN edges e ON re.r = e.a
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           CAST(COALESCE(comp.component, d.doc_id) AS BIGINT) AS component
+    FROM c_retained d LEFT JOIN comp ON comp.node = d.doc_id""")
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    print(f"  [duck] closure+fetch: {time.time() - t0:.1f}s "
+          f"({len(orows)} rows)", file=sys.stderr)
+    ok = (
+        len(srows) == len(orows)
+        and sorted(scols) == sorted(ocols)
+        and value_hash(srows, scols) == value_hash(orows, ocols)
+    )
+    print(json.dumps({
+        "cert": "dedup_epoch_compaction", "sf_dir": sf_dir,
+        "spark_rows": len(srows), "oracle_rows": len(orows),
+        "hash_match": ok,
+    }))
+    return ok
+
+
+# ------------------------------------------------------------- pagerank
+
+
+def certify_pagerank(sf_dir: str) -> bool:
+    """Stage _pagerank_oracle_sql's int64 recurrence (plans/rdf.py —
+    identical round SQL and 1e-9 grid) round-by-round, keeping only
+    r_{i-1} and r_i alive; compare via the digest documented in the
+    module docstring."""
+    spark = get_spark("certify-pagerank")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    pr = entrymod.queries()["rdf_pagerank"](spark, sf_dir)
+    ri = F.round(F.col("rank_r") * 10000).cast("long")
+    line = F.concat_ws(":", F.col("node"), ri.cast("string"))
+    h60 = F.conv(F.substring(F.md5(line), 1, 15), 16, 10).cast("decimal(38,0)")
+    agg = pr.select(h60.alias("h")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("h").alias("hsum")
+    ).first()
+    s_top = [
+        (r.node, int(round(r.rank_r * 10000)))
+        for r in pr.orderBy(F.col("rank_r").desc(), "node").limit(100).collect()
+    ]
+    s_n, s_hsum = agg.n, str(agg.hsum)
+    print(f"[spark] n={s_n} hsum={s_hsum} in {time.time() - t0:.1f}s",
+          file=sys.stderr)
+
+    con = _connect(sf_dir)
+    fk = sorted({s.pred for s in PRED_SPECS if s.obj_prefix is not None})
+    preds = ", ".join(f"'{p}'" for p in fk)
+    damp, base = "CAST(0.85 AS DOUBLE)", "CAST(0.15 AS DOUBLE)"
+    _run(con, "edges", f"""
+    CREATE TEMP TABLE p_e AS
+    WITH tri AS ({triples_sql(fk)})
+    SELECT DISTINCT subject AS src, object AS dst FROM tri
+    WHERE predicate IN ({preds})""")
+    _run(con, "nid", """
+    CREATE TEMP TABLE p_nid AS
+    SELECT node, ROW_NUMBER() OVER (ORDER BY node) AS id FROM (
+      SELECT DISTINCT node
+      FROM (SELECT src AS node FROM p_e UNION ALL SELECT dst FROM p_e)
+    )""")
+    _run(con, "ei", """
+    CREATE TEMP TABLE p_ei AS
+    SELECT ns.id AS sid, nd.id AS did
+    FROM p_e JOIN p_nid ns ON ns.node = p_e.src
+             JOIN p_nid nd ON nd.node = p_e.dst""")
+    _run(con, "drop edges", "DROP TABLE p_e")
+    _run(con, "adj", """
+    CREATE TEMP TABLE p_adj AS
+    SELECT p_ei.sid, p_ei.did, CAST(1.0 AS DOUBLE) / out_deg AS w
+    FROM p_ei JOIN (SELECT sid, COUNT(*) AS out_deg FROM p_ei GROUP BY sid)
+              USING (sid)""")
+    _run(con, "nodes", """
+    CREATE TEMP TABLE p_nodes AS
+    SELECT id, id NOT IN (SELECT DISTINCT sid FROM p_ei) AS is_dangling
+    FROM p_nid""")
+    _run(con, "drop ei", "DROP TABLE p_ei")
+    n_nodes = con.execute("SELECT COUNT(*) FROM p_nodes").fetchone()[0]
+    _run(con, "r0", """
+    CREATE TEMP TABLE p_r0 AS
+    SELECT id, is_dangling, CAST(1.0 AS DOUBLE) AS rank FROM p_nodes""")
+    for i in range(1, PR_ITER + 1):
+        _run(con, f"round {i}", f"""
+        CREATE TEMP TABLE p_r{i} AS
+        SELECT p_nodes.id, p_nodes.is_dangling,
+               round(({base} + {damp} *
+                      (COALESCE(m.in_mass, CAST(0 AS DOUBLE))
+                       + d.dm / {n_nodes})) * 1e9) / 1e9 AS rank
+        FROM p_nodes
+        LEFT JOIN (SELECT a.did, SUM(p.rank * a.w) AS in_mass
+                   FROM p_r{i - 1} p JOIN p_adj a ON p.id = a.sid
+                   GROUP BY a.did) m ON m.did = p_nodes.id
+        CROSS JOIN (SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS dm
+                    FROM p_r{i - 1} WHERE is_dangling) d""")
+        _run(con, f"drop r{i - 1}", f"DROP TABLE p_r{i - 1}")
+    t0 = time.time()
+    o_n, o_hsum = con.execute(f"""
+    WITH fin AS (
+      SELECT p_nid.node,
+             CAST(round(round(r.rank, 4) * 10000) AS BIGINT) AS ri
+      FROM p_r{PR_ITER} r JOIN p_nid ON p_nid.id = r.id
+    )
+    SELECT COUNT(*),
+           CAST(SUM({hex60_sql("md5(node || ':' || CAST(ri AS VARCHAR))")})
+                AS HUGEINT)
+    FROM fin""").fetchone()
+    o_top = con.execute(f"""
+    SELECT p_nid.node,
+           CAST(round(round(r.rank, 4) * 10000) AS BIGINT) AS ri
+    FROM p_r{PR_ITER} r JOIN p_nid ON p_nid.id = r.id
+    ORDER BY round(r.rank, 4) DESC, p_nid.node LIMIT 100""").fetchall()
+    print(f"  [duck] digest: {time.time() - t0:.1f}s", file=sys.stderr)
+    o_top = [(n, int(v)) for n, v in o_top]
+    ok = s_n == o_n and s_hsum == str(o_hsum) and s_top == o_top
+    print(json.dumps({
+        "cert": "rdf_pagerank", "sf_dir": sf_dir,
+        "spark": {"n": s_n, "hsum": s_hsum},
+        "oracle": {"n": o_n, "hsum": str(o_hsum)},
+        "top100_match": s_top == o_top,
+        "digest_match": ok,
+    }))
+    return ok
+
+
+def main() -> int:
+    if len(sys.argv) != 3 or sys.argv[1] not in ("epoch", "pagerank"):
+        print(__doc__, file=sys.stderr)
+        return 2
+    fn = certify_epoch if sys.argv[1] == "epoch" else certify_pagerank
+    return 0 if fn(sys.argv[2]) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
