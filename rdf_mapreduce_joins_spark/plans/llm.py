@@ -113,6 +113,78 @@ MINHASH_MIN_EST_JACCARD = 0.5
 SIMHASH_MAX_HAMMING = 8
 
 
+# Fragment builders shared by the registered oracles below AND by
+# tools/certify_staged.py's staged at-scale certifications (ADVICE r10:
+# the staged SQL must stay textually derived from the same generators
+# as the differential proof, or an oracle edit silently desynchronizes
+# them). Any indent parameter affects whitespace only.
+
+
+def minhash_mins_sql(indent: str, num_perm: int = MINHASH_NUM_PERM) -> str:
+    """``MIN((A_i*h0+B_i) % P31) AS m_i`` list over the shared
+    universal-permutation constants."""
+    from rdf_mapreduce_joins_spark.operators.dedup import P31, _perm_constants
+
+    return (",\n" + indent).join(
+        f"MIN(({a} * h0 + {b}) % {P31}) AS m{i}"
+        for i, (a, b) in enumerate(_perm_constants(num_perm))
+    )
+
+
+def minhash_band_select_sql(
+    sig_table: str,
+    bands: int = MINHASH_BANDS,
+    rows_per_band: int = MINHASH_ROWS_PER_BAND,
+) -> str:
+    """Per-band ':'-joined bucket-key UNION ALL over a signature table."""
+    return "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ':' || ".join(
+            f"CAST(m{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        + f" AS bh FROM {sig_table}"
+        for b in range(bands)
+    )
+
+
+def minhash_matches_sql(num_perm: int = MINHASH_NUM_PERM) -> str:
+    """Signature agreement count between aliases ``s1`` and ``s2``."""
+    return " + ".join(
+        f"(CASE WHEN s1.m{i} = s2.m{i} THEN 1 ELSE 0 END)"
+        for i in range(num_perm)
+    )
+
+
+def minhash_shingle_ctes(source: str) -> str:
+    """``mh_t``/``mh_sh`` CTE pair: word-3-gram shingles with the
+    whole-text fallback for short docs (mirrors
+    operators/dedup.py::shingles)."""
+    return f"""mh_t AS MATERIALIZED (
+      SELECT doc_id, text, string_split(text, ' ') AS w FROM {source}
+      WHERE doc_id IS NOT NULL
+    ),
+    mh_sh AS (
+      SELECT doc_id,
+             w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS shingle
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+            FROM mh_t WHERE len(w) >= 3)
+      UNION ALL
+      SELECT doc_id, text FROM mh_t WHERE len(w) < 3
+    )"""
+
+
+def minhash_h0_select_sql() -> str:
+    """md5 → hex60 → % P31 base-hash projection over ``mh_sh``."""
+    from rdf_mapreduce_joins_spark.operators.dedup import P31
+    from rdf_mapreduce_joins_spark.operators.hashing import hex60_sql
+
+    return (
+        f"SELECT doc_id, {hex60_sql('hx')} % {P31} AS h0\n"
+        "      FROM (SELECT doc_id, md5(shingle) AS hx FROM mh_sh)"
+    )
+
+
 def _minhash_pairs_ctes(
     num_perm: int = MINHASH_NUM_PERM,
     bands: int = MINHASH_BANDS,
@@ -131,42 +203,13 @@ def _minhash_pairs_ctes(
     Every number is integer except the final est (an exact small
     dyadic-free ratio rounded to 4 digits identically by both
     engines)."""
-    from rdf_mapreduce_joins_spark.operators.dedup import P31, _perm_constants
-    from rdf_mapreduce_joins_spark.operators.hashing import hex60_sql
-
-    mins = ",\n             ".join(
-        f"MIN(({a} * h0 + {b}) % {P31}) AS m{i}"
-        for i, (a, b) in enumerate(_perm_constants(num_perm))
-    )
-    band_sel = "\n      UNION ALL\n      ".join(
-        f"SELECT doc_id, {b} AS band, "
-        + " || ':' || ".join(
-            f"CAST(m{b * rows_per_band + r} AS VARCHAR)"
-            for r in range(rows_per_band)
-        )
-        + " AS bh FROM sig"
-        for b in range(bands)
-    )
-    matches = " + ".join(
-        f"(CASE WHEN s1.m{i} = s2.m{i} THEN 1 ELSE 0 END)"
-        for i in range(num_perm)
-    )
+    mins = minhash_mins_sql(" " * 13, num_perm)
+    band_sel = minhash_band_select_sql("sig", bands, rows_per_band)
+    matches = minhash_matches_sql(num_perm)
     return f"""
-    mh_t AS MATERIALIZED (
-      SELECT doc_id, text, string_split(text, ' ') AS w FROM {source}
-      WHERE doc_id IS NOT NULL
-    ),
-    mh_sh AS (
-      SELECT doc_id,
-             w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS shingle
-      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
-            FROM mh_t WHERE len(w) >= 3)
-      UNION ALL
-      SELECT doc_id, text FROM mh_t WHERE len(w) < 3
-    ),
+    {minhash_shingle_ctes(source)},
     mh_h0 AS (
-      SELECT doc_id, {hex60_sql('hx')} % {P31} AS h0
-      FROM (SELECT doc_id, md5(shingle) AS hx FROM mh_sh)
+      {minhash_h0_select_sql()}
     ),
     sig AS MATERIALIZED (
       SELECT doc_id,

@@ -1294,6 +1294,34 @@ PR_DAMPING = 0.85
 PR_SCALE = 1e9
 
 
+def pagerank_round_select_sql(
+    prev: str,
+    nodes: str = "nodes",
+    adj: str = "adj",
+    n_expr: str = "(SELECT cnt FROM nn)",
+) -> str:
+    """One power-iteration round's SELECT body — shared by the
+    registered oracle below and tools/certify_staged.py's staged sf10
+    certification (ADVICE r10: the staged SQL must be generated from
+    the same builder as the differential proof, so an oracle edit
+    cannot silently desynchronize them). Table names / the node-count
+    expression are parameterized because the staged run materializes
+    temp tables instead of CTEs; the arithmetic (DOUBLE casts, the
+    1e-9 fixed-point grid) is the single source of truth here."""
+    damp = "CAST(0.85 AS DOUBLE)"
+    base = "CAST(0.15 AS DOUBLE)"
+    return f"""SELECT {nodes}.id, {nodes}.is_dangling,
+             round(({base} + {damp} *
+                    (COALESCE(m.in_mass, CAST(0 AS DOUBLE))
+                     + d.dm / {n_expr})) * 1e9) / 1e9 AS rank
+      FROM {nodes}
+      LEFT JOIN (SELECT a.did, SUM(p.rank * a.w) AS in_mass
+                 FROM {prev} p JOIN {adj} a ON p.id = a.sid
+                 GROUP BY a.did) m ON m.did = {nodes}.id
+      CROSS JOIN (SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS dm
+                  FROM {prev} WHERE is_dangling) d"""
+
+
 def _pagerank_oracle_sql() -> str:
     """10 unrolled power-iteration rounds over the FK-edge subgraph —
     the same unroll pattern as the kcore oracle. Every float literal
@@ -1312,24 +1340,13 @@ def _pagerank_oracle_sql() -> str:
     swap."""
     fk = sorted({s.pred for s in PRED_SPECS if s.obj_prefix is not None})
     preds = ", ".join(f"'{p}'" for p in fk)
-    damp = "CAST(0.85 AS DOUBLE)"
-    base = "CAST(0.15 AS DOUBLE)"
     rounds = []
     prev = "r0"
     for i in range(1, PR_ITER + 1):
         cur = f"r{i}"
         rounds.append(f"""
     {cur} AS MATERIALIZED (
-      SELECT nodes.id, nodes.is_dangling,
-             round(({base} + {damp} *
-                    (COALESCE(m.in_mass, CAST(0 AS DOUBLE))
-                     + d.dm / (SELECT cnt FROM nn))) * 1e9) / 1e9 AS rank
-      FROM nodes
-      LEFT JOIN (SELECT a.did, SUM(p.rank * a.w) AS in_mass
-                 FROM {prev} p JOIN adj a ON p.id = a.sid
-                 GROUP BY a.did) m ON m.did = nodes.id
-      CROSS JOIN (SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS dm
-                  FROM {prev} WHERE is_dangling) d
+      {pagerank_round_select_sql(prev)}
     )""")
         prev = cur
     return f"""

@@ -143,9 +143,20 @@ def test_stream_recovers_from_crash_mid_publish(
         .parquet(log_batches_dir)
     )
     q = cs.apply_changelog_stream(changelog, state_dir, ckpt)
-    with pytest.raises(Exception, match="crash before pointer flip"):
-        q.awaitTermination(120)
-        raise AssertionError("query should have failed mid-publish")
+    # awaitTermination(timeout) returns False on a plain timeout and
+    # raises on query failure; asserting on q.exception() afterwards
+    # distinguishes "failed as planned" from "slow host, not yet
+    # failed" instead of mislabeling the latter a pattern mismatch
+    # (ADVICE r10).
+    try:
+        terminated = q.awaitTermination(120)
+    except Exception:
+        terminated = True
+    exc = q.exception()
+    assert terminated and exc is not None, (
+        "query should have failed mid-publish within 120s"
+    )
+    assert "crash before pointer flip" in str(exc)
     # the crash window left an orphan snapshot dir; the pointer still
     # names batch 0's state — a reader at this instant sees only b0
     assert _state_dict(cs.read_cdc_state(spark, state_dir)) == {
@@ -193,3 +204,47 @@ def test_snapshot_pointer_survives_crashed_publish(spark, tmp_path, monkeypatch)
     cs.apply_changelog_batch(_mk_batch(spark, BATCHES[1]), state_dir)
     cs.apply_changelog_batch(_mk_batch(spark, BATCHES[2]), state_dir)
     assert _state_dict(cs.read_cdc_state(spark, state_dir)) == FINAL
+
+
+def test_horizon_compaction_gc(spark, log_batches_dir, tmp_path):
+    """VERDICT r10 #8: the CDC state's retention story. Stream-apply
+    all three batches, then run horizon compaction: keys whose last
+    activity predates the horizon are evicted; the retained state
+    equals the from-scratch fold restricted to the horizon; the
+    compaction publishes through the same atomic-pointer protocol
+    (pointer advances, readers never see a half-compacted table); and
+    a second compaction at the same horizon is a no-op."""
+    state_dir = str(tmp_path / "state")
+    q = cs.apply_changelog_stream(
+        spark.readStream.schema(LOG_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(log_batches_dir),
+        state_dir,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert _state_dict(cs.read_cdc_state(spark, state_dir)) == FINAL
+    from rdf_mapreduce_joins_spark.streaming import snapshots
+
+    before = snapshots.current_snapshot_path(state_dir, cs.STATE_POINTER)
+    # horizon: keys 1 and 4 were last touched 2020-01-02, key 2 on
+    # 2020-01-03 (its reinsert) — so the horizon evicts exactly {1, 4}
+    horizon = "2020-01-03 00:00:00"
+    assert cs.compact_cdc_state(spark, state_dir, horizon) == 2
+    after = snapshots.current_snapshot_path(state_dir, cs.STATE_POINTER)
+    assert after != before  # a new snapshot committed atomically
+    got = _state_dict(cs.read_cdc_state(spark, state_dir))
+    # from-scratch fold over the retained horizon: latest version per
+    # key, live, and dated at/after the horizon
+    whole = _mk_batch(spark, [r for b in BATCHES for r in b])
+    empty = spark.createDataFrame([], cs.STATE_SCHEMA)
+    scratch = merge_apply(empty, whole, track_activity=True)
+    expect = {
+        r.cust_key: (r.balance_cents, r.nation_key, r.status)
+        for r in scratch.filter(
+            F.col("last_ts") >= F.lit(horizon)
+        ).collect()
+    }
+    assert got == expect == {2: (222, 2, "back")}
+    # idempotent: nothing left below the horizon
+    assert cs.compact_cdc_state(spark, state_dir, horizon) == 0

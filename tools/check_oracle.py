@@ -23,6 +23,9 @@ import traceback
 import duckdb
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import oracle_env  # noqa: E402
 
 from rdf_mapreduce_joins_spark import get_spark  # noqa: E402
 from rdf_mapreduce_joins_spark.sources.tables import TABLES  # noqa: E402
@@ -88,30 +91,10 @@ def run_sf(spark, sf_dir: str, only: set[str]) -> tuple[int, int]:
     # kernel-OOM-killed on the first sf3 (30x) pagerank certification
     # attempt (round 9). A fixed limit + temp_directory turns that
     # into out-of-core execution; the env override lets a dedicated
-    # box raise it.
-    # Default = min(40GB, ~65% of physical RAM): a flat 40 would RAISE
-    # DuckDB's ceiling above RAM on a <64GB host (its own default is
-    # 80% of RAM) and reinstate the kernel-OOM risk this bound exists
-    # to prevent (ADVICE r9). The env override is unclamped on purpose.
-    mem_env = os.environ.get("SPARK_GRAFT_ORACLE_MEM_GB")
-    if mem_env is not None:
-        mem_gb = mem_env
-    else:
-        try:
-            ram_gb = (
-                os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
-            ) / (1 << 30)
-            mem_gb = str(max(1, min(40, int(ram_gb * 0.65))))
-        except (ValueError, OSError):
-            mem_gb = "40"
-    # Per-process spill dir: DuckDB does not support two instances
-    # sharing a temp_directory (concurrent sf certifications would
-    # corrupt each other's spill files — ADVICE r9).
-    tmp = os.path.join(
-        os.environ.get("TMPDIR", "/tmp"),
-        f"duckdb_oracle_spill_{os.getpid()}",
-    )
-    os.makedirs(tmp, exist_ok=True)
+    # box raise it. Clamp policy + per-PID auto-cleaned spill dir are
+    # shared with certify_staged.py via oracle_env (ADVICE r9/r10).
+    mem_gb = oracle_env.clamped_mem_gb()
+    tmp = oracle_env.spill_dir("duckdb_oracle_spill")
     con.execute(f"SET memory_limit='{mem_gb}GB'")
     con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
