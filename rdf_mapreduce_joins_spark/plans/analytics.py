@@ -24,7 +24,7 @@ from rdf_mapreduce_joins_spark.operators.ranking import (
     plan_size_bytes,
 )
 from rdf_mapreduce_joins_spark.plans.registry import query
-from rdf_mapreduce_joins_spark.sources.tables import load_table
+from rdf_mapreduce_joins_spark.sources.tables import bounded_sort, load_table
 
 SCD2_OPEN_END = "2099-12-31"
 
@@ -1304,7 +1304,7 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(psi, 6).alias("psi"),
             (psi > PSI_ALERT).alias("drifted"),
         )
-        .orderBy("event_type")
+        .transform(bounded_sort, "event_type")
     )
 
 

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from rdf_mapreduce_joins_spark.operators import text
 from rdf_mapreduce_joins_spark.plans.registry import query
-from rdf_mapreduce_joins_spark.sources.tables import load_table
+from rdf_mapreduce_joins_spark.sources.tables import bounded_sort, load_table
 
 # --------------------------------------------------------------------------
 # Repetition detection (Gopher-style duplicate-text heuristics)
@@ -423,5 +423,5 @@ def assembly_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("n_tokens"),
         )
-        .orderBy("split", "lang")
+        .transform(bounded_sort, "split", "lang")
     )

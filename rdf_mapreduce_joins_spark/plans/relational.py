@@ -29,7 +29,7 @@ from rdf_mapreduce_joins_spark.operators.ranking import (
     plan_size_bytes,
 )
 from rdf_mapreduce_joins_spark.plans.registry import query
-from rdf_mapreduce_joins_spark.sources.tables import load_table
+from rdf_mapreduce_joins_spark.sources.tables import bounded_sort, load_table
 
 
 # --------------------------------------------------------------------------
@@ -1340,7 +1340,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_qty"),
         )
-        .orderBy("n_name")
+        .transform(bounded_sort, "n_name")
     )
 
 
@@ -1542,7 +1542,7 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("approx_p")[1].alias("p95"),
             F.col("approx_p")[2].alias("p99"),
         )
-        .orderBy("l_returnflag")
+        .transform(bounded_sort, "l_returnflag")
     )
 
 
@@ -1582,7 +1582,7 @@ def pivot_status_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("O", F.lit(0)).alias("o_cnt"),
             F.coalesce("P", F.lit(0)).alias("p_cnt"),
         )
-        .orderBy("n_name")
+        .transform(bounded_sort, "n_name")
     )
 
 

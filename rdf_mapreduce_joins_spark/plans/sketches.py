@@ -192,7 +192,7 @@ def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         st.join(nats, "n_regionkey")
         .select("n_regionkey", est.alias("est_customers"), "n_nation_sketches")
-        .orderBy("n_regionkey")
+        .transform(bounded_sort, "n_regionkey")
     )
 
 
@@ -256,7 +256,8 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         4,
     )
-    return st.select("event_type", est.alias("est_users"), "n_minvals").orderBy(
+    return bounded_sort(
+        st.select("event_type", est.alias("est_users"), "n_minvals"),
         "event_type"
     )
 
@@ -387,7 +388,7 @@ def agg_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"p{tag}")
             for tag in ("50", "90", "99")
         ],
-    ).orderBy("event_type")
+    ).transform(bounded_sort, "event_type")
 
 
 @query(
@@ -511,7 +512,7 @@ def agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(union_est, 4).alias("est_union_customers"),
         F.round(jaccard, 4).alias("jaccard_est"),
         F.round(jaccard * union_est, 4).alias("est_repeat_customers"),
-    ).orderBy("mon_n")
+    ).transform(bounded_sort, "mon_n")
 
 
 ROLLING_DAYS = 7
@@ -617,7 +618,7 @@ def events_rolling_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFr
     return (
         st.join(nev, "day_n")
         .select("day_n", "n_events", est.alias("est_rolling_users"))
-        .orderBy("day_n")
+        .transform(bounded_sort, "day_n")
     )
 
 
@@ -676,7 +677,7 @@ def events_hll_summary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         st.join(nd, "week_n")
         .select("week_n", "n_days", est.alias("est_weekly_users"))
-        .orderBy("week_n")
+        .transform(bounded_sort, "week_n")
     )
 
 

@@ -233,7 +233,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(brazil_vol).cast("double") / F.sum(vol).cast("double"), 6
             ).alias("mkt_share")
         )
-        .orderBy("o_year")
+        .transform(bounded_sort, "o_year")
     )
 
 
@@ -287,7 +287,7 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
         .agg(F.sum(profit).cast("double").alias("profit"))
-        .orderBy("nation", F.col("o_year").desc())
+        .transform(bounded_sort, "nation", F.col("o_year").desc())
     )
 
 
@@ -392,7 +392,7 @@ def tpch_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "low_line_count"
             ),
         )
-        .orderBy("ship_class")
+        .transform(bounded_sort, "ship_class")
     )
 
 
@@ -517,7 +517,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             F.col("total_revenue").cast("double").alias("total_revenue"),
         )
-        .orderBy("s_suppkey")
+        .transform(bounded_sort, "s_suppkey")
     )
 
 
