@@ -353,6 +353,16 @@ SHOWCASE = [
         "last-writer-wins fold proves chained applies exact.",
     ),
     (
+        "cdc_compact_state",
+        "CDC horizon compaction (r11): the tracked state persists "
+        "PARTITIONED BY activity year, so the retention filter is pure "
+        "partition pruning (PartitionFilters on act_yr — eviction is a "
+        "directory delete at scale); the two chained MERGE applies are "
+        "max_by aggregates + one full-outer join each, and the oracle's "
+        "from-scratch fold over the retained horizon hash-proves the "
+        "eviction boundary.",
+    ),
+    (
         "tpch_q1_pricing_summary",
         "Scan-heavy pricing summary: shipdate filter pushed to the "
         "scan, sums accumulate in DECIMAL (order-independent), and "
