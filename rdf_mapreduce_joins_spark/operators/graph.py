@@ -596,3 +596,64 @@ def kcore(
             "Re-run with a larger max_iter (peeling depth exceeds it)."
         )
     return live.select("a").distinct().withColumnRenamed("a", "node")
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (community detection): every node
+    starts labeled with ITSELF; each round every node adopts the most
+    frequent label among its neighbors, ties broken by the SMALLEST
+    label — the deterministic variant of classic LPA (the random
+    tie-break of the original is useless under a differential oracle).
+    Directed input is propagated UNDIRECTED (each edge votes both
+    ways). Returns ``(node, label)`` for every node incident to an
+    edge after exactly ``n_iter`` rounds (fixed unroll, no convergence
+    test — the SQL-oracle-able form, like the pagerank recurrence).
+
+    Determinism note for callers: the tie-break ORDERS the label
+    domain, so the result depends on how nodes are keyed. Pass a
+    key domain both engines order identically (the plan layer uses
+    md5-60bit int64 hashes of the IRIs — the cross-engine hash
+    family), never engine-internal dictionary ids whose relative
+    order an oracle cannot reproduce.
+
+    Scale shape: per round ONE shuffle join (labels⋈undirected edges
+    on the voting endpoint) and ONE two-level aggregation — the
+    (node, label) vote count is map-side combinable, and the argmax
+    per node is ``max_by`` over the (count, -label) struct (no window
+    sort over the vote stream). The undirected edge list is
+    checkpoint-materialized once and reused by all rounds;
+    ``localCheckpoint`` per round keeps the loop-carried plan O(1)."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        votes = (
+            und.join(labels, und["a"] == labels["node"])
+            .groupBy(und["b"].alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.max_by(
+                    "lbl", F.struct(F.col("cnt"), (-F.col("lbl")).alias("nl"))
+                ).alias("lbl")
+            )
+            .localCheckpoint()
+        )
+    return labels

@@ -1441,6 +1441,123 @@ def rdf_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("rank_r").desc(), "node")
 
 
+LPA_ITER = 4
+
+
+def _lpa_oracle_sql(n_iter: int = LPA_ITER) -> str:
+    """Deterministic synchronous label propagation unrolled in DuckDB
+    (the pagerank unroll pattern, but all-INTEGER — no float grid
+    needed): md5-60bit node keys via the shared hex60 decode, per
+    round a (node, label) vote count and a ROW_NUMBER argmax with the
+    (COUNT DESC, label ASC) tie order that mirrors the engine's
+    max_by((cnt, -lbl)) exactly."""
+    from rdf_mapreduce_joins_spark.operators.hashing import hex60_sql
+
+    fk = sorted({s.pred for s in PRED_SPECS if s.obj_prefix is not None})
+    preds = ", ".join(f"'{p}'" for p in fk)
+    rounds = []
+    prev = "l0"
+    for i in range(1, n_iter + 1):
+        cur = f"l{i}"
+        rounds.append(f""",
+    {cur} AS MATERIALIZED (
+      SELECT node_h, lbl FROM (
+        SELECT e.hb AS node_h, p.lbl,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.hb
+                 ORDER BY COUNT(*) DESC, p.lbl ASC
+               ) AS rn
+        FROM eh e JOIN {prev} p ON p.node_h = e.ha
+        GROUP BY e.hb, p.lbl)
+      WHERE rn = 1
+    )""")
+        prev = cur
+    return f"""
+    WITH tri AS MATERIALIZED ({_TRI_CTE}),
+    e AS MATERIALIZED (
+      SELECT DISTINCT subject AS src, object AS dst FROM tri
+      WHERE predicate IN ({preds})
+    ),
+    und AS MATERIALIZED (
+      SELECT src AS a, dst AS b FROM e
+      UNION
+      SELECT dst, src FROM e
+    ),
+    nh AS MATERIALIZED (
+      SELECT node, {hex60_sql('hx')} AS h
+      FROM (SELECT node, md5(node) AS hx
+            FROM (SELECT DISTINCT a AS node FROM und))
+    ),
+    eh AS MATERIALIZED (
+      SELECT na.h AS ha, nb.h AS hb
+      FROM und JOIN nh na ON na.node = und.a
+               JOIN nh nb ON nb.node = und.b
+    ),
+    l0 AS MATERIALIZED (SELECT h AS node_h, h AS lbl FROM nh)
+    {"".join(rounds)}
+    SELECT n1.node AS node, n2.node AS community
+    FROM l{n_iter} l
+    JOIN nh n1 ON n1.h = l.node_h
+    JOIN nh n2 ON n2.h = l.lbl
+    """
+
+
+@query("rdf_label_propagation", oracle=_lpa_oracle_sql())
+def rdf_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by deterministic synchronous label
+    propagation over the same undirected FK-edge graph as
+    rdf_pagerank: {LPA_ITER} fixed rounds, each node adopting its
+    neighbors' most frequent label with the smallest-label tie-break
+    (operators/graph.py::label_propagation).
+
+    Cross-engine determinism is the design problem here: the
+    tie-break ORDERS the label domain, so engine-internal dictionary
+    ids (whose relative order DuckDB cannot reproduce) are unusable —
+    nodes are keyed by md5-60bit(IRI) instead, the repo's cross-engine
+    hash family, giving both engines the identical total order while
+    the four vote rounds still shuffle 8-byte longs, not IRI text
+    (the int64-pagerank lesson applied under an order-sensitive
+    recurrence). IRIs decode back through one dictionary join in the
+    final projection. 60-bit collisions would merge nodes identically
+    on BOTH engines (same hash) — a documented property of the hash
+    domain (the MinHash family's standing caveat), ~1e-9 at fixture
+    scale.
+
+    Scale shape: per round one shuffle join + one map-side-combinable
+    (node, label) count + a max_by argmax (never a window over the
+    vote stream); the undirected edge list materializes once for all
+    rounds. All-integer arithmetic — the oracle needs no fixed-point
+    grid at all, unlike pagerank."""
+    from rdf_mapreduce_joins_spark.operators.graph import label_propagation
+    from rdf_mapreduce_joins_spark.operators.hashing import base_hash60
+
+    fk_specs = [s for s in PRED_SPECS if s.obj_prefix is not None]
+    dfs = [
+        spec_df(spark, sf_dir, s)
+        for s in sorted(fk_specs, key=lambda s: (s.pred, s.table))
+    ]
+    edges = dfs[0]
+    for d in dfs[1:]:
+        edges = edges.unionByName(d)
+    edges = edges.distinct()
+    eh = edges.select(
+        base_hash60("subject", family="md5").alias("hs"),
+        base_hash60("object", family="md5").alias("hd"),
+    )
+    lp = label_propagation(eh, n_iter=LPA_ITER, src="hs", dst="hd")
+    nodes = (
+        edges.select(F.col("subject").alias("iri"))
+        .unionByName(edges.select(F.col("object").alias("iri")))
+        .distinct()
+        .select("iri", base_hash60("iri", family="md5").alias("h"))
+    )
+    return (
+        lp.join(nodes.select(F.col("h").alias("node"), F.col("iri").alias("node_iri")), "node")
+        .join(nodes.select(F.col("h").alias("lbl"), F.col("iri").alias("community")), "lbl")
+        .select(F.col("node_iri").alias("node"), "community")
+    )
+
+
 @query(
     "rdf_triangle_count",
     # Degree-oriented (node-iterator++) oracle, restaged round 9: the

@@ -663,6 +663,77 @@ class TestGraphAnalytics:
         d = {r.node: (r.out_deg, r.in_deg) for r in degrees(e).collect()}
         assert d == {"a": (2, 0), "b": (1, 1), "c": (0, 2)}
 
+    def test_label_propagation_two_cliques(self, spark):
+        """Two 3-cliques joined by one bridge edge: each clique
+        converges to ONE uniform label and the bridge does not merge
+        the communities (each endpoint is outvoted by its own clique,
+        2 votes to 1). The labels themselves are whatever the
+        propagation dynamics elect — the right clique ends up labeled
+        "3" (the bridge injects it via node 11's round-1 tie-break),
+        a standard LPA artifact: the community ID need not be a
+        member; what matters is uniform-within and distinct-across."""
+        from rdf_mapreduce_joins_spark.operators.graph import (
+            label_propagation,
+        )
+
+        edges = [
+            (1, 2), (1, 3), (2, 3),          # clique {1,2,3}
+            (11, 12), (11, 13), (12, 13),    # clique {11,12,13}
+            (3, 11),                          # bridge
+        ]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r.node: r.lbl for r in label_propagation(e, n_iter=4).collect()
+        }
+        left = {got[1], got[2], got[3]}
+        right = {got[11], got[12], got[13]}
+        assert len(left) == 1 and len(right) == 1  # uniform within
+        assert left != right  # bridge did not merge them
+        assert left == {1} and right == {3}  # pinned dynamics
+
+    def test_label_propagation_tiebreak_and_python_reference(self, spark):
+        """Exact equality against a plain-Python synchronous LPA with
+        the same (count DESC, label ASC) tie-break, on a graph where
+        ties DO occur (a 4-cycle: every node sees two distinct
+        neighbor labels with count 1 each round) — pins the argmax
+        encoding max_by((cnt, -lbl)). Also pins determinism across
+        partitionings (1 vs 16)."""
+        from rdf_mapreduce_joins_spark.operators.graph import (
+            label_propagation,
+        )
+
+        edges = [(1, 2), (2, 3), (3, 4), (4, 1), (4, 5)]
+        rounds = 3
+        und = set()
+        for a, b in edges:
+            und.add((a, b))
+            und.add((b, a))
+        nodes = {a for a, _ in und}
+        lbl = {n: n for n in nodes}
+        for _ in range(rounds):
+            new = {}
+            for n in nodes:
+                votes = {}
+                for a, b in und:
+                    if b == n:
+                        votes[lbl[a]] = votes.get(lbl[a], 0) + 1
+                new[n] = min(
+                    votes, key=lambda v: (-votes[v], v)
+                )
+            lbl = new
+        e = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r.node: r.lbl
+            for r in label_propagation(e, n_iter=rounds).collect()
+        }
+        assert got == lbl
+        e16 = e.repartition(16)
+        got16 = {
+            r.node: r.lbl
+            for r in label_propagation(e16, n_iter=rounds).collect()
+        }
+        assert got16 == lbl
+
     def test_triangle_count_known_graph(self, spark):
         """K4 has 4 triangles; adding a pendant edge changes nothing;
         direction and duplicate edges must not matter."""
