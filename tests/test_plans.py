@@ -441,3 +441,49 @@ def test_shuffle_hash_hint_is_honored(spark, sf_dir):
     plan = _plan(df)
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# Queries whose FINAL global sort was replaced by bounded_sort
+# (sources/tables.py): bounded-cardinality group spines where the
+# rangepartitioning boundary-sampling job is pure fixed overhead
+# (0.2-0.5 s each, measured r10). The r10 four plus the r11 audit
+# sweep (tools/audit_bounded_sorts.py). A regression back to a global
+# orderBy reintroduces the sampling job silently — pin the plans.
+_BOUNDED_SORT_FINALS = [
+    # r10
+    "agg_theta_distinct",
+    "agg_kll_quantiles",
+    "agg_hll_mergeable",
+    "tpch_q22_dormant_customers",
+    # r11 sweep
+    "agg_approx_percentiles",
+    "agg_hll_portable",
+    "agg_kmv_distinct",
+    "agg_kmv_overlap",
+    "agg_quantile_histogram",
+    "assembly_training_manifest",
+    "dq_drift_psi",
+    "events_hll_summary_roundtrip",
+    "events_rolling_distinct_portable",
+    "join_salted_skew",
+    "pivot_status_by_nation",
+    "tpch_q12_priority_shipping",
+    "tpch_q15_top_supplier",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+]
+
+
+def test_bounded_sort_finals_plan_no_range_exchange(spark, sf_dir):
+    """None of the bounded_sort-swept queries may plan a
+    rangepartitioning exchange anywhere: their only global sort WAS
+    the final one, now a coalesce(1)+sortWithinPartitions narrow
+    dependency (audited by tools/audit_bounded_sorts.py, hash-matches
+    re-proven at two sfs when swept)."""
+    offenders = {}
+    for name in _BOUNDED_SORT_FINALS:
+        plan = _plan(entrymod.queries()[name](spark, sf_dir))
+        n = plan.count("rangepartitioning")
+        if n:
+            offenders[name] = n
+    assert not offenders, f"range exchange crept back: {offenders}"
