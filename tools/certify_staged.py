@@ -33,6 +33,18 @@ Usage:
     python tools/certify_staged.py epoch /root/repo/.scaledata/sf3
     SPARK_DRIVER_MEMORY=48g \\
         python tools/certify_staged.py pagerank /root/repo/.scaledata/sf10
+    python tools/certify_staged.py semantic-selfcheck /root/testdata/sf0.01
+    python tools/certify_staged.py semantic /root/repo/.scaledata/sf3
+
+``semantic`` (round 11) is dedup_semantic_prune: full-table hash
+readout; its per-cluster cosine stage REFORMULATES the registered
+oracle's dims-join dot product (the spill-exhausting part) as
+round(list_cosine_similarity, 4), so run ``semantic-selfcheck`` first
+— it proves monolithic == staged inside DuckDB at a small sf (done at
+sf0.01 AND sf0.1, 2026-08-16, both hash-equal) before any at-scale
+claim rests on the reformulation. Recorded result: sf3 FULL-TABLE
+hash-match, 503 rows (engine 60k-vector corpus, ~50 s per staged
+cluster on the DuckDB side).
 
 The pagerank engine side at sf10 needs the 48g local-mode heap (the
 107M-edge persisted adjacency lives in the single local JVM; the
