@@ -628,20 +628,37 @@ def label_propagation(
     sort over the vote stream). The undirected edge list is
     checkpoint-materialized once and reused by all rounds;
     ``localCheckpoint`` per round keeps the loop-carried plan O(1)."""
+    if n_iter < 1:
+        raise ValueError("label_propagation needs n_iter >= 1")
+    # One pass over the input builds both directions (explode of a
+    # 2-struct array), instead of two unioned scans of the edge
+    # source — the input subtree (scans + hashing) runs once.
     und = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
         .localCheckpoint()
     )
+    # Round 1 in closed form: labels start as identity, und is
+    # distinct, so every vote count is exactly 1 and the
+    # (count DESC, label ASC) argmax degenerates to MIN(neighbor) —
+    # algebraically identical to the generic round (the SQL oracle
+    # runs the generic form; the hash-match proves the identity), one
+    # aggregation instead of join + two aggregations.
     labels = (
-        und.select(F.col("a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("lbl"))
+        und.groupBy(F.col("b").alias("node"))
+        .agg(F.min("a").alias("lbl"))
         .localCheckpoint()
     )
-    for _ in range(n_iter):
+    for _ in range(n_iter - 1):
         votes = (
             und.join(labels, und["a"] == labels["node"])
             .groupBy(und["b"].alias("node"), "lbl")

@@ -1545,11 +1545,14 @@ def rdf_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_hash60("object", family="md5").alias("hd"),
     )
     lp = label_propagation(eh, n_iter=LPA_ITER, src="hs", dst="hd")
+    # The decode dictionary feeds TWO joins (node and community);
+    # checkpoint it so the string distinct runs once, and build it in
+    # one pass over the edge scan (explode, not union-of-two-scans).
     nodes = (
-        edges.select(F.col("subject").alias("iri"))
-        .unionByName(edges.select(F.col("object").alias("iri")))
+        edges.select(F.explode(F.array("subject", "object")).alias("iri"))
         .distinct()
         .select("iri", base_hash60("iri", family="md5").alias("h"))
+        .localCheckpoint()
     )
     return (
         lp.join(nodes.select(F.col("h").alias("node"), F.col("iri").alias("node_iri")), "node")
