@@ -1444,6 +1444,23 @@ def rdf_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 LPA_ITER = 4
 
 
+def lpa_round_select_sql(prev: str, eh: str = "eh") -> str:
+    """One synchronous-LPA round's SELECT body — shared by the
+    registered oracle below and tools/certify_staged.py's staged sf10
+    certification (the pagerank_round_select_sql pattern): vote count
+    per (node, label), argmax with the (COUNT DESC, label ASC) tie
+    order that mirrors the engine's max_by((cnt, -lbl))."""
+    return f"""SELECT node_h, lbl FROM (
+        SELECT e.hb AS node_h, p.lbl,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.hb
+                 ORDER BY COUNT(*) DESC, p.lbl ASC
+               ) AS rn
+        FROM {eh} e JOIN {prev} p ON p.node_h = e.ha
+        GROUP BY e.hb, p.lbl)
+      WHERE rn = 1"""
+
+
 def _lpa_oracle_sql(n_iter: int = LPA_ITER) -> str:
     """Deterministic synchronous label propagation unrolled in DuckDB
     (the pagerank unroll pattern, but all-INTEGER — no float grid
@@ -1461,15 +1478,7 @@ def _lpa_oracle_sql(n_iter: int = LPA_ITER) -> str:
         cur = f"l{i}"
         rounds.append(f""",
     {cur} AS MATERIALIZED (
-      SELECT node_h, lbl FROM (
-        SELECT e.hb AS node_h, p.lbl,
-               ROW_NUMBER() OVER (
-                 PARTITION BY e.hb
-                 ORDER BY COUNT(*) DESC, p.lbl ASC
-               ) AS rn
-        FROM eh e JOIN {prev} p ON p.node_h = e.ha
-        GROUP BY e.hb, p.lbl)
-      WHERE rn = 1
+      {lpa_round_select_sql(prev)}
     )""")
         prev = cur
     return f"""

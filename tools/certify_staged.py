@@ -86,8 +86,10 @@ from rdf_mapreduce_joins_spark.plans.llm import (  # noqa: E402
     minhash_shingle_ctes,
 )
 from rdf_mapreduce_joins_spark.plans.rdf import (  # noqa: E402
+    LPA_ITER,
     PRED_SPECS,
     PR_ITER,
+    lpa_round_select_sql,
     pagerank_round_select_sql,
     triples_sql,
 )
@@ -417,12 +419,103 @@ def certify_semantic(sf_dir: str) -> bool:
     return ok
 
 
+# ------------------------------------------------------------------ lpa
+
+
+def certify_lpa(sf_dir: str) -> bool:
+    """Stage rdf_label_propagation's oracle round-by-round (keeping
+    only l_{i-1} and l_i alive) and compare via a digest: row count,
+    SUM of md5-60bit(node ':' community) as a 38-digit decimal, and
+    the exact first-100 rows by node (unique key) — the pagerank sf10
+    readout, needed because the sf10 output (~62M rows) is too big to
+    collect for the full hash. All-integer recurrence: no rounding
+    grid enters the digest at all. Round SQL is generated by the SAME
+    builder as the registered oracle (plans/rdf.py::
+    lpa_round_select_sql)."""
+    spark = get_spark("certify-lpa")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    lp = entrymod.queries()["rdf_label_propagation"](spark, sf_dir)
+    line = F.concat_ws(":", F.col("node"), F.col("community"))
+    h60 = F.conv(F.substring(F.md5(line), 1, 15), 16, 10).cast("decimal(38,0)")
+    agg = lp.select(h60.alias("h")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("h").alias("hsum")
+    ).first()
+    s_top = [(r.node, r.community) for r in lp.orderBy("node").limit(100).collect()]
+    s_n, s_hsum = agg.n, str(agg.hsum)
+    print(f"[spark] n={s_n} hsum={s_hsum} in {time.time() - t0:.1f}s",
+          file=sys.stderr)
+
+    con = _connect(sf_dir)
+    fk = sorted({s.pred for s in PRED_SPECS if s.obj_prefix is not None})
+    preds = ", ".join(f"'{p}'" for p in fk)
+    _run(con, "edges", f"""
+    CREATE TEMP TABLE g_e AS
+    WITH tri AS ({triples_sql(fk)})
+    SELECT DISTINCT subject AS src, object AS dst FROM tri
+    WHERE predicate IN ({preds})""")
+    _run(con, "und", """
+    CREATE TEMP TABLE g_und AS
+    SELECT src AS a, dst AS b FROM g_e
+    UNION
+    SELECT dst, src FROM g_e""")
+    _run(con, "drop edges", "DROP TABLE g_e")
+    _run(con, "nh", f"""
+    CREATE TEMP TABLE g_nh AS
+    SELECT node, {hex60_sql('hx')} AS h
+    FROM (SELECT node, md5(node) AS hx
+          FROM (SELECT DISTINCT a AS node FROM g_und))""")
+    _run(con, "eh", """
+    CREATE TEMP TABLE g_eh AS
+    SELECT na.h AS ha, nb.h AS hb
+    FROM g_und JOIN g_nh na ON na.node = g_und.a
+               JOIN g_nh nb ON nb.node = g_und.b""")
+    _run(con, "drop und", "DROP TABLE g_und")
+    _run(con, "l0", "CREATE TEMP TABLE g_l0 AS SELECT h AS node_h, h AS lbl FROM g_nh")
+    for i in range(1, LPA_ITER + 1):
+        body = lpa_round_select_sql(f"g_l{i - 1}", eh="g_eh")
+        _run(con, f"round {i}", f"""
+        CREATE TEMP TABLE g_l{i} AS
+        {body}""")
+        _run(con, f"drop l{i - 1}", f"DROP TABLE g_l{i - 1}")
+    t0 = time.time()
+    o_n, o_hsum = con.execute(f"""
+    WITH fin AS (
+      SELECT n1.node AS node, n2.node AS community
+      FROM g_l{LPA_ITER} l
+      JOIN g_nh n1 ON n1.h = l.node_h
+      JOIN g_nh n2 ON n2.h = l.lbl
+    )
+    SELECT COUNT(*),
+           CAST(SUM({hex60_sql("md5(node || ':' || community)")})
+                AS HUGEINT)
+    FROM fin""").fetchone()
+    o_top = con.execute(f"""
+    SELECT n1.node AS node, n2.node AS community
+    FROM g_l{LPA_ITER} l
+    JOIN g_nh n1 ON n1.h = l.node_h
+    JOIN g_nh n2 ON n2.h = l.lbl
+    ORDER BY node LIMIT 100""").fetchall()
+    print(f"  [duck] digest: {time.time() - t0:.1f}s", file=sys.stderr)
+    o_top = [tuple(r) for r in o_top]
+    ok = s_n == o_n and s_hsum == str(o_hsum) and s_top == o_top
+    print(json.dumps({
+        "cert": "rdf_label_propagation", "sf_dir": sf_dir,
+        "spark": {"n": s_n, "hsum": s_hsum},
+        "oracle": {"n": o_n, "hsum": str(o_hsum)},
+        "top100_match": s_top == o_top,
+        "digest_match": ok,
+    }))
+    return ok
+
+
 def main() -> int:
     modes = {
         "epoch": certify_epoch,
         "pagerank": certify_pagerank,
         "semantic": certify_semantic,
         "semantic-selfcheck": selfcheck_semantic,
+        "lpa": certify_lpa,
     }
     if len(sys.argv) != 3 or sys.argv[1] not in modes:
         print(__doc__, file=sys.stderr)
