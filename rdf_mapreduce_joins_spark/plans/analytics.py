@@ -180,7 +180,8 @@ def events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_null_safe",
     oracle="""
     SELECT dim.label, CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(o.o_totalprice), 2) AS total
+           ROUND(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                 / 100.0, 2) AS total
     FROM (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
                       ELSE o_orderstatus END AS k, o_totalprice
           FROM orders) o
@@ -211,12 +212,18 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("O", "open"), ("F", "finished"), (None, "in-progress")],
         "k string, label string",
     )
+    # Money sums accumulate in cents-BIGINTs (exact integers), never
+    # raw double SUM: at sf10 the ~5M-addend double sum reaches
+    # ~1.24e12 where the two engines' summation orders split the
+    # 2-digit rounding by 0.01 (the tpch_q1 r8 lesson, re-learned on
+    # this query's first sf10 certification).
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
     return (
         o.join(F.broadcast(dim), o["k"].eqNullSafe(dim["k"]))
         .groupBy("label")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.sum(cents) / 100.0, 2).alias("total"),
         )
     )
 

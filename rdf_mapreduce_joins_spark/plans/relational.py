@@ -575,7 +575,8 @@ def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(o_orderstatus, '(all)') AS status,
            COALESCE(o_orderpriority, '(all)') AS priority,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_price
+           ROUND(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                 / 100.0, 2) AS total_price
     FROM orders
     GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
@@ -591,7 +592,16 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            # cents-BIGINT accumulation: the raw double SUM splits the
+            # 2-digit rounding across engines at sf10 volume (tpch_q1
+            # r8 lesson)
+            F.round(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+                )
+                / 100.0,
+                2,
+            ).alias("total_price"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
