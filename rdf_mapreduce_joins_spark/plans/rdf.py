@@ -1721,7 +1721,8 @@ def rdf_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT 'supplier/' || closure.anc AS manager,
            COUNT(*) AS n_reports,
-           ROUND(SUM(s.s_acctbal), 2) AS total_acctbal
+           ROUND(SUM(CAST(FLOOR(s.s_acctbal * 100 + 0.5) AS BIGINT))
+                 / 100.0, 2) AS total_acctbal
     FROM closure JOIN supplier s ON s.s_suppkey = closure.node
     GROUP BY closure.anc
     """,
@@ -1751,7 +1752,12 @@ def rdf_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("dst").alias("manager"))
         .agg(
             F.count(F.lit(1)).alias("n_reports"),
-            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+            # cents-BIGINT accumulation (the sf10 money-sum class)
+            F.round(
+                F.sum(F.floor(F.col("s_acctbal") * 100 + 0.5).cast("bigint"))
+                / 100.0,
+                2,
+            ).alias("total_acctbal"),
         )
     )
 

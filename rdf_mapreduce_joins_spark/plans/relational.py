@@ -163,7 +163,8 @@ def join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r_name, n_name,
            COUNT(*) AS n_customers,
-           ROUND(SUM(c_acctbal), 2) AS total_acctbal
+           ROUND(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+                 / 100.0, 2) AS total_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -184,7 +185,12 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            # cents-BIGINT accumulation (the sf10 money-sum class)
+            F.round(
+                F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint"))
+                / 100.0,
+                2,
+            ).alias("total_acctbal"),
         )
     )
 
@@ -300,7 +306,8 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(r_name, '(all)') AS region_name,
            COALESCE(n_name, '(all)') AS nation_name,
            COUNT(*) AS n_customers,
-           ROUND(SUM(c_acctbal), 2) AS total_acctbal
+           ROUND(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+                 / 100.0, 2) AS total_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -320,7 +327,12 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.rollup("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            # cents-BIGINT accumulation (the sf10 money-sum class)
+            F.round(
+                F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint"))
+                / 100.0,
+                2,
+            ).alias("total_acctbal"),
         )
         .select(
             F.coalesce("r_name", F.lit("(all)")).alias("region_name"),
@@ -481,7 +493,8 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(YEAR(o_orderdate) AS INTEGER)  AS yr,
            CAST(MONTH(o_orderdate) AS INTEGER) AS mo,
            COUNT(*)                            AS n_orders,
-           ROUND(SUM(o_totalprice), 2)         AS total,
+           ROUND(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                 / 100.0, 2)                AS total,
            ROUND(AVG(o_totalprice / 7.0), 2)   AS avg_weekly,
            CAST(FLOOR(MAX(o_totalprice)) AS BIGINT) AS max_floor,
            ROUND(SQRT(AVG(o_totalprice)), 4)   AS sqrt_avg
@@ -501,7 +514,11 @@ def scalar_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(
+                F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+                / 100.0,
+                2,
+            ).alias("total"),
             F.round(F.avg(F.col("o_totalprice") / 7.0), 2).alias("avg_weekly"),
             F.floor(F.max("o_totalprice")).cast("bigint").alias("max_floor"),
             F.round(F.sqrt(F.avg("o_totalprice")), 4).alias("sqrt_avg"),
