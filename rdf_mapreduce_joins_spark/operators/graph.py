@@ -598,6 +598,113 @@ def kcore(
     return live.select("a").distinct().withColumnRenamed("a", "node")
 
 
+def hits(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    fixed_point_scale: float = 1e9,
+) -> DataFrame:
+    """Fixed-iteration HITS (hubs & authorities, Kleinberg 1999) over a
+    directed edge relation. Per round: authority(v) = Σ hub(u) over
+    in-edges u→v, then L1-normalize to Σ = N (the pagerank mass
+    convention — scores average 1); then hub(u) = Σ auth(v) over
+    out-edges u→v, normalized the same way. Sum normalization to N
+    instead of the classic L2-to-1: it avoids sqrt, and it keeps score
+    magnitudes O(1) at EVERY graph size — normalizing to Σ = 1 would
+    put scores at O(1/|V|), underneath the fixed-point grid on large
+    graphs. Like the pagerank recurrence, every score snaps to a
+    ``fixed_point_scale`` grid at each normalization boundary, which
+    makes the recurrence engine-independent (per-round summation-order
+    error ~1e-13 sits far below the 5e-10 rounding threshold), so a
+    SQL oracle running the same unrolled rounds hash-matches instead
+    of drifting in the last ulps (the ``pagerank`` precedent).
+
+    Returns ``(node, hub, auth)`` for every node incident to an edge
+    after exactly ``n_iter`` rounds (fixed unroll, no convergence
+    test — the SQL-oracle-able form). Nodes without out-edges keep
+    hub 0; without in-edges, auth 0.
+
+    Scale shape: the edge list is persisted TWICE, pre-partitioned on
+    each join key (src for the auth half, dst for the hub half) — the
+    pagerank adjacency-cache lesson: the O(|E|) side never re-shuffles
+    across rounds; only the O(|V|) score frames move. Per round two
+    shuffle joins + two map-side-combinable aggregations + two 1-row
+    normalization broadcasts; ``localCheckpoint`` per half-round keeps
+    the loop-carried plan O(1)."""
+    if n_iter < 1:
+        raise ValueError("hits needs n_iter >= 1")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    sess = edges.sparkSession
+    try:
+        conf_part = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        conf_part = sess.sparkContext.defaultParallelism
+    n_part = min(conf_part, sess.sparkContext.defaultParallelism)
+    adj_s = e.repartition(n_part, "src").persist()
+    adj_d = e.repartition(n_part, "dst").persist()
+    # One-pass node universe (explode, not union-of-two-scans), then
+    # checkpoint: the frame seeds BOTH score columns and anchors every
+    # left join, and a fresh-id leaf avoids the analyzer relation-dedup
+    # cache miss described in ``pagerank``.
+    nodes = (
+        e.select(F.explode(F.array("src", "dst")).alias("node"))
+        .distinct()
+        .repartition(n_part, "node")
+        .localCheckpoint()
+    )
+
+    n = float(nodes.count())
+
+    def _grid(col):
+        return F.round(col * fixed_point_scale) / fixed_point_scale
+
+    def _half_round(scores, score_col, adj, join_key, group_key, out_col):
+        # raw feeds BOTH the normalization total and the normalize
+        # join — checkpoint it so the O(|E|) score⋈adjacency join runs
+        # once per half-round, not twice (measured: 16.5 s → the two
+        # consumers re-ran the join before this cut; raw is O(|V|), so
+        # the materialization is cheap next to the join it saves).
+        raw = (
+            adj.join(scores, adj[join_key] == scores["node"])
+            .groupBy(adj[group_key].alias("node"))
+            .agg(F.sum(score_col).alias("v"))
+            .localCheckpoint()
+        )
+        total = raw.agg(F.coalesce(F.sum("v"), F.lit(0.0)).alias("s"))
+        # Expression ORDER matters cross-engine: `v / s * n` evaluates
+        # left-to-right identically in Spark and ANSI SQL, so both
+        # engines run the same IEEE op sequence before the grid snap.
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "node",
+                _grid(
+                    F.coalesce(F.col("v"), F.lit(0.0))
+                    / F.col("s")
+                    * F.lit(n)
+                ).alias(out_col),
+            )
+            .localCheckpoint()
+        )
+
+    hubs = nodes.withColumn("hub", F.lit(1.0)).localCheckpoint()
+    auths = None
+    for _ in range(n_iter):
+        auths = _half_round(hubs, "hub", adj_s, "src", "dst", "auth")
+        hubs = _half_round(auths, "auth", adj_d, "dst", "src", "hub")
+    out = hubs.join(auths, "node")
+    adj_s.unpersist()
+    adj_d.unpersist()
+    return out
+
+
 def label_propagation(
     edges: DataFrame,
     n_iter: int = 4,

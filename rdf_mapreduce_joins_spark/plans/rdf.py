@@ -1441,6 +1441,157 @@ def rdf_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("rank_r").desc(), "node")
 
 
+HITS_ITER = 3
+
+
+def hits_raw_select_sql(
+    prev: str, score: str, join_key: str, group_key: str, ei: str = "ei"
+) -> str:
+    """One HITS half-round's RAW aggregation (auth half: score=hub,
+    join on sid, group by did; hub half: score=auth, join on did,
+    group by sid) — shared builder so a staged at-scale certification
+    (the pagerank_round_select_sql pattern) stays textually derived
+    from the registered oracle."""
+    return f"""SELECT {ei}.{group_key} AS id, SUM(p.{score}) AS v
+      FROM {prev} p JOIN {ei} ON p.id = {ei}.{join_key}
+      GROUP BY {ei}.{group_key}"""
+
+
+def hits_norm_select_sql(
+    raw: str,
+    out_col: str,
+    nodes: str = "nodes",
+    n_expr: str = "(SELECT cnt FROM nn)",
+) -> str:
+    """The normalize step of a HITS half-round: L1-normalize the raw
+    sums to Σ = N (the pagerank mass convention — O(1) magnitudes at
+    any graph size, grid-safe), snap to the 1e-9 grid. The arithmetic
+    ORDER (v / s * n, left-to-right) is the cross-engine contract —
+    operators/graph.py::hits runs the identical IEEE op sequence."""
+    return f"""SELECT n.id,
+             round(COALESCE(r.v, CAST(0 AS DOUBLE)) / t.s
+                   * CAST({n_expr} AS DOUBLE) * 1e9) / 1e9 AS {out_col}
+      FROM {nodes} n
+      LEFT JOIN {raw} r ON r.id = n.id
+      CROSS JOIN (SELECT COALESCE(SUM(v), CAST(0 AS DOUBLE)) AS s
+                  FROM {raw}) t"""
+
+
+def _hits_oracle_sql(n_iter: int = HITS_ITER) -> str:
+    """HITS unrolled in DuckDB — the pagerank unroll pattern: int64
+    relabeling through nid (scores are structure-only, so the
+    bijection cannot change any value), two raw+normalize CTE pairs
+    per round, every float literal cast to DOUBLE, per-boundary 1e-9
+    fixed-point grid mirroring operators/graph.py::hits."""
+    fk = sorted({s.pred for s in PRED_SPECS if s.obj_prefix is not None})
+    preds = ", ".join(f"'{p}'" for p in fk)
+    rounds = []
+    prev_h = "h0"
+    for i in range(1, n_iter + 1):
+        rounds.append(f""",
+    ar{i} AS MATERIALIZED (
+      {hits_raw_select_sql(prev_h, "hub", "sid", "did")}
+    ),
+    a{i} AS MATERIALIZED (
+      {hits_norm_select_sql(f"ar{i}", "auth")}
+    ),
+    hr{i} AS MATERIALIZED (
+      {hits_raw_select_sql(f"a{i}", "auth", "did", "sid")}
+    ),
+    h{i} AS MATERIALIZED (
+      {hits_norm_select_sql(f"hr{i}", "hub")}
+    )""")
+        prev_h = f"h{i}"
+    return f"""
+    WITH tri AS MATERIALIZED ({_TRI_CTE}),
+    e AS MATERIALIZED (
+      SELECT DISTINCT subject AS src, object AS dst FROM tri
+      WHERE predicate IN ({preds})
+    ),
+    alln AS MATERIALIZED (
+      SELECT DISTINCT node
+      FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+    ),
+    nid AS MATERIALIZED (
+      SELECT node, ROW_NUMBER() OVER (ORDER BY node) AS id FROM alln
+    ),
+    ei AS MATERIALIZED (
+      SELECT ns.id AS sid, nd.id AS did
+      FROM e JOIN nid ns ON ns.node = e.src
+             JOIN nid nd ON nd.node = e.dst
+    ),
+    nodes AS MATERIALIZED (SELECT id FROM nid),
+    nn AS MATERIALIZED (SELECT COUNT(*) AS cnt FROM nid),
+    h0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM nid)
+    {"".join(rounds)}
+    SELECT nid.node,
+           floor(h.hub * 10000.0 + 0.5) / 10000.0 AS hub_r,
+           floor(a.auth * 10000.0 + 0.5) / 10000.0 AS auth_r
+    FROM h{n_iter} h
+    JOIN a{n_iter} a ON a.id = h.id
+    JOIN nid ON nid.id = h.id
+    ORDER BY hub_r DESC, auth_r DESC, nid.node
+    """
+
+
+@query("rdf_hits", oracle=_hits_oracle_sql())
+def rdf_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the same FK-edge subgraph as
+    rdf_pagerank: {HITS_ITER} fixed rounds of the mutual recurrence
+    (auth = in-sum of hubs, hub = out-sum of auths), each half-round
+    L1-normalized to Σ = N and snapped to the 1e-9 fixed-point grid —
+    the pagerank cross-engine determinism technique applied to a
+    TWO-sided recurrence (operators/graph.py::hits). On this graph the
+    FK targets (nations, parts, orders) surface as authorities and
+    the FK holders (lineitems' orders, customers) as hubs — the
+    entity-importance dual that pagerank's single score conflates.
+
+    Scale shape: the edge list persists twice, pre-partitioned on src
+    (auth half) and dst (hub half), so the O(|E|) side never
+    re-shuffles across rounds — only the O(|V|) score frames move;
+    per round two shuffle joins + two map-side-combinable sums + two
+    1-row normalization broadcasts. The recurrence runs over int64
+    dictionary ids end to end (the int64-pagerank lesson); IRIs
+    decode once in the final O(|V|) projection."""
+    from rdf_mapreduce_joins_spark.operators.graph import hits
+
+    fk_specs = [s for s in PRED_SPECS if s.obj_prefix is not None]
+    dfs = [
+        spec_df(spark, sf_dir, s, encoded=True)
+        for s in sorted(fk_specs, key=lambda s: (s.pred, s.table))
+    ]
+    edges = dfs[0]
+    for d in dfs[1:]:
+        edges = edges.unionByName(d)
+    h = hits(
+        edges,
+        n_iter=HITS_ITER,
+        src="subject",
+        dst="object",
+        fixed_point_scale=PR_SCALE,
+    )
+    node_tables = frozenset(
+        {s.table for s in fk_specs}
+        | {s.obj_prefix.rstrip("/") for s in fk_specs}
+    )
+    # Final 4-decimal snap is mirrored IEEE floor arithmetic on BOTH
+    # engines, NOT an engine round function — the events_ewma midpoint
+    # lesson, re-caught here by the registration-day --all-sf sweep:
+    # at sf0.001 one hub landed on the shortest-repr midpoint 1.06845,
+    # where Spark's BigDecimal HALF_UP gave 1.0685 but DuckDB's
+    # double round gave 1.0684. floor(x*1e4 + 0.5)/1e4 runs the same
+    # IEEE ops on both engines and cannot disagree.
+    snap = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0  # noqa: E731
+    return (
+        h.select(
+            _decode_id(F.col("node"), node_tables).alias("node"),
+            snap(F.col("hub")).alias("hub_r"),
+            snap(F.col("auth")).alias("auth_r"),
+        )
+        .orderBy(F.col("hub_r").desc(), F.col("auth_r").desc(), "node")
+    )
+
+
 LPA_ITER = 4
 
 

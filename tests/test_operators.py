@@ -663,6 +663,65 @@ class TestGraphAnalytics:
         d = {r.node: (r.out_deg, r.in_deg) for r in degrees(e).collect()}
         assert d == {"a": (2, 0), "b": (1, 1), "c": (0, 2)}
 
+    def test_hits_star_graph_exact(self, spark):
+        """Star a→{b,c,d}: a is the only hub (hub = N = 4 after
+        normalization to Σ = N), the leaves are equal authorities
+        (auth = 4/3 each), and the dual scores are 0 — hand-computable
+        through the grid arithmetic."""
+        from rdf_mapreduce_joins_spark.operators.graph import hits
+
+        e = spark.createDataFrame(
+            [("a", "b"), ("a", "c"), ("a", "d")], "src string, dst string"
+        )
+        got = {r.node: (r.hub, r.auth) for r in hits(e, n_iter=3).collect()}
+        assert set(got) == {"a", "b", "c", "d"}
+        assert abs(got["a"][0] - 4.0) < 1e-8 and got["a"][1] == 0.0
+        for leaf in "bcd":
+            assert got[leaf][0] == 0.0
+            assert abs(got[leaf][1] - 4.0 / 3.0) < 1e-8
+
+    def test_hits_matches_python_reference(self, spark):
+        """Scores equal a plain-Python run of the same recurrence
+        (in-sum / out-sum, Σ = N normalization, 1e-9 grid per
+        boundary) on a graph with asymmetric structure, and are
+        identical across partitionings (the grid makes the recurrence
+        deterministic)."""
+        from rdf_mapreduce_joins_spark.operators.graph import hits
+
+        edges = [
+            ("a", "b"), ("a", "c"), ("b", "c"),
+            ("c", "d"), ("d", "a"), ("e", "c"),
+        ]
+        rounds = 4
+        nodes = sorted({x for p in edges for x in p})
+        n = len(nodes)
+
+        def grid(x):
+            import math
+
+            return math.floor(x * 1e9 + 0.5) / 1e9  # HALF_UP like F.round
+
+        hub = {v: 1.0 for v in nodes}
+        auth = {}
+        for _ in range(rounds):
+            raw = {v: sum(hub[s] for s, d in edges if d == v) for v in nodes}
+            s = sum(raw[v] for v in nodes if raw[v])
+            auth = {v: grid(raw[v] / s * n) for v in nodes}
+            raw = {v: sum(auth[d] for s, d in edges if s == v) for v in nodes}
+            s = sum(raw[v] for v in nodes if raw[v])
+            hub = {v: grid(raw[v] / s * n) for v in nodes}
+
+        e = spark.createDataFrame(edges, "src string, dst string")
+        got = {r.node: (r.hub, r.auth) for r in hits(e, n_iter=rounds).collect()}
+        for v in nodes:
+            assert abs(got[v][0] - hub[v]) < 1e-8, (v, got[v][0], hub[v])
+            assert abs(got[v][1] - auth[v]) < 1e-8, (v, got[v][1], auth[v])
+        got16 = {
+            r.node: (r.hub, r.auth)
+            for r in hits(e.repartition(16), n_iter=rounds).collect()
+        }
+        assert got16 == got
+
     def test_label_propagation_two_cliques(self, spark):
         """Two 3-cliques joined by one bridge edge: each clique
         converges to ONE uniform label and the bridge does not merge

@@ -363,6 +363,18 @@ SHOWCASE = [
         "eviction boundary.",
     ),
     (
+        "rdf_hits",
+        "HITS hubs & authorities (r11): the two-sided recurrence runs "
+        "over int64 dictionary ids; the edge list is persisted TWICE, "
+        "pre-partitioned on src (auth half) and dst (hub half), so "
+        "each half-round's InMemoryRelation joins without re-shuffling "
+        "the O(|E|) side — only the O(|V|) score frames move; the "
+        "per-half normalization is a 1-row broadcast; scores snap to "
+        "the 1e-9 grid per boundary (cross-engine determinism) and "
+        "the final 4-decimal snap is mirrored floor IEEE arithmetic, "
+        "never an engine round.",
+    ),
+    (
         "tpch_q1_pricing_summary",
         "Scan-heavy pricing summary: shipdate filter pushed to the "
         "scan, sums accumulate in DECIMAL (order-independent), and "
