@@ -24,8 +24,23 @@ caller should collapse them with connected-components first
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _target_partitions(sess: SparkSession) -> int:
+    """Partition count for loop-invariant cached graph state: the
+    session's shuffle-partition conf capped at defaultParallelism (a
+    foreign session may carry the stock 200, which on a small executor
+    pool only adds per-round task overhead; on a real cluster
+    defaultParallelism is the larger number and the conf wins)."""
+    try:
+        conf_part = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        # AQE auto mode reports the non-numeric "auto" on some
+        # platforms; defaultParallelism is the sane stand-in.
+        conf_part = sess.sparkContext.defaultParallelism
+    return min(conf_part, sess.sparkContext.defaultParallelism)
 
 
 def transitive_closure(
@@ -181,14 +196,7 @@ def _pagerank_setup(
     # 200 shuffle partitions, which on a small executor pool just adds
     # per-round task overhead; on a real cluster defaultParallelism is
     # the larger number and the shuffle-partition conf wins.
-    sess = edges.sparkSession
-    try:
-        conf_part = int(sess.conf.get("spark.sql.shuffle.partitions"))
-    except ValueError:
-        # AQE auto mode reports the non-numeric "auto" on some
-        # platforms; defaultParallelism is the sane stand-in.
-        conf_part = sess.sparkContext.defaultParallelism
-    n_part = min(conf_part, sess.sparkContext.defaultParallelism)
+    n_part = _target_partitions(edges.sparkSession)
     adj = (
         e.join(out_deg, "src")
         .select(
@@ -396,12 +404,20 @@ def shortest_hops(
     unlike PageRank the result is fully deterministic and
     oracle-checkable."""
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Hash-partition the loop-invariant adjacency on the JOIN key "a"
+    # before persisting (the pagerank adjacency-cache lesson): the
+    # distinct's output is partitioned on (a, b), which does NOT
+    # satisfy the per-round join's hash(a) requirement, so without the
+    # repartition the O(|E|) cached side was re-exchanged EVERY round.
+    # One extra O(|E|) setup shuffle buys zero adjacency movement
+    # across all O(diameter) rounds; only the frontier shuffles.
     adj = (
         sym.unionByName(
             sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .repartition(_target_partitions(edges.sparkSession), "a")
         .persist()
     )
     # Seed the frontier from a literal (source, 0) row, NOT by
@@ -493,11 +509,17 @@ def weighted_sssp(
             e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
         )
     # Parallel edges collapse to their cheapest copy once up front —
-    # relaxation only ever uses the min weight per (a, b).
+    # relaxation only ever uses the min weight per (a, b). The result
+    # is hash-partitioned on the relaxation join key "a" before the
+    # persist (the pagerank adjacency-cache lesson): the groupBy's
+    # (a, b) partitioning does not satisfy the per-round hash(a)
+    # requirement, so the cached O(|E|) side was re-exchanged every
+    # round; one extra setup shuffle removes all of them.
     adj = (
         e.filter(F.col("a") != F.col("b"))
         .groupBy("a", "b")
         .agg(F.min("w").alias("w"))
+        .repartition(_target_partitions(edges.sparkSession), "a")
         .persist()
     )
     node_type = adj.schema["a"].dataType
@@ -640,12 +662,7 @@ def hits(
         .distinct()
         .localCheckpoint()
     )
-    sess = edges.sparkSession
-    try:
-        conf_part = int(sess.conf.get("spark.sql.shuffle.partitions"))
-    except ValueError:
-        conf_part = sess.sparkContext.defaultParallelism
-    n_part = min(conf_part, sess.sparkContext.defaultParallelism)
+    n_part = _target_partitions(edges.sparkSession)
     adj_s = e.repartition(n_part, "src").persist()
     adj_d = e.repartition(n_part, "dst").persist()
     # One-pass node universe (explode, not union-of-two-scans), then
@@ -665,11 +682,25 @@ def hits(
         return F.round(col * fixed_point_scale) / fixed_point_scale
 
     def _half_round(scores, score_col, adj, join_key, group_key, out_col):
-        # raw feeds BOTH the normalization total and the normalize
-        # join — checkpoint it so the O(|E|) score⋈adjacency join runs
-        # once per half-round, not twice (measured: 16.5 s → the two
-        # consumers re-ran the join before this cut; raw is O(|V|), so
-        # the materialization is cheap next to the join it saves).
+        # raw feeds BOTH the normalization total and the normalized
+        # projection — checkpoint it so the O(|E|) score⋈adjacency join
+        # runs once per half-round, not twice (measured: 16.5 s → the
+        # two consumers re-ran the join before this cut; raw is O(|V|),
+        # so the materialization is cheap next to the join it saves).
+        #
+        # SPARSE recurrence (round-11 optimization, measured 27.4 s →
+        # see OPTIMIZATION_r11.md): the loop-carried score frame keeps
+        # only nodes with a computed sum, NOT the full node universe.
+        # Nodes absent from `raw` held score 0 in the dense form and a
+        # zero score contributes exactly nothing to either the next
+        # half-round's edge sums or the normalization total (+0.0 terms
+        # are IEEE-identities over the non-negative score stream), so
+        # every downstream float is BIT-IDENTICAL — the missing rows
+        # are re-attached once, after the loop, as literal 0.0. This
+        # removes one O(|V|) sort-merge join + one localCheckpoint per
+        # half-round (6 of each at n_iter=3); the normalized projection
+        # is now shuffle-free (checkpointed raw + 1-row broadcast), so
+        # no separate checkpoint is needed to keep the plan O(1).
         raw = (
             adj.join(scores, adj[join_key] == scores["node"])
             .groupBy(adj[group_key].alias("node"))
@@ -680,26 +711,28 @@ def hits(
         # Expression ORDER matters cross-engine: `v / s * n` evaluates
         # left-to-right identically in Spark and ANSI SQL, so both
         # engines run the same IEEE op sequence before the grid snap.
-        return (
-            nodes.join(raw, "node", "left")
-            .crossJoin(F.broadcast(total))
-            .select(
-                "node",
-                _grid(
-                    F.coalesce(F.col("v"), F.lit(0.0))
-                    / F.col("s")
-                    * F.lit(n)
-                ).alias(out_col),
-            )
-            .localCheckpoint()
+        return raw.crossJoin(F.broadcast(total)).select(
+            "node",
+            _grid(F.col("v") / F.col("s") * F.lit(n)).alias(out_col),
         )
 
-    hubs = nodes.withColumn("hub", F.lit(1.0)).localCheckpoint()
+    hubs = nodes.withColumn("hub", F.lit(1.0))
     auths = None
     for _ in range(n_iter):
         auths = _half_round(hubs, "hub", adj_s, "src", "dst", "auth")
         hubs = _half_round(auths, "auth", adj_d, "dst", "src", "hub")
-    out = hubs.join(auths, "node")
+    # Re-attach the universe once: nodes without out-edges keep hub 0,
+    # without in-edges auth 0 — exactly the rows the dense form carried
+    # as computed zeros through every round.
+    out = (
+        nodes.join(hubs, "node", "left")
+        .join(auths, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth"),
+        )
+    )
     adj_s.unpersist()
     adj_d.unpersist()
     return out
@@ -733,7 +766,11 @@ def label_propagation(
     (node, label) vote count is map-side combinable, and the argmax
     per node is ``max_by`` over the (count, -label) struct (no window
     sort over the vote stream). The undirected edge list is
-    checkpoint-materialized once and reused by all rounds;
+    hash-partitioned on the voting endpoint "a" and PERSISTED — the
+    pagerank adjacency-cache lesson (round 11): a localCheckpoint
+    records UnknownPartitioning, so the O(|E|) edge list was being
+    re-exchanged by EVERY round's label join; with the partitioned
+    cache only the O(|V|) labels frame moves into the join.
     ``localCheckpoint`` per round keeps the loop-carried plan O(1)."""
     if n_iter < 1:
         raise ValueError("label_propagation needs n_iter >= 1")
@@ -752,7 +789,8 @@ def label_propagation(
         .select("e.a", "e.b")
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
-        .localCheckpoint()
+        .repartition(_target_partitions(edges.sparkSession), "a")
+        .persist()
     )
     # Round 1 in closed form: labels start as identity, und is
     # distinct, so every vote count is exactly 1 and the
@@ -780,4 +818,7 @@ def label_propagation(
             )
             .localCheckpoint()
         )
+    # Every consumer of und is materialized (labels is checkpointed
+    # each round), so the cache can be dropped before returning.
+    und.unpersist()
     return labels

@@ -58,6 +58,12 @@ _BOUNDED_BUILD_SIDE_OK = {
     # crossJoined to the min-support-pruned pair frame — scalar
     # subquery shape again.
     "basket_brand_affinity",
+    # 1-row broadcast normalization total crossJoined to the sparse
+    # score frame each half-round (round-11 sparse HITS: the
+    # normalized projection is no longer hidden behind a
+    # localCheckpoint, so the scalar-subquery shape shows in the
+    # final plan — build side exactly 1 row by construction).
+    "rdf_hits",
     # label-domain-bounded broadcast: the candidate frame is
     # doc x languages (a handful of rows on the build side) for the
     # smoothed naive-Bayes penalty term.
