@@ -345,11 +345,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     df aggregation would cost more than the 0.02% row reduction
     saves. Apply it when deploying on natural-language corpora."""
     d = load_table(spark, sf_dir, "documents")
-    bi = (
-        spread(d).select(
-            "doc_id", "lang", F.explode(text.word_ngrams("text", 2)).alias("bigram")
-        )
-        .distinct()
+    # Within-document dedup is row-local (round 11, guide §2.4): the
+    # old explode().distinct() keyed the dedup on (doc_id, lang,
+    # bigram) — doc_id in the key means nothing is ever deduped ACROSS
+    # documents, so array_distinct before the explode yields the
+    # identical row set with zero shuffle where the distinct paid a
+    # full exchange + two hash aggregates over the shingle stream.
+    bi = spread(d).select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(text.word_ngrams("text", 2))).alias("bigram"),
     )
     return _exact_jaccard_pairs(bi)
 
@@ -413,11 +418,17 @@ def _gated_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay the plain quadratic pairs CTE."""
     d = load_table(spark, sf_dir, "documents")
     df_cap = int(-(-NGRAM_DF_CAP_FRAC * d.count() // 1))  # ceil
+    # array_distinct replaces the explode().distinct(): dedup keyed on
+    # (doc_id, lang, bigram) is within-document only, so the row-local
+    # form is identical with zero shuffle (round 11, guide §2.4).
     bi = (
         spread(d).select(
-            "doc_id", "lang", F.explode(text.word_ngrams("text", 2)).alias("bigram")
+            "doc_id",
+            "lang",
+            F.explode(F.array_distinct(text.word_ngrams("text", 2))).alias(
+                "bigram"
+            ),
         )
-        .distinct()
         .localCheckpoint()
     )
     return _prefix_or_plain_jaccard(
@@ -605,12 +616,19 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_cap = int(-(-NGRAM_DF_CAP_FRAC * d.count() // 1))  # ceil
     bi = (
         spread(d).select(
-            "doc_id", "lang", F.explode(text.word_ngrams("text", 2)).alias("bigram")
+            "doc_id",
+            "lang",
+            # array_distinct replaces the explode().distinct(): the
+            # dedup key carried doc_id, i.e. within-document only, so
+            # the row-local form is identical with zero shuffle
+            # (round 11, guide §2.4).
+            F.explode(F.array_distinct(text.word_ngrams("text", 2))).alias(
+                "bigram"
+            ),
         )
-        .distinct()
         # Materialized ONCE (ADVICE r5 #2): the probe below and the main
         # plan (either route) both read these blocks instead of
-        # recomputing the read+split+explode+distinct lineage twice.
+        # recomputing the read+split+explode lineage twice.
         # localCheckpoint is the repo's iterative-op idiom (graph.py);
         # blocks are freed by the ContextCleaner once unreferenced.
         .localCheckpoint()
@@ -2795,12 +2813,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate variant (dedup_ngram_jaccard_capped) composes with this
     unchanged."""
     d = load_table(spark, sf_dir, "documents")
-    bi = (
-        spread(d)
-        .select(
-            "doc_id", "lang", F.explode(text.word_ngrams("text", 2)).alias("bigram")
-        )
-        .distinct()
+    # array_distinct replaces the explode().distinct(): dedup keyed on
+    # (doc_id, lang, bigram) is within-document only, so the row-local
+    # form is identical with zero shuffle (round 11, guide §2.4).
+    bi = spread(d).select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(text.word_ngrams("text", 2))).alias("bigram"),
     )
     sz = bi.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     left = bi.select(F.col("doc_id").alias("d1"), "lang", "bigram")
