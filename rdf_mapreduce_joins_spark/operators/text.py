@@ -35,14 +35,54 @@ def tokens(text_col: str = "text") -> F.Column:
 
 
 def word_ngrams(text_col: str, n: int) -> F.Column:
-    """Word n-grams as an array column (JVM-side transform over token
-    indices — no explode until the caller wants rows)."""
+    """Word n-grams as an array column — no explode until the caller
+    wants rows. Built by zip_with over n shifted slices of the token
+    array, NOT transform over indices: expressions referenced inside a
+    higher-order-function lambda are re-evaluated on every lambda
+    invocation, so the old `element_at(w, i + j)` form re-split the
+    text per gram — O(len²) per document. zip_with's lambda touches
+    only its lambda variables, and each slice evaluates the array
+    once, so this form is O(len·n) (measured round 11: the quadratic
+    form dominated every bigram query's per-task time)."""
     w = tokens(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(w) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
-    )
+    m = F.size(w) - (n - 1)
+    grams = F.slice(w, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(w, 1 + j, m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     return F.when(F.size(w) >= n, grams).otherwise(F.array())
+
+
+def max_multiplicity(arr: F.Column) -> F.Column:
+    """Highest multiplicity of any element of a string-array column,
+    computed ROW-LOCALLY: sort the array, then fold for the longest
+    equal-run — O(n log n) per row inside whole-stage codegen. This is
+    the shuffle-free form of "explode → count per (row, element) →
+    max per row" (guide §2.4: per-document statistics never need to
+    leave the row); exact integer result, BIGINT like the grouped
+    count it replaces. Empty array → 0; null elements (not produced
+    by split()) each count as a run of 1."""
+    srt = F.array_sort(arr)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
+    )
+
+    def _step(acc: F.Column, t: F.Column) -> F.Column:
+        run = F.when(
+            acc["prev"].isNotNull() & (acc["prev"] == t), acc["run"] + 1
+        ).otherwise(F.lit(1).cast("bigint"))
+        return F.struct(
+            t.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(srt, init, _step, lambda acc: acc["best"])
 
 
 def quality_metrics(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

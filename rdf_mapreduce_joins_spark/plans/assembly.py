@@ -63,35 +63,47 @@ def _repetition_frame(d: DataFrame) -> DataFrame:
     — the duplicate-line/-ngram heuristics of training-data repetition
     filters, exact arithmetic.
 
-    Shape: explode → per-(doc, gram) count → per-doc agg. Both
-    aggregations partial-combine map-side and shuffle only on doc_id;
-    at 100 TB this is the standard two-stage wordcount, embarrassingly
-    parallel with no skew beyond document length."""
-    toks = d.select("doc_id", F.explode(text.tokens("text")).alias("tk"))
-    wc = toks.groupBy("doc_id", "tk").agg(F.count(F.lit(1)).alias("c"))
-    ws = wc.groupBy("doc_id").agg(
-        F.sum("c").alias("n_tokens"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.max("c").alias("top_c"),
-    )
-    bi = d.select(
-        "doc_id", F.explode(text.word_ngrams("text", 2)).alias("bg")
-    )
-    bc = bi.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
-    bs = bc.groupBy("doc_id").agg(
-        F.sum("c").alias("n_bigrams"),
-        F.count(F.lit(1)).alias("n_distinct_bigrams"),
-    )
-    return ws.join(bs, on="doc_id", how="inner").select(
-        "doc_id",
-        "n_tokens",
-        F.round(1 - F.col("n_distinct") / F.col("n_tokens"), 4).alias(
-            "dup_word_frac"
-        ),
-        F.round(F.col("top_c") / F.col("n_tokens"), 4).alias("top_word_frac"),
-        F.round(
-            1 - F.col("n_distinct_bigrams") / F.col("n_bigrams"), 4
-        ).alias("dup_bigram_frac"),
+    Shape (round 11, guide §2.4): every statistic here is a function of
+    ONE document, so nothing needs to leave the row — counts come from
+    size/array_distinct over the token and bigram arrays and the top
+    multiplicity from a row-local sorted fold (text.max_multiplicity).
+    The previous explode → per-(doc, gram) count → per-doc agg form
+    paid four shuffles and two corpus scans for the same integers; this
+    is one scan, zero shuffles, embarrassingly parallel at any scale.
+    The bigram-count filter reproduces the old ws⋈bs inner join: docs
+    with <2 tokens have no bigram row on either engine."""
+    w = F.col("w")
+    bg = F.col("bg")
+    return (
+        d.select(
+            "doc_id",
+            text.tokens("text").alias("w"),
+            text.word_ngrams("text", 2).alias("bg"),
+        )
+        .filter(F.size(bg) >= 1)
+        .select(
+            "doc_id",
+            F.size(w).cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct(w)).cast("bigint").alias("n_distinct"),
+            text.max_multiplicity(w).alias("top_c"),
+            F.size(bg).cast("bigint").alias("n_bigrams"),
+            F.size(F.array_distinct(bg)).cast("bigint").alias(
+                "n_distinct_bigrams"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(1 - F.col("n_distinct") / F.col("n_tokens"), 4).alias(
+                "dup_word_frac"
+            ),
+            F.round(F.col("top_c") / F.col("n_tokens"), 4).alias(
+                "top_word_frac"
+            ),
+            F.round(
+                1 - F.col("n_distinct_bigrams") / F.col("n_bigrams"), 4
+            ).alias("dup_bigram_frac"),
+        )
     )
 
 
@@ -295,27 +307,33 @@ def docs_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline applies per document — length gate, then alphabetic-ratio
     gate, then repetition gate — with the FIRST failing gate as the
     verdict (so downstream dashboards see why volume was dropped).
-    One repetition aggregation + per-row projections; the gates
-    short-circuit in a single CASE, no per-gate passes over the data."""
+    All gates are per-row projections (round 11, guide §2.4: the token
+    stats come from the row-local size/sorted-fold forms instead of an
+    explode → two aggregations → join — one scan, zero shuffles); the
+    gates short-circuit in a single CASE, no per-gate passes over the
+    data. The text-not-null filter reproduces the old explode's
+    implicit drop of null-text documents."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(text.tokens("text")).alias("tk"))
-    wc = toks.groupBy("doc_id", "tk").agg(F.count(F.lit(1)).alias("c"))
-    ws = wc.groupBy("doc_id").agg(
-        F.sum("c").alias("n_tokens"), F.max("c").alias("top_c")
-    )
-    alpha = d.select(
-        "doc_id",
-        F.round(
-            F.length(F.regexp_replace(F.col("text"), "[^a-z]", ""))
-            / F.length("text"),
-            4,
-        ).alias("alpha_ratio"),
-    )
-    m = ws.join(alpha, on="doc_id").select(
-        "doc_id",
-        "n_tokens",
-        "alpha_ratio",
-        F.round(F.col("top_c") / F.col("n_tokens"), 4).alias("top_word_frac"),
+    w = F.col("w")
+    m = (
+        d.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "text",
+            text.tokens("text").alias("w"),
+        )
+        .select(
+            "doc_id",
+            F.size(w).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.length(F.regexp_replace(F.col("text"), "[^a-z]", ""))
+                / F.length("text"),
+                4,
+            ).alias("alpha_ratio"),
+            F.round(
+                text.max_multiplicity(w) / F.size(w).cast("bigint"), 4
+            ).alias("top_word_frac"),
+        )
     )
     verdict = (
         F.when(F.col("n_tokens") < MIN_TOKENS, F.lit("too_short"))
@@ -386,22 +404,27 @@ def assembly_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("min_id"))
         .select("doc_id", "lang", "text")
     )
-    toks = deduped.select("doc_id", F.explode(text.tokens("text")).alias("tk"))
-    wc = (
-        toks.filter(F.col("tk") != "")
-        .groupBy("doc_id", "tk")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    ws = wc.groupBy("doc_id").agg(
-        F.sum("c").alias("n_tokens"), F.max("c").alias("top_c")
-    )
+    # Token stats row-locally (round 11, guide §2.4): n_tokens and the
+    # top multiplicity are per-document functions of the token array
+    # (non-empty tokens only, as before), so the explode → two
+    # aggregations → join back collapses into projections on the
+    # deduped frame. The old deduped⋈ws inner join dropped docs with
+    # zero non-empty tokens; the n_tokens >= MIN_TOKENS gate (10 > 0)
+    # subsumes that drop exactly.
+    wnz = F.filter(text.tokens("text"), lambda t: t != "")
     alpha = F.round(
         F.length(F.regexp_replace(F.col("text"), "[^a-z]", ""))
         / F.length("text"),
         4,
     )
     kept = (
-        deduped.join(ws, "doc_id")
+        deduped.select(
+            "doc_id",
+            "lang",
+            "text",
+            F.size(wnz).cast("bigint").alias("n_tokens"),
+            text.max_multiplicity(wnz).alias("top_c"),
+        )
         .filter(
             (F.col("n_tokens") >= MIN_TOKENS)
             & (alpha >= MIN_ALPHA_RATIO)

@@ -169,21 +169,30 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     token pair, estimate the conditional P(w2 | w1) = c(w1,w2)/c(w1),
     and return the top-k bigrams — the counting backbone of n-gram LM
     training, data-quality probes (stock-phrase detection), and
-    contamination fingerprints. Plan: explode once to (pos, token),
-    pair via a per-document lead() window, then two aggregations that
-    share the w1 key — the unigram totals reuse the bigram counts
-    (SUM over the grouped frame, no second corpus pass) and the join
-    back is on the low-cardinality w1 key. Top-k is TakeOrdered, not
-    a global sort."""
+    contamination fingerprints. Plan (round 11, guide §2.4): adjacent
+    pairs are a ROW-LOCAL zip of the token array with its shifted self
+    — the old posexplode + per-document lead() window paid a full
+    exchange+sort of the exploded token stream just to look one row
+    ahead inside data that never left its document. One scan, then two
+    aggregations that share the w1 key — the unigram totals reuse the
+    bigram counts (SUM over the grouped frame, no second corpus pass)
+    and the join back is on the low-cardinality w1 key. Top-k is
+    TakeOrdered, not a global sort."""
     d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    toks = d.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "w1"),
+    w = F.split(F.lower("text"), " ")
+    m = F.size(w) - 1
+    pairs = F.zip_with(
+        F.slice(w, 1, m),
+        F.slice(w, 2, m),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bg = toks.withColumn("w2", F.lead("w1").over(w)).filter(
-        F.col("w2").isNotNull()
-    )
+    bg = d.select(
+        F.explode(
+            F.when(F.size(w) >= 2, pairs).otherwise(
+                F.array().cast("array<struct<w1:string,w2:string>>")
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
     cnt = bg.groupBy("w1", "w2").agg(F.count("*").alias("n"))
     tot = cnt.groupBy("w1").agg(F.sum("n").alias("n1"))
     return (
@@ -226,29 +235,30 @@ PHRASE = ("table", "hash")
 )
 def text_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional phrase search ("{p0} {p1}" as an exact adjacent-token
-    match, not a substring LIKE): the two terms' POSITIONAL postings
-    join on (doc_id, pos + 1) — the classic positional-inverted-index
-    probe. The explode filters to the phrase terms before any shuffle,
-    so the join moves only the two terms' postings (stopword-bounded,
-    never corpus-bounded), and adding a third term is one more
-    position-shifted join, not a rescan. LIKE '%...%' can't do this
+    match, not a substring LIKE). Round 11 (guide §2.4): an adjacent-
+    pair match is a function of ONE document, so the whole query is a
+    row-local zip of the token array with its shifted self — count the
+    positions where (w[i], w[i+1]) equals the phrase, keep docs with a
+    hit. Zero shuffles, zero joins (the old posexplode + positional
+    self-join on (doc_id, pos+1) shuffled the two terms' postings to
+    rediscover adjacency the array already encodes). Adding a third
+    term extends the zip, not the plan. LIKE '%...%' can't do this
     correctly (it matches across token boundaries and can't rank by
     occurrence count without re-scanning)."""
     d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    toks = d.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok"),
+    w = F.split(F.lower("text"), " ")
+    m = F.size(w) - 1
+    hits = F.zip_with(
+        F.slice(w, 1, m),
+        F.slice(w, 2, m),
+        lambda a, b: (a == PHRASE[0]) & (b == PHRASE[1]),
     )
-    p1 = toks.filter(F.col("tok") == PHRASE[0]).select(
-        "doc_id", F.col("pos").alias("pos1")
-    )
-    p2 = toks.filter(F.col("tok") == PHRASE[1]).select(
-        "doc_id", (F.col("pos") - 1).alias("pos1")
-    )
+    n_occ = F.when(
+        F.size(w) >= 2, F.size(F.filter(hits, lambda x: x))
+    ).otherwise(F.lit(0))
     return (
-        p1.join(p2, on=["doc_id", "pos1"])
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        d.select("doc_id", n_occ.cast("bigint").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= 1)
     )
 
 
@@ -299,20 +309,31 @@ def docs_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     so cost is corpus-bigram-bounded, never pairwise (the naive
     formulation self-joins every doc against all earlier ones). The
     join back rides the same bigram key; score ships as integer
-    millionths via floor(x+.5) (engine-identical halfway rule)."""
+    millionths via floor(x+.5) (engine-identical halfway rule).
+
+    Round 11 (guide §2.4): the per-document DISTINCT bigram set is
+    row-local — a zip of the token array with its shifted self, then
+    array_distinct BEFORE the explode. The old posexplode + lead()
+    window + distinct paid two full exchanges of the bigram stream
+    (window sort on doc_id, distinct hash) for a dedup whose key
+    includes doc_id and so never crosses rows."""
     d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    bi = (
-        d.select(
-            "doc_id",
-            F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "w1"),
-        )
-        .withColumn(
-            "w2",
-            F.lead("w1").over(Window.partitionBy("doc_id").orderBy("pos")),
-        )
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "w1", "w2").alias("bg"))
-        .distinct()
+    w = F.split(F.lower("text"), " ")
+    m = F.size(w) - 1
+    grams = F.zip_with(
+        F.slice(w, 1, m),
+        F.slice(w, 2, m),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bi = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(F.size(w) >= 2, grams).otherwise(
+                    F.array().cast("array<string>")
+                )
+            )
+        ).alias("bg"),
     )
     first_seen = bi.groupBy("bg").agg(F.min("doc_id").alias("first_doc"))
     j = bi.join(first_seen, on="bg")

@@ -2325,43 +2325,68 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the final per-(doc, term) BM25 contribution, summed per doc and
     rounded to 6 before the (score desc, doc_id) cut.
 
-    Scale: the tf table is pre-filtered to the query terms at the
-    explode (tiny — |terms| keys), so the scoring join is a few hot
-    keys against the broadcast stats row and the per-doc length table;
-    TakeOrderedAndProject caps the output."""
+    Scale (round 11, guide §2.4): per-document length and the |terms|
+    term frequencies are row-local functions of the token array
+    (size + filtered size), so the old explode → dl/tf aggregations →
+    joins collapse into projections; only the 1-row corpus stats
+    (N, avgdl, per-term df) aggregate and return as a broadcast. One
+    pass computes the stats, one computes the scores, zero data-row
+    shuffles; TakeOrderedAndProject caps the output. Zero-tf terms
+    contribute an exact 0.0 to the fixed-order score sum (tf multiplies
+    the numerator), so the summed score equals the per-row grouped sum
+    it replaces."""
     d = load_table(spark, sf_dir, "documents")
-    toks = spread(d).select(
-        "doc_id", F.explode(text.tokens("text")).alias("token")
-    ).filter(F.col("token") != "")
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
+    wnz = F.filter(text.tokens("text"), lambda t: t != "")
+
+    # Closure factory, NOT a default-arg lambda: pyspark dispatches on
+    # lambda arity, so a two-parameter lambda would be called as the
+    # (element, index) form and the "term" slot would receive the
+    # array index column.
+    def _tf(term: str) -> F.Column:
+        return F.size(F.filter(wnz, lambda t: t == term)).cast("bigint")
+
+    base = spread(d).select(
+        "doc_id",
+        F.size(wnz).cast("bigint").alias("dl"),
+        *[
+            _tf(term).alias(f"tf_{i}")
+            for i, term in enumerate(BM25_QUERY_TERMS)
+        ],
+    ).filter(F.col("dl") > 0)
+    stats = base.agg(
         F.avg(F.col("dl").cast("double")).alias("avgdl"),
         F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+            for i in range(len(BM25_QUERY_TERMS))
+        ],
     )
-    tf = (
-        toks.filter(F.col("token").isin(*BM25_QUERY_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    contrib = (
-        F.log(
-            1
-            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+
+    def _contrib(i: int) -> F.Column:
+        return (
+            F.log(
+                1
+                + (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+                / (F.col(f"df_{i}") + 0.5)
+            )
+            * F.col(f"tf_{i}")
+            * (BM25_K1 + 1)
+            / (
+                F.col(f"tf_{i}")
+                + BM25_K1
+                * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            )
         )
-        * F.col("tf")
-        * (BM25_K1 + 1)
-        / (
-            F.col("tf")
-            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-        )
+
+    score = F.round(
+        sum(_contrib(i) for i in range(len(BM25_QUERY_TERMS))), 6
     )
     return (
-        tf.join(F.broadcast(df_), "token")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(contrib), 6).alias("score"))
+        base.crossJoin(F.broadcast(stats))
+        .filter(
+            sum(F.col(f"tf_{i}") for i in range(len(BM25_QUERY_TERMS))) > 0
+        )
+        .select("doc_id", score.alias("score"))
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(20)
     )

@@ -458,24 +458,29 @@ def web_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source"),
         F.lit(" updates"),
     )
+    # Round 11 (guide §2.4): keep each document as a token ARRAY end to
+    # end. Only the distinct (doc, bigram) stream is exploded (to count
+    # per-source document frequency); the boilerplate set comes BACK as
+    # one array per source via a broadcast join, and marking/reassembly
+    # are row-local zips. The old form exploded every token position
+    # and paid a window sort, a distinct, a positional self-join, two
+    # marking joins, and a collect_list re-assembly — ~6 exchanges of
+    # the full token stream — to compute per-position facts that never
+    # needed to leave the document.
     t = spread(d, "doc_id").select(
         "doc_id",
         "source",
-        F.posexplode(F.split(F.concat(template, F.lit(" "), F.col("text")), " "))
-        .alias("pos0", "w1"),
-    ).withColumn("pos", F.col("pos0") + 1)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    nbr = t.select(
-        "doc_id",
-        "source",
-        "pos",
-        "w1",
-        F.lead("w1").over(w).alias("w2"),
+        F.split(F.concat(template, F.lit(" "), F.col("text")), " ").alias("w"),
+    ).filter(F.col("w").isNotNull())
+    w = F.col("w")
+    m = F.size(w) - 1
+    grams = F.zip_with(
+        F.slice(w, 1, m),
+        F.slice(w, 2, m),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
-    bi = (
-        nbr.filter(F.col("w2").isNotNull())
-        .select("doc_id", "source", F.concat_ws(" ", "w1", "w2").alias("bg"))
-        .distinct()
+    bi = t.select(
+        "doc_id", "source", F.explode(F.array_distinct(grams)).alias("bg")
     )
     sdocs = bi.groupBy("source").agg(
         F.countDistinct("doc_id").alias("nd")
@@ -487,65 +492,31 @@ def web_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") >= BOILERPLATE_DF_FRAC * F.col("nd"))
         .select("source", "bg")
     )
-    # A position is covered if the bigram STARTING there or the bigram
-    # ENDING there is boilerplate: left-join each form against bp.
-    start_bg = nbr.select(
+    # One boilerplate-bigram array per source. The set is intrinsically
+    # bounded: a bigram in >= 60% of a source's docs implies
+    # |bpset| <= avg-doc-distinct-bigrams / 0.6, so both the broadcast
+    # and the per-gram linear array_contains probe stay small at any
+    # corpus size.
+    bp_sets = bp.groupBy("source").agg(F.collect_set("bg").alias("bpset"))
+    # scov[i]: the bigram STARTING at position i is boilerplate; a
+    # token is covered if the bigram starting OR ending (= starting at
+    # i-1) there is boilerplate.
+    scov = F.transform(
+        grams,
+        lambda g: F.coalesce(F.array_contains(F.col("bpset"), g), F.lit(False)),
+    )
+    cov = F.zip_with(
+        F.concat(scov, F.array(F.lit(False))),
+        F.concat(F.array(F.lit(False)), scov),
+        lambda a, b: a | b,
+    )
+    return t.join(F.broadcast(bp_sets), on="source", how="left").select(
         "doc_id",
-        "source",
-        "pos",
-        "w1",
-        F.when(
-            F.col("w2").isNotNull(), F.concat_ws(" ", "w1", "w2")
-        ).alias("bg_start"),
-    )
-    prev = nbr.filter(F.col("w2").isNotNull()).select(
-        "doc_id",
-        F.col("source").alias("_s2"),
-        (F.col("pos") + 1).alias("pos"),
-        F.concat_ws(" ", "w1", "w2").alias("bg_end"),
-    )
-    bp_s = bp.select(F.col("source").alias("_bs"), F.col("bg").alias("_bg_s"))
-    bp_e = bp.select(F.col("source").alias("_be"), F.col("bg").alias("_bg_e"))
-    marked = (
-        start_bg.join(prev.select("doc_id", "pos", "_s2", "bg_end"), on=["doc_id", "pos"], how="left")
-        .join(
-            bp_s,
-            (F.col("source") == F.col("_bs")) & (F.col("bg_start") == F.col("_bg_s")),
-            how="left",
-        )
-        .join(
-            bp_e,
-            (F.col("source") == F.col("_be")) & (F.col("bg_end") == F.col("_bg_e")),
-            how="left",
-        )
-        .select(
-            "doc_id",
-            "pos",
-            "w1",
-            (F.col("_bg_s").isNotNull() | F.col("_bg_e").isNotNull()).alias(
-                "covered"
-            ),
-        )
-    )
-    kept = F.array_join(
-        F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.when(
-                        ~F.col("covered"), F.struct(F.col("pos"), F.col("w1"))
-                    )
-                )
-            ),
-            lambda s: s["w1"],
-        ),
-        " ",
-    )
-    return marked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-        F.sum(F.when(F.col("covered"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_removed"),
-        kept.alias("clean_text"),
+        F.size(w).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(cov, lambda x: x)).cast("bigint").alias("n_removed"),
+        F.array_join(
+            F.zip_with(w, cov, lambda tk, c: F.when(~c, tk)), " "
+        ).alias("clean_text"),
     )
 
 
