@@ -58,12 +58,25 @@ def shingles(text_col: str, k: int = 3) -> F.Column:
     """Word k-gram shingles of a whitespace-tokenized text column.
 
     Documents shorter than k tokens contribute their full token string
-    as a single shingle (so they still get a signature)."""
+    as a single shingle (so they still get a signature).
+
+    Built by zip_with over k shifted slices of the token array, NOT
+    transform over indices: expressions referenced inside a
+    higher-order-function lambda are re-evaluated on every lambda
+    invocation, so the old `element_at(w, i + j + 1)` form re-split
+    the text k times per shingle — O(len²·k) per document. Each slice
+    evaluates the array once and the zip lambda touches only lambda
+    variables, so this form is O(len·k) (same fix as
+    operators/text.py::word_ngrams, round 11)."""
     w = F.split(F.col(text_col), " ")
-    ngrams = F.transform(
-        F.sequence(F.lit(0), F.size(w) - k),
-        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(k)]),
-    )
+    m = F.size(w) - (k - 1)
+    ngrams = F.slice(w, 1, m)
+    for j in range(1, k):
+        ngrams = F.zip_with(
+            ngrams,
+            F.slice(w, 1 + j, m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     return F.when(F.size(w) >= k, ngrams).otherwise(F.array(F.col(text_col)))
 
 

@@ -191,35 +191,56 @@ def language_id(
 
     Scale posture (VERDICT r6 #3): the (lang, tok) profile is
     corpus-trained, so on an open-web corpus its vocabulary is NOT
-    broadcast-sized. One 1-row probe aggregate computes BOTH the
-    profile row count and the vocabulary size (folding the former
-    separate distinct-count job); the profile joins via broadcast only
-    when it fits under ``broadcast_max_profile_rows``, else the same
-    join runs as an ordinary shuffle equi-join on ``tok`` — identical
-    results either way (gate = physical strategy only, mirroring the
-    Jaccard hub-cap skew probe pattern in plans/llm.py)."""
-    toks = spread(docs).select(
-        F.col(id_col), F.col(label_col), F.explode(tokens(text_col)).alias("tok")
-    ).filter(F.col("tok") != "")
-    stats = toks.agg(
-        F.count_distinct(F.col(label_col), F.col("tok")).alias("profile_rows"),
+    broadcast-sized. The profile joins via broadcast only when it fits
+    under ``broadcast_max_profile_rows``, else the same join runs as
+    an ordinary shuffle equi-join on ``tok`` — identical results
+    either way (gate = physical strategy only, mirroring the Jaccard
+    hub-cap skew probe pattern in plans/llm.py).
+
+    Round 11 (guide §2.4/§2.5): the corpus token stream is exploded
+    exactly ONCE — into the persisted (lang, tok, count) profile. The
+    probe (profile rows + vocab), the per-language totals
+    (Σ count ≡ the old per-token count), and the smoothed
+    log-likelihoods are all tiny jobs over that profile; the old form
+    re-exploded the corpus for each (probe with two distinct aggs,
+    lang totals, profile, per-doc counts — 4 extra full passes). The
+    per-document token count is ROW-LOCAL (size of the filtered token
+    array — per-document stats never leave the row); only ``seen``
+    still walks the token stream, because it must join tokens against
+    the profile."""
+    tok_arr = F.filter(tokens(text_col), lambda t: t != "")
+    profile_cnt = (
+        spread(docs)
+        .select(
+            F.col(label_col), F.explode(tokens(text_col)).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy(label_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tok_n"))
+        .persist()
+    )
+    stats = profile_cnt.agg(
+        F.count(F.lit(1)).alias("profile_rows"),
         F.count_distinct(F.col("tok")).alias("vocab"),
     ).collect()[0]
     vocab_size = stats["vocab"]
     profile_fits = stats["profile_rows"] <= broadcast_max_profile_rows
-    lang_totals = toks.groupBy(label_col).agg(F.count(F.lit(1)).alias("lang_n"))
-    profile = (
-        toks.groupBy(label_col, "tok")
-        .agg(F.count(F.lit(1)).alias("tok_n"))
-        .select(
-            F.col(label_col).alias("cand_lang"),
-            "tok",
-            F.log(F.col("tok_n") + 1).alias("lnum"),
-        )
+    lang_totals = profile_cnt.groupBy(label_col).agg(
+        F.sum("tok_n").alias("lang_n")
     )
-    doc_n = toks.groupBy(id_col, F.col(label_col).alias("true_lang")).agg(
-        F.count(F.lit(1)).alias("n_d")
+    profile = profile_cnt.select(
+        F.col(label_col).alias("cand_lang"),
+        "tok",
+        F.log(F.col("tok_n") + 1).alias("lnum"),
     )
+    toks = spread(docs).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).filter(F.col("tok") != "")
+    doc_n = docs.select(
+        F.col(id_col),
+        F.col(label_col).alias("true_lang"),
+        F.size(tok_arr).cast("bigint").alias("n_d"),
+    ).filter(F.col("n_d") >= 1)
     seen = (
         toks.select(id_col, "tok")
         .join(F.broadcast(profile) if profile_fits else profile, on="tok")
