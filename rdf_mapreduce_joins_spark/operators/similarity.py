@@ -194,10 +194,14 @@ def ivf_build_index(
     # The store always carries the id as `vec_id` — the probes
     # (ivf_topk_indexed) are builder-agnostic and read that name; a
     # caller-named id column used to crash the probe (round-4 review).
+    # Cast once, then assign references the column (ivf_train's
+    # CollapseProject note).
     assigned = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        dbl.alias("v"),
-        _assign_expr(dbl, centroids).alias("cid"),
+        F.col(id_col).alias("vec_id"), dbl.alias("v")
+    ).select(
+        "vec_id",
+        "v",
+        _assign_expr(F.col("v"), centroids).alias("cid"),
     )
     assigned.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/vectors")
     cent_df = spark.createDataFrame(
@@ -449,11 +453,13 @@ def knn_join_ivf(
         round_digits=train_round_digits,
     )
     bdbl = as_double_array(vec_col)
-    assigned = base.select(
+    # Cast once, then norm/assign reference the column (ivf_train's
+    # CollapseProject note).
+    assigned = base.select(F.col(id_col), bdbl.alias("_bv")).select(
         F.col(id_col),
-        bdbl.alias("_bv"),
-        l2_norm(bdbl).alias("_bn"),
-        _assign_expr(bdbl, centroids).alias("_cid"),
+        F.col("_bv"),
+        l2_norm(F.col("_bv")).alias("_bn"),
+        _assign_expr(F.col("_bv"), centroids).alias("_cid"),
     )
     qdbl = as_double_array(q_vec_col)
     probes = queries.select(
@@ -533,9 +539,17 @@ def ivf_train(
     # Lloyd loop must iterate over the ACTUAL count or the rebuild
     # list below KeyErrors on the phantom ids (round-4 review).
     k_eff = len(centroids)
+    # The float->double cast array is projected to a real column BEFORE
+    # the assign expression references it k times: a non-cheap alias
+    # referenced more than once is not inlined by CollapseProject, so
+    # the cast runs once per row instead of once per centroid (round
+    # 11 — the same repeated-subexpression class as the word_ngrams
+    # lambda trap; the HOF evaluator does no subexpression
+    # elimination).
+    vecs = embeddings.select(dbl.alias("v"))
     for _ in range(n_iter):
-        assigned = embeddings.select(
-            _assign_expr(dbl, centroids).alias("cid"), dbl.alias("v")
+        assigned = vecs.select(
+            _assign_expr(F.col("v"), centroids).alias("cid"), "v"
         )
         mean_col = F.avg("x")
         if round_digits is not None:
@@ -630,11 +644,20 @@ def semantic_prune(
         round_digits=train_round_digits,
     )
     dbl = as_double_array(vec_col)
-    assigned = embeddings.select(
-        F.col(id_col),
-        dbl.alias("_v"),
-        l2_norm(dbl).alias("_n"),
-        _assign_expr(dbl, centroids).alias("cid"),
+    # Two-stage projection (cast once, then norm + assign reference the
+    # column — see ivf_train), and persist: the assign expression is
+    # the expensive per-row term and this frame feeds BOTH self-join
+    # sides and the final keep projection — without the persist it is
+    # evaluated three times (round 11, guide §2.4).
+    assigned = (
+        embeddings.select(F.col(id_col), dbl.alias("_v"))
+        .select(
+            F.col(id_col),
+            F.col("_v"),
+            l2_norm(F.col("_v")).alias("_n"),
+            _assign_expr(F.col("_v"), centroids).alias("cid"),
+        )
+        .persist()
     )
     a = assigned.select(
         F.col(id_col).alias("_ida"),
@@ -652,11 +675,13 @@ def semantic_prune(
         cosine_prenormed(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")),
         round_digits,
     )
+    # No distinct on the drop set: LEFT ANTI is set-semantics on the
+    # probe side already, so deduping first only adds an exchange +
+    # two hash aggregates ahead of the anti join's own shuffle.
     dropped = (
         a.join(b, on="cid")
         .filter(F.col("_ida") < F.col("_idb"))
         .filter(sim >= threshold)
         .select(F.col("_idb").alias(id_col))
-        .distinct()
     )
     return assigned.select(id_col, "cid").join(dropped, on=id_col, how="left_anti")

@@ -2211,8 +2211,11 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_double_array,
     )
 
-    assigned = e.select(
-        _assign_expr(as_double_array("embedding"), cents).alias("cid")
+    # Cast once, then assign references the column (see ivf_train's
+    # CollapseProject note) — the old inline form re-cast the vector
+    # once per centroid.
+    assigned = e.select(as_double_array("embedding").alias("_v")).select(
+        _assign_expr(F.col("_v"), cents).alias("cid")
     )
     return assigned.groupBy("cid").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vectors")
