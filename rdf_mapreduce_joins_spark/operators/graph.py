@@ -125,7 +125,7 @@ def pagerank(
     bit-identical ranks — which is what makes a cross-engine SQL
     oracle (rdf_pagerank's 10 unrolled rounds in DuckDB) hash-match
     instead of drifting in the last ulps."""
-    adj, nodes = _pagerank_setup(edges, src, dst)
+    adj, nodes, e = _pagerank_setup(edges, src, dst)
     # Initial ranks are CHECKPOINTED before the first round: the nodes
     # frame shares lineage (attribute ids) with the cached adjacency,
     # and joining two frames with colliding ids makes the analyzer's
@@ -157,22 +157,36 @@ def pagerank(
             )
         ranks = nxt.localCheckpoint()
     adj.unpersist()
+    e.unpersist()
     return ranks.drop("is_dangling")
 
 
 def _pagerank_setup(
     edges: DataFrame, src: str = "src", dst: str = "dst"
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Loop-invariant PageRank state: the degree-weighted adjacency
-    (hash-partitioned on ``node`` and PERSISTED) and the un-persisted
-    node frame with dangling flags (used once, to seed ranks) — split
-    out so the plan gate can build one iteration over exactly the
-    frames the real loop uses."""
+    (hash-partitioned on ``node`` and PERSISTED), the un-persisted
+    node frame with dangling flags (used once, to seed ranks), and the
+    PERSISTED deduped edge set ``e`` the adjacency derives from (the
+    caller unpersists it once the loop has materialized the adjacency)
+    — split out so the plan gate can build one iteration over exactly
+    the frames the real loop uses."""
+    # ONE exchange builds the deduped edge set, already partitioned on
+    # the join key (round 11): hash(src) satisfies the (src, dst)
+    # dedup's ClusteredDistribution, so the explicit repartition feeds
+    # dropDuplicates with no second exchange — and every setup consumer
+    # below (out-degree aggregation, the degree join, the adjacency
+    # partitioning) is keyed on src, so NONE of them exchanges the
+    # O(|E|) stream again. The old shape paid distinct's exchange +
+    # a checkpoint materialization + the out_deg/join/repartition
+    # exchanges for the same cached adjacency.
+    n_part = _target_partitions(edges.sparkSession)
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
-        .localCheckpoint()
+        .repartition(n_part, "src")
+        .dropDuplicates(["src", "dst"])
+        .persist()
     )
     # Loop-invariant hoisting — the expensive insight of the scalable
     # formulation: the out-degree join and the dangling-node membership
@@ -196,15 +210,18 @@ def _pagerank_setup(
     # 200 shuffle partitions, which on a small executor pool just adds
     # per-round task overhead; on a real cluster defaultParallelism is
     # the larger number and the shuffle-partition conf wins.
-    n_part = _target_partitions(edges.sparkSession)
+    # No repartition here (round 11): e is cached hash(src)-partitioned
+    # and out_deg aggregates over it exchange-free, so the degree join
+    # is co-partitioned on src and its output already carries the
+    # hash(node) partitioning the per-round rank join needs — the
+    # persist records it.
     adj = (
-        e.join(out_deg, "src")
+        e.join(out_deg.hint("shuffle_hash"), "src")
         .select(
             F.col("src").alias("node"),
             "dst",
             (F.lit(1.0) / F.col("out_deg")).alias("w"),
         )
-        .repartition(n_part, "node")
         .persist()
     )
     nodes = (
@@ -224,7 +241,7 @@ def _pagerank_setup(
         )
         .repartition(n_part, "node")
     )
-    return adj, nodes
+    return adj, nodes, e
 
 
 def _pagerank_iteration(
@@ -404,20 +421,21 @@ def shortest_hops(
     unlike PageRank the result is fully deterministic and
     oracle-checkable."""
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    # Hash-partition the loop-invariant adjacency on the JOIN key "a"
-    # before persisting (the pagerank adjacency-cache lesson): the
-    # distinct's output is partitioned on (a, b), which does NOT
-    # satisfy the per-round join's hash(a) requirement, so without the
-    # repartition the O(|E|) cached side was re-exchanged EVERY round.
-    # One extra O(|E|) setup shuffle buys zero adjacency movement
-    # across all O(diameter) rounds; only the frontier shuffles.
+    # The loop-invariant adjacency is hash-partitioned on the JOIN key
+    # "a" before the persist (the pagerank adjacency-cache lesson), so
+    # the O(|E|) cached side never re-exchanges across the O(diameter)
+    # rounds — only the frontier shuffles.
+    # ONE exchange (round 11): hash(a) satisfies the (a, b) dedup's
+    # ClusteredDistribution, so dropDuplicates after the explicit
+    # repartition on the join key adds no exchange — the old
+    # `.distinct().repartition(a)` paid two for the same cached frame.
     adj = (
         sym.unionByName(
             sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
         .filter(F.col("a") != F.col("b"))
-        .distinct()
         .repartition(_target_partitions(edges.sparkSession), "a")
+        .dropDuplicates(["a", "b"])
         .persist()
     )
     # Seed the frontier from a literal (source, 0) row, NOT by
@@ -509,17 +527,20 @@ def weighted_sssp(
             e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
         )
     # Parallel edges collapse to their cheapest copy once up front —
-    # relaxation only ever uses the min weight per (a, b). The result
-    # is hash-partitioned on the relaxation join key "a" before the
-    # persist (the pagerank adjacency-cache lesson): the groupBy's
-    # (a, b) partitioning does not satisfy the per-round hash(a)
-    # requirement, so the cached O(|E|) side was re-exchanged every
-    # round; one extra setup shuffle removes all of them.
+    # relaxation only ever uses the min weight per (a, b) — and the
+    # cache is hash-partitioned on the relaxation join key "a" (the
+    # pagerank adjacency-cache lesson), so the O(|E|) side never
+    # re-exchanges across rounds.
+    # ONE exchange (round 11): hash(a) satisfies the (a, b) min-agg's
+    # ClusteredDistribution, so the groupBy after the explicit
+    # repartition on the relaxation key adds no exchange — the old
+    # `.groupBy(a, b).agg().repartition(a)` paid two for the same
+    # cached frame.
     adj = (
         e.filter(F.col("a") != F.col("b"))
+        .repartition(_target_partitions(edges.sparkSession), "a")
         .groupBy("a", "b")
         .agg(F.min("w").alias("w"))
-        .repartition(_target_partitions(edges.sparkSession), "a")
         .persist()
     )
     node_type = adj.schema["a"].dataType
@@ -656,21 +677,36 @@ def hits(
     the loop-carried plan O(1)."""
     if n_iter < 1:
         raise ValueError("hits needs n_iter >= 1")
-    e = (
+    # The union scan materializes ONCE (raw, pre-dedup — FK subjects
+    # are unique per base row so raw multiplicity is ~1); each
+    # adjacency then dedups INSIDE its own partitioning exchange
+    # (round 11): hash(src) — resp. hash(dst) — satisfies the
+    # (src, dst) dedup's ClusteredDistribution, so dropDuplicates
+    # after the explicit repartition adds no exchange. The old shape
+    # paid distinct's own O(|E|) exchange before the two repartitions.
+    raw = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
         .localCheckpoint()
     )
     n_part = _target_partitions(edges.sparkSession)
-    adj_s = e.repartition(n_part, "src").persist()
-    adj_d = e.repartition(n_part, "dst").persist()
-    # One-pass node universe (explode, not union-of-two-scans), then
-    # checkpoint: the frame seeds BOTH score columns and anchors every
-    # left join, and a fresh-id leaf avoids the analyzer relation-dedup
-    # cache miss described in ``pagerank``.
+    adj_s = (
+        raw.repartition(n_part, "src")
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+    adj_d = (
+        raw.repartition(n_part, "dst")
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+    # One-pass node universe (explode over the cached src-adjacency,
+    # not a third pass over the raw edges), then checkpoint: the frame
+    # seeds BOTH score columns and anchors every left join, and a
+    # fresh-id leaf avoids the analyzer relation-dedup cache miss
+    # described in ``pagerank``.
     nodes = (
-        e.select(F.explode(F.array("src", "dst")).alias("node"))
+        adj_s.select(F.explode(F.array("src", "dst")).alias("node"))
         .distinct()
         .repartition(n_part, "node")
         .localCheckpoint()
@@ -777,6 +813,13 @@ def label_propagation(
     # One pass over the input builds both directions (explode of a
     # 2-struct array), instead of two unioned scans of the edge
     # source — the input subtree (scans + hashing) runs once.
+    # ONE exchange builds the deduped, partitioned edge cache (round
+    # 11): hash(a) satisfies the (a, b) dedup's ClusteredDistribution
+    # (rows equal on (a, b) are equal on a, hence co-located), so the
+    # explicit repartition on the voting endpoint feeds dropDuplicates
+    # WITHOUT a second exchange — the old `.distinct().repartition(a)`
+    # paid exchange(a, b) + HashAggregate + exchange(a) for the same
+    # cached frame.
     und = (
         edges.select(
             F.explode(
@@ -788,8 +831,8 @@ def label_propagation(
         )
         .select("e.a", "e.b")
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .distinct()
         .repartition(_target_partitions(edges.sparkSession), "a")
+        .dropDuplicates(["a", "b"])
         .persist()
     )
     # Round 1 in closed form: labels start as identity, und is

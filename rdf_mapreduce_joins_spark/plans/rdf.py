@@ -1699,7 +1699,15 @@ def rdf_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = dfs[0]
     for d in dfs[1:]:
         edges = edges.unionByName(d)
-    edges = edges.distinct()
+    # No edge-level distinct here (round 11): label_propagation dedups
+    # its undirected edge cache anyway (one exchange, see
+    # operators/graph.py), and the decode dictionary below dedups the
+    # exploded IRIs — the string-PAIR distinct this replaced was a
+    # third full exchange of IRI text for an already-covered dedup.
+    # (FK subjects are unique per base row, so raw multiplicity is ~1;
+    # an md5-60bit collision between two raw duplicates would collapse
+    # identically with or without the pre-distinct, since the hash is
+    # applied per row either way.)
     eh = edges.select(
         base_hash60("subject", family="md5").alias("hs"),
         base_hash60("object", family="md5").alias("hd"),

@@ -349,7 +349,7 @@ def test_pagerank_iteration_adjacency_never_reshuffles(spark):
         edges = spark.range(20_000).selectExpr(
             "cast(id % 997 as int) AS src", "cast((id * 31 + 7) % 997 as int) AS dst"
         )
-        adj, nodes = G._pagerank_setup(edges)
+        adj, nodes, e_cached = G._pagerank_setup(edges)
         try:
             ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint()
             it = G._pagerank_iteration(ranks, adj, ranks.count(), 0.85)
@@ -371,6 +371,7 @@ def test_pagerank_iteration_adjacency_never_reshuffles(spark):
             assert names.count("SortMergeJoinExec") == 2, names
         finally:
             adj.unpersist()
+            e_cached.unpersist()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
