@@ -416,26 +416,35 @@ def connected_components(
         .localCheckpoint()
     )
     for _ in range(max_iter):
-        nb_min = (
-            edges.join(
-                labels.select(
-                    F.col("node").alias("b"), F.col("component").alias("nb_comp")
-                ),
-                on="b",
-            )
-            .groupBy("a")
-            .agg(F.min("nb_comp").alias("min_nb"))
-            .withColumnRenamed("a", "node")
-        )
-        new_comp = F.least(
-            F.col("component"), F.coalesce("min_nb", F.col("component"))
+        # One aggregation merges the neighbor-min AND the node's own
+        # label (round 11): the self rows ride the same exchange as
+        # the neighbor stream instead of a second labels⋈nb_min LEFT
+        # join — per round that drops two exchanges (the O(|V|)
+        # labels re-exchange into the merge join and the nb_min side)
+        # and their sorts. `old` (min over the single self row per
+        # node) recovers the previous label for the rode-along
+        # convergence flag; min(new) == min(old, neighbor mins) is
+        # the identical recurrence.
+        nb = edges.join(
+            labels.select(
+                F.col("node").alias("b"), F.col("component").alias("cand")
+            ),
+            on="b",
+        ).select(F.col("a").alias("node"), "cand", F.lit(False).alias("self"))
+        own = labels.select(
+            "node", F.col("component").alias("cand"), F.lit(True).alias("self")
         )
         new_labels = (
-            labels.join(nb_min, on="node", how="left")
+            nb.unionByName(own)
+            .groupBy("node")
+            .agg(
+                F.min("cand").alias("component"),
+                F.min(F.when(F.col("self"), F.col("cand"))).alias("_old"),
+            )
             .select(
                 "node",
-                new_comp.alias("component"),
-                (new_comp < F.col("component")).alias("chg"),
+                "component",
+                (F.col("component") < F.col("_old")).alias("chg"),
             )
             .localCheckpoint()
         )
