@@ -83,7 +83,15 @@ def degrees(
 ) -> DataFrame:
     """Per-node in/out degree over a directed edge relation: one
     union + one hash aggregation (partial+final), no joins. Nodes
-    appearing only as source have in_deg 0 and vice versa."""
+    appearing only as source have in_deg 0 and vice versa.
+
+    NEGATIVE RESULT (round 11, alternating same-session A/B at sf0.1,
+    min-of-4): a one-pass explode-both-endpoints form measured 4.00 s
+    vs 3.81 s for this two-scan union — and the union is NOT 2x I/O:
+    column pruning makes the two scans read DISJOINT single columns
+    (src here, dst there), so total bytes are identical and the
+    explode's per-row struct allocation is pure overhead. Don't
+    re-try without re-measuring."""
     out_ = edges.select(F.col(src).alias("node")).withColumn("is_out", F.lit(1))
     in_ = edges.select(F.col(dst).alias("node")).withColumn("is_out", F.lit(0))
     return (

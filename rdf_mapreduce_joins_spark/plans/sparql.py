@@ -1399,14 +1399,24 @@ def _execute_describe(
 
     tri = _triples_view(spark, sf_dir)
     consts = [t for t in q.describe_terms if not t.startswith("?")]
+    if not q.select:
+        # Constants only (the common DESCRIBE <iri> form): ONE pass
+        # over the triples view with a literal subject-or-object
+        # predicate, pushed by Catalyst through the branch Union —
+        # the general path below scanned (and string-rendered) the
+        # whole view TWICE and paid two broadcast semi-joins for a
+        # node set that is a query-text literal (round 11; same
+        # result set, the OR filter is exactly the semi-join
+        # disjunction the two joins computed).
+        cond = F.col("subject").isin(consts) | F.col("object").isin(consts)
+        return tri.filter(cond).distinct()
     nodes: DataFrame | None = None
     if consts:
         nodes = spark.createDataFrame([(c,) for c in consts], "v string")
-    if q.select:
-        sol = _compile_group(spark, sf_dir, q, q.where)
-        for v in q.select:
-            nd = sol.select(F.col(v[1:]).alias("v"))
-            nodes = nd if nodes is None else nodes.unionByName(nd)
+    sol = _compile_group(spark, sf_dir, q, q.where)
+    for v in q.select:
+        nd = sol.select(F.col(v[1:]).alias("v"))
+        nodes = nd if nodes is None else nodes.unionByName(nd)
     assert nodes is not None
     nodes = nodes.distinct()
     subj = tri.join(nodes, tri["subject"] == nodes["v"], "leftsemi")
