@@ -402,22 +402,39 @@ def knn_join_brute(
     )
 
 
-def _probe_expr(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
-    """array<int> of the ``nprobe`` nearest centroid ids (squared L2,
-    lowest-id tiebreak via struct ordering)."""
-    entries = F.array(
+def _centroid_dist_entries(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<struct<dist, cid>> of squared-L2 distances to every
+    centroid — built as ONE constant-folded array-of-structs literal
+    iterated by a transform lambda, not per-centroid unrolled
+    expressions (round 11): the unrolled form carried ~k x d x 5
+    expression nodes that the analyzer/optimizer re-walked on every
+    Lloyd round (fresh literals each round defeat any caching), which
+    dominated the whole IVF family at fixture scale. The lambda runs
+    the IDENTICAL per-row float op sequence (zip order, left-to-right
+    aggregate), so distances — and every tiebreak — are bit-equal."""
+    arr = F.array(
         *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(vec, lit_vector(c), lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("dist"),
-                F.lit(cid).alias("cid"),
-            )
+            F.struct(F.lit(cid).alias("cid"), lit_vector(c).alias("c"))
             for cid, c in enumerate(centroids)
         ]
     )
+    return F.transform(
+        arr,
+        lambda ce: F.struct(
+            F.aggregate(
+                F.zip_with(vec, ce["c"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            ce["cid"].alias("cid"),
+        ),
+    )
+
+
+def _probe_expr(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
+    """array<int> of the ``nprobe`` nearest centroid ids (squared L2,
+    lowest-id tiebreak via struct ordering)."""
+    entries = _centroid_dist_entries(vec, centroids)
     return F.transform(
         F.slice(F.sort_array(entries), 1, nprobe), lambda e: e["cid"]
     )
@@ -488,21 +505,11 @@ def knn_join_ivf(
 def _assign_expr(vec: Column, centroids: list[list[float]]) -> Column:
     """Cluster id of the nearest centroid (squared L2; ties -> lowest
     id). One JVM expression: array of (dist, cid) structs -> array_min
-    uses struct ordering, so the tiebreak is built in."""
-    entries = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(vec, lit_vector(c), lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("dist"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, c in enumerate(centroids)
-        ]
-    )
-    return F.array_min(entries)["cid"]
+    uses struct ordering, so the tiebreak is built in. Entries come
+    from the shared constant-folded transform (_centroid_dist_entries)
+    rather than per-centroid unrolled expressions — same floats,
+    ~k x smaller expression tree."""
+    return F.array_min(_centroid_dist_entries(vec, centroids))["cid"]
 
 
 def ivf_train(

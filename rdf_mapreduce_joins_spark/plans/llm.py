@@ -317,7 +317,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     family (bit votes from digest nibbles — _simhash_oracle_sql);
     the xxhash64 default family keeps its Python value reference."""
     d = load_table(spark, sf_dir, "documents")
-    sigs = dedup.simhash_signatures(d, hash_family="md5")
+    # Materialize the signatures once (round 11): simhash_pairs
+    # consumes them THREE ways (band buckets, s1 re-join, s2 re-join)
+    # and — unlike the minhash family, whose canonical-subtree
+    # exchange reuse is plan-gated — the token explode + 64-sum
+    # aggregation here re-ran per consumer (plan showed 8 document
+    # scans, 10 HashAggregates, 0 ReusedExchange). EAGER checkpoint:
+    # all three consumers share ONE action, and a lazy checkpoint
+    # only materializes per-branch inside that action (measured 2x
+    # WORSE); the eager one computes the O(docs × 4 ints) frame once.
+    sigs = dedup.simhash_signatures(d, hash_family="md5").localCheckpoint()
     return dedup.simhash_pairs(sigs, max_hamming=SIMHASH_MAX_HAMMING)
 
 
