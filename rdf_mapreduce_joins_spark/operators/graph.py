@@ -271,8 +271,13 @@ def _pagerank_iteration(
     (it carries every node + is_dangling by construction) — using the
     cached nodes frame here instead would re-introduce the
     lineage-collision cache miss described in ``pagerank``."""
+    # Both round joins are hash joins on the O(|V|) side (round 11,
+    # guide §3.1): an SMJ here re-SORTS the cached O(|E|) adjacency on
+    # EVERY round — the one cost the partitioned cache was built to
+    # avoid — while a shuffled-hash build of the ranks side is O(|V|)
+    # per partition and leaves the adjacency streamed in cache order.
     contribs = (
-        ranks.join(adj, "node")
+        ranks.hint("shuffle_hash").join(adj, "node")
         .select(
             F.col("dst").alias("node"),
             (F.col("rank") * F.col("w")).alias("contrib"),
@@ -286,7 +291,7 @@ def _pagerank_iteration(
     )
     return (
         ranks.select("node", "is_dangling")
-        .join(contribs, "node", "left")
+        .join(contribs.hint("shuffle_hash"), "node", "left")
         .crossJoin(F.broadcast(dangling))
         .select(
             "node",
@@ -745,8 +750,11 @@ def hits(
         # half-round (6 of each at n_iter=3); the normalized projection
         # is now shuffle-free (checkpointed raw + 1-row broadcast), so
         # no separate checkpoint is needed to keep the plan O(1).
+        # Hash-join the O(|V|) score frame (round 11, guide §3.1): an
+        # SMJ would re-sort the cached O(|E|) adjacency every
+        # half-round.
         raw = (
-            adj.join(scores, adj[join_key] == scores["node"])
+            adj.join(scores.hint("shuffle_hash"), adj[join_key] == scores["node"])
             .groupBy(adj[group_key].alias("node"))
             .agg(F.sum(score_col).alias("v"))
             .localCheckpoint()
@@ -855,6 +863,13 @@ def label_propagation(
         .localCheckpoint()
     )
     for _ in range(n_iter - 1):
+        # No join-strategy hint here (round 11 NEGATIVE RESULT): a
+        # shuffle_hash hint on the labels side — the pagerank/HITS
+        # round treatment — measured 8.8 → 13.7 s at sf0.1. AQE was
+        # already broadcasting the borderline-10MB labels frame
+        # (zero exchange either side); the hint forced the exchange
+        # back in. AQE's runtime size check IS the scale-adaptive
+        # choice: broadcast while labels fit, sort-merge/hash beyond.
         votes = (
             und.join(labels, und["a"] == labels["node"])
             .groupBy(und["b"].alias("node"), "lbl")

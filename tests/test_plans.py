@@ -366,9 +366,13 @@ def test_pagerank_iteration_adjacency_never_reshuffles(spark):
             n_shuffles = names.count("ShuffleExchangeExec")
             assert n_shuffles == 2, f"expected 2 exchanges/round, got {n_shuffles}: {names}"
             # No joins/aggregations besides the three the round needs
-            # (contrib SMJ, universe SMJ, partial+final sums x2): a
-            # recomputed adjacency would add its own join + agg.
-            assert names.count("SortMergeJoinExec") == 2, names
+            # (contrib join, universe join, partial+final sums x2): a
+            # recomputed adjacency would add its own join + agg. Both
+            # round joins are SHUFFLED-HASH since round 11 (the O(|V|)
+            # side is the build) — a sort-merge here re-sorted the
+            # cached O(|E|) adjacency every round.
+            assert names.count("ShuffledHashJoinExec") == 2, names
+            assert names.count("SortMergeJoinExec") == 0, names
         finally:
             adj.unpersist()
             e_cached.unpersist()
