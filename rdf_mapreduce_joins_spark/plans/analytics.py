@@ -1440,10 +1440,18 @@ def basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     id with a frequency cap — identical shape."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # The incidence dedup exchange is KEYED ON THE BASKET ID (round
+    # 11): hash(l_orderkey) satisfies the (order, brand) dedup's
+    # ClusteredDistribution, and it is exactly the distribution the
+    # pair self-join needs — both join sides then read the same
+    # reused exchange co-partitioned, instead of re-exchanging the
+    # incidence twice. The old `.distinct()` partitioned on the pair,
+    # which no downstream consumer could reuse.
     ob = (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .select("l_orderkey", "p_brand")
-        .distinct()
+        .repartition("l_orderkey")
+        .dropDuplicates(["l_orderkey", "p_brand"])
     )
     nb = ob.groupBy("p_brand").agg(F.count("*").alias("n"))
     total = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))

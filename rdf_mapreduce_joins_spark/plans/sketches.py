@@ -458,17 +458,21 @@ def agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-period bottom-k summary tables without ever rescanning raw
     data."""
     o = load_table(spark, sf_dir, "orders")
-    hx = (
-        spread(o)
-        .select(
-            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
-            .cast("int")
-            .alias("mon_n"),
-            hashing.base_hash60(F.col("o_custkey").cast("string"), "md5").alias(
-                "h"
-            ),
-        )
-        .distinct()
+    # No pre-distinct on (mon_n, h) and ONE exchange for the whole
+    # membership pipeline (round 11): the members aggregation's MAX
+    # flags already dedup per (pair_mon, h), so the distinct was a
+    # redundant exchange — and hash(pair_mon) satisfies the
+    # ClusteredDistribution of the (pair_mon, h) aggregation, the
+    # top-k window AND the final stats aggregation, so one explicit
+    # repartition on pair_mon (no fixed count — AQE sizes it) replaces
+    # the agg + window exchanges the old chain paid on top.
+    hx = spread(o).select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("mon_n"),
+        hashing.base_hash60(F.col("o_custkey").cast("string"), "md5").alias(
+            "h"
+        ),
     )
     months = hx.select("mon_n").distinct()
     prev = months.select((F.col("mon_n") + 1).alias("mon_n"))
@@ -490,6 +494,7 @@ def agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     members = (
         contrib.join(F.broadcast(pairs), "pair_mon")
+        .repartition("pair_mon")
         .groupBy("pair_mon", "h")
         .agg(F.max("is_cur").alias("in_cur"), F.max("is_prev").alias("in_prev"))
     )
