@@ -1073,43 +1073,61 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both counts — the FK check must stay correct even when the PK
     # uniqueness constraint beside it is the one being violated
     # (round-5 advice).
+    # Each fact table is scanned ONCE for all its checks (round 11):
+    # the FK left join preserves row multiplicity (the key projection
+    # is distinct), so the PK-uniqueness / value-range aggregates ride
+    # the same pass as the FK conditional count — their inputs are
+    # bit-identical to a separate plain scan. The 1-row multi-column
+    # aggregate then explodes into its per-constraint rows (a struct
+    # array, no second pass). The old shape re-scanned orders and
+    # lineitem once per check.
+    def rows(agg, *named):
+        return agg.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("constraint_name"),
+                            F.col(v).cast("bigint").alias("n_violations"),
+                            F.col("n").cast("bigint").alias("n_checked"),
+                        )
+                        for name, v in named
+                    ]
+                )
+            ).alias("r")
+        ).select("r.*")
+
     c_keys = c.select(
         F.col("c_custkey").alias("o_custkey"), F.lit(1).alias("__hit")
     ).distinct()
-    fk_orders = shape(
-        "orders_custkey_fk",
+    orders_rows = rows(
         o.join(F.broadcast(c_keys), on="o_custkey", how="left").agg(
-            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias("v"),
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias(
+                "fk_v"
+            ),
+            (F.count("*") - F.countDistinct("o_orderkey")).alias("pk_v"),
             F.count("*").alias("n"),
         ),
-    )
-    pk_orders = shape(
-        "orders_orderkey_unique",
-        o.agg(
-            (F.count("*") - F.countDistinct("o_orderkey")).alias("v"),
-            F.count("*").alias("n"),
-        ),
+        ("orders_custkey_fk", "fk_v"),
+        ("orders_orderkey_unique", "pk_v"),
     )
     o_keys = o.select(
         F.col("o_orderkey").alias("l_orderkey"), F.lit(1).alias("__hit")
     ).distinct()
-    fk_lineitem = shape(
-        "lineitem_orderkey_fk",
+    lineitem_rows = rows(
         li.join(o_keys, on="l_orderkey", how="left").agg(
-            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias("v"),
-            F.count("*").alias("n"),
-        ),
-    )
-    rng = shape(
-        "lineitem_discount_range",
-        li.agg(
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias(
+                "fk_v"
+            ),
             F.sum(
                 F.when(
                     (F.col("l_discount") < 0) | (F.col("l_discount") > 0.6), 1
                 ).otherwise(0)
-            ).alias("v"),
+            ).alias("rng_v"),
             F.count("*").alias("n"),
         ),
+        ("lineitem_orderkey_fk", "fk_v"),
+        ("lineitem_discount_range", "rng_v"),
     )
     nn = shape(
         "customer_name_not_null",
@@ -1118,12 +1136,7 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         ),
     )
-    return (
-        fk_orders.unionByName(pk_orders)
-        .unionByName(fk_lineitem)
-        .unionByName(rng)
-        .unionByName(nn)
-    )
+    return orders_rows.unionByName(lineitem_rows).unionByName(nn)
 
 
 PSI_BINS = 10  # population-stability-index grid (the industry default)
@@ -1267,8 +1280,22 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("bin"),
         )
-        .groupBy("event_type", "part", "bin")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        # BOTH windows' bin counts in ONE aggregation (round 11): the
+        # part flag moves from the GROUP KEY into two conditional sums,
+        # so the densify step below is a single left join instead of
+        # two (part-filtered copies of this whole subtree re-aggregated
+        # per side). A (type, bin) group seen only in one window now
+        # reports 0 for the other window's count instead of being
+        # absent — exactly what the old coalesce(cnt, 0) produced.
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("part") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("ref_cnt"),
+            F.sum(F.when(F.col("part") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("cur_cnt"),
+        )
     )
     bins = sized.select(
         "event_type",
@@ -1276,15 +1303,8 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cur",
         F.explode(F.array(*[F.lit(i) for i in range(PSI_BINS)])).alias("bin"),
     )
-    ref_c = cnts.filter(F.col("part") == 0).select(
-        "event_type", "bin", F.col("cnt").alias("ref_cnt")
-    )
-    cur_c = cnts.filter(F.col("part") == 1).select(
-        "event_type", "bin", F.col("cnt").alias("cur_cnt")
-    )
     dense = (
-        bins.join(ref_c, ["event_type", "bin"], "left")
-        .join(cur_c, ["event_type", "bin"], "left")
+        bins.join(cnts, ["event_type", "bin"], "left")
         .select(
             "event_type",
             "n_ref",

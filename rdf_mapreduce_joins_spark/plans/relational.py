@@ -2041,7 +2041,20 @@ def supplier_cosupply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform/slice, one fewer exchange) was measured SLOWER here
     (4.7 s — nested-array allocation dominates) and rejected."""
     li = load_table(spark, sf_dir, "lineitem")
-    ps = li.select("l_partkey", "l_suppkey").distinct()
+    # The incidence dedup exchange is KEYED ON THE PART (round 11, the
+    # basket_brand_affinity lesson): hash(l_partkey) satisfies the
+    # (part, supplier) dedup's ClusteredDistribution AND the
+    # distribution of every downstream consumer — the degree
+    # aggregation, the hub anti-join, and BOTH self-join sides — so
+    # the whole quadratic projection runs off ONE reused exchange of
+    # the incidence. The old `.distinct()` partitioned on the pair,
+    # which nothing downstream could reuse: deg re-exchanged on
+    # partkey, and the self-join re-exchanged both sides.
+    ps = (
+        li.select("l_partkey", "l_suppkey")
+        .repartition("l_partkey")
+        .dropDuplicates(["l_partkey", "l_suppkey"])
+    )
     deg = ps.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("d"))
     tot = deg.agg(F.sum("d").alias("td"), F.count(F.lit(1)).alias("np"))
     hub = (

@@ -316,16 +316,22 @@ ROBOTS_RULES: tuple[tuple[str, str], ...] = (
 def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robots-style disallow filtering (RFC 9309 prefix semantics):
     per-domain and wildcard path-prefix rules mark documents blocked;
-    report per registered domain how many docs the crawl keeps. The
-    rule set splits into domain rules (broadcast EQUI-join on the
-    domain key, then prefix filter) and wildcard rules, which are
-    prefix-bucketed: startswith(path, p) == (substring(path, 1,
-    len(p)) = p), so for each distinct wildcard-prefix LENGTH (known
-    at plan time — the rules are a module constant) we emit one
-    broadcast HASH join on that substring key. No nested-loop join
-    anywhere in the plan (gated by tests/test_plans.py). At crawl
-    scale rules stay broadcast-sized (robots lines per domain are
-    tiny) and the blocked set is a distinct on doc_id."""
+    report per registered domain how many docs the crawl keeps.
+
+    The rule set is a PLAN-TIME module constant, so rule membership is
+    a row-local predicate (round 11, the constant-term DESCRIBE
+    lesson): ``blocked = OR over rules of (domain match AND path
+    prefix)`` — one scan, one aggregation, zero joins, zero shuffles
+    of the document stream before the final per-domain rollup. The
+    prior shape treated the constants as data (broadcast equi-joins
+    per rule bucket + a doc_id distinct + a left join back onto the
+    stream), which cost 3 extra exchanges and a second pass over the
+    document scan for the same EXISTS semantics — right when rules
+    arrive as a table at runtime, wasted when they are literals. A
+    robots set large enough to need the join form again (millions of
+    rules) would also need the domain-keyed join the old form
+    bucketed by prefix LENGTH; this fixture's handful of module
+    literals is the isin/constant-fold regime."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     u = d.withColumn("url", _raw_url())
     host = F.regexp_replace(
@@ -339,34 +345,19 @@ def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         path.alias("path"),
         _registered_domain(host).alias("registered_domain"),
     )
-    dom_rule_rows = [(d, p) for d, p in ROBOTS_RULES if d != "*"]
-    wild_prefixes = [p for d, p in ROBOTS_RULES if d == "*"]
-    dom_rules = spark.createDataFrame(
-        dom_rule_rows, "dom string, prefix string"
-    )
-    blocked_dom = (
-        r.join(
-            F.broadcast(dom_rules),
-            r["registered_domain"] == dom_rules["dom"],
+    rule_conds = [
+        (
+            F.col("path").startswith(F.lit(p))
+            if dom == "*"
+            else (F.col("registered_domain") == F.lit(dom))
+            & F.col("path").startswith(F.lit(p))
         )
-        .filter(F.col("path").startswith(F.col("prefix")))
-        .select("doc_id")
-    )
-    blocked = blocked_dom
-    for plen in sorted({len(p) for p in wild_prefixes}):
-        rules_l = spark.createDataFrame(
-            [(p,) for p in wild_prefixes if len(p) == plen], "prefix string"
-        )
-        blocked = blocked.unionByName(
-            r.join(
-                F.broadcast(rules_l),
-                F.substring(F.col("path"), 1, plen) == F.col("prefix"),
-            ).select("doc_id")
-        )
-    blocked = blocked.distinct()
-    flagged = r.join(
-        blocked.withColumn("blocked", F.lit(True)), on="doc_id", how="left"
-    ).withColumn("blocked", F.coalesce(F.col("blocked"), F.lit(False)))
+        for dom, p in ROBOTS_RULES
+    ]
+    blocked_col = rule_conds[0]
+    for c in rule_conds[1:]:
+        blocked_col = blocked_col | c
+    flagged = r.withColumn("blocked", blocked_col)
     return flagged.groupBy("registered_domain").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.when(F.col("blocked"), 1).otherwise(0)).cast("bigint").alias(
