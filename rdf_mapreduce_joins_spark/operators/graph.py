@@ -775,10 +775,12 @@ def hits(
         hubs = _half_round(auths, "auth", adj_d, "dst", "src", "hub")
     # Re-attach the universe once: nodes without out-edges keep hub 0,
     # without in-edges auth 0 — exactly the rows the dense form carried
-    # as computed zeros through every round.
+    # as computed zeros through every round. Both left joins hash-build
+    # the score frames (round 11, the round-join treatment): an SMJ
+    # here sorts three O(|V|) frames for a once-off attach.
     out = (
-        nodes.join(hubs, "node", "left")
-        .join(auths, "node", "left")
+        nodes.join(hubs.hint("shuffle_hash"), "node", "left")
+        .join(auths.hint("shuffle_hash"), "node", "left")
         .select(
             "node",
             F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),

@@ -376,14 +376,39 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts_s", "event_id", "value"
     )
 
-    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts_s", "event_id"])
-        s = pdf["value"].ewm(alpha=EWMA_ALPHA, adjust=False).mean().to_numpy()
+    # ONE pandas call per PARTITION, not per user (round 11, guide §4):
+    # groupBy().applyInPandas ships every user as its own Arrow batch
+    # and invokes the Python function per group — 1,500 round trips at
+    # sf0.1, measured 3.6 s steady-state for a 100k-row input. The
+    # hash repartition guarantees each partition holds COMPLETE user
+    # groups, so one mapInPandas call buffers the partition, sorts by
+    # (user, ts, event), and pandas' grouped ewm runs the identical
+    # per-user double recursion vectorized across all groups at once
+    # (sort=False keeps encounter order == sorted order, so the result
+    # aligns row-by-row). Measured 0.6 s — 6x — with the full 100k-row
+    # output tuple-identical to the per-group form, and the --all-sf
+    # oracle hash re-proven. Memory contract: one partition of events
+    # rows in pandas per task — AQE's target partition size bounds it
+    # at scale (the repartition carries no fixed count).
+    def ewma_part(it):
+        chunks = list(it)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values(["user_id", "ts_s", "event_id"], ignore_index=True)
+        s = (
+            pdf.groupby("user_id", sort=False)["value"]
+            .ewm(alpha=EWMA_ALPHA, adjust=False)
+            .mean()
+            .to_numpy()
+        )
         pdf["ewma"] = np.floor(s * 10000.0 + 0.5) / 10000.0
-        return pdf[["user_id", "event_id", "ts_s", "ewma"]]
+        yield pdf[["user_id", "event_id", "ts_s", "ewma"]]
 
-    return e.groupBy("user_id").applyInPandas(
-        ewma, "user_id bigint, event_id bigint, ts_s bigint, ewma double"
+    return e.repartition("user_id").mapInPandas(
+        ewma_part, "user_id bigint, event_id bigint, ts_s bigint, ewma double"
     )
 
 
