@@ -151,14 +151,56 @@ def lsh_topk(
     if exclude_id is not None:
         df = df.filter(F.col(id_col) != exclude_id)
     dbl = as_double_array(vec_col)
-    match = F.lit(False)
+    # The (table, plane) set rides ONE constant-folded literal — an
+    # array of {qb, planes:[{bit, vec}]} structs — and a transform
+    # lambda recomputes the same per-table sign-bit bucket sum per
+    # element (round 11, the _centroid_dist_entries treatment from the
+    # IVF family): the old form unrolled n_tables x n_planes dot-product
+    # blocks into a ~7k-node predicate the analyzer/codegen re-walked
+    # per query. The outer 1-element transform LET-BINDS the
+    # float->double cast so it evaluates once per row instead of once
+    # per dot (expressions referenced inside an HOF lambda re-evaluate
+    # per invocation — the wave-3 lambda lesson; a bound lambda var
+    # does not). Bucket arithmetic, bit order, and the dot fold are
+    # op-for-op identical, so candidate sets cannot move.
+    tables = []
     for t in range(n_tables):
         planes = hyperplanes(dim, n_planes, seed=seed + 1000 * t)
         qb = 0
         for j, h in enumerate(planes):
             if sum(q * hj for q, hj in zip(query_vec, h)) > 0:
                 qb += 1 << j
-        match = match | (lsh_bucket(dbl, planes) == F.lit(qb))
+        tables.append((qb, planes))
+    tables_lit = F.array(
+        *[
+            F.struct(
+                F.lit(qb).alias("qb"),
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(1 << j).alias("bit"),
+                            lit_vector(h).alias("vec"),
+                        )
+                        for j, h in enumerate(planes)
+                    ]
+                ).alias("planes"),
+            )
+            for qb, planes in tables
+        ]
+    )
+    match = F.transform(
+        F.array(dbl),
+        lambda v: F.exists(
+            tables_lit,
+            lambda tb: F.aggregate(
+                tb["planes"],
+                F.lit(0),
+                lambda acc, p: acc
+                + F.when(dot(v, p["vec"]) > 0, p["bit"]).otherwise(F.lit(0)),
+            )
+            == tb["qb"],
+        ),
+    )[0]
     q = lit_vector(query_vec)
     sim = F.round(cosine(dbl, q), round_digits)
     return (
