@@ -521,15 +521,29 @@ def _resolve_seq_chain(
     return chain
 
 
+def _const_subject_table(s: str) -> str:
+    """Plan-build-time pruning key of a constant subject IRI: every
+    unpivot branch renders its subject as ``<table>/<ids...>``, so a
+    constant subject can only match branches of its leading segment's
+    table (round 11 — Catalyst cannot fold ``concat('customer/', id) =
+    'supplier/5'`` to false, so without this every branch of the union
+    was scanned and discarded post-union). A constant with no known
+    table prefix simply matches zero branches — the empty frame, same
+    rows the post-union filter produced."""
+    return s.split("/", 1)[0]
+
+
 def _varpred_specs(pat: Pattern) -> list[PredSpec]:
     """The unpivot branches a variable-predicate pattern can match,
-    after plan-build-time pruning by subject type (``s_table``) and
-    object type (``o_table`` → only FK branches targeting that
-    table)."""
+    after plan-build-time pruning by subject type (``s_table``), by a
+    CONSTANT subject's table prefix, and object type (``o_table`` →
+    only FK branches targeting that table)."""
+    s_tab = None if _is_var(pat.s) else _const_subject_table(pat.s)
     specs = [
         sp
         for sp in PRED_SPECS
         if (pat.s_table is None or sp.table == pat.s_table)
+        and (s_tab is None or sp.table == s_tab)
         and (
             pat.o_table is None
             or (sp.obj_prefix is not None and sp.obj_prefix.rstrip("/") == pat.o_table)
@@ -578,6 +592,30 @@ def _varpred_df(spark: SparkSession, sf_dir: str, pat: Pattern) -> DataFrame:
     return df.select(*cols)
 
 
+def _pred_df_pruned(
+    spark: SparkSession,
+    sf_dir: str,
+    pred: str,
+    table: str | None,
+    encoded: bool,
+) -> DataFrame:
+    """``pred_df`` with unsatisfiable-table softening: a known
+    predicate that has no branch on ``table`` (e.g. a constant subject
+    whose prefix names a table the predicate never leaves from)
+    compiles to a ZERO-ROW frame with the predicate's own schema — the
+    'join simply comes back empty' convention — instead of raising.
+    The false filter folds to an empty LocalRelation, so the pruned
+    branch's scan disappears from the plan entirely."""
+    specs = [s for s in PRED_SPECS if s.pred == pred]
+    if not specs:
+        raise KeyError(f"unknown predicate: {pred}")
+    if table is not None and not any(s.table == table for s in specs):
+        return spec_df(spark, sf_dir, specs[0], encoded=encoded).filter(
+            F.lit(False)
+        )
+    return pred_df(spark, sf_dir, pred, table=table, encoded=encoded)
+
+
 def _pattern_df(
     spark: SparkSession, sf_dir: str, pat: Pattern, encoded: bool = False
 ) -> DataFrame:
@@ -612,13 +650,22 @@ def _pattern_df(
                 )
         obj_fk = True
     else:
-        df = pred_df(spark, sf_dir, pat.p, table=pat.s_table, encoded=encoded)
+        # A CONSTANT subject narrows the branch set to its table prefix
+        # at plan-build time (round 11; see _const_subject_table) — for
+        # a plain atom only: a closure/sequence modifier traverses the
+        # edge set beyond the start node, so its base relation must
+        # stay unpruned (self-referential FKs are single-table anyway).
+        eff_table = pat.s_table
+        if not _is_var(pat.s) and not pat.mod:
+            s_tab = _const_subject_table(pat.s)
+            eff_table = s_tab if eff_table in (None, s_tab) else "__none__"
+        df = _pred_df_pruned(spark, sf_dir, pat.p, eff_table, encoded)
         for alt in pat.alts:
             # p1|p2 alternation: bag union of the per-predicate edge
             # sets — Catalyst unions the vertical partitions; no
             # distinct (SPARQL alternation is bag semantics).
             df = df.unionByName(
-                pred_df(spark, sf_dir, alt, table=pat.s_table, encoded=encoded)
+                _pred_df_pruned(spark, sf_dir, alt, eff_table, encoded)
             )
         obj_fk = _obj_is_fk(pat.p, pat.s_table)
     if pat.mod:
