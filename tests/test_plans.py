@@ -232,6 +232,40 @@ def test_rdf_union_branch_pruning(spark, sf_dir):
     assert "supplier.parquet" in plan
 
 
+def test_constant_subject_prunes_branches(spark, sf_dir):
+    """A constant subject's table prefix prunes the triples-view union
+    at plan build (round 11): <supplier/5> ?p ?o must scan ONLY
+    supplier branches — Catalyst cannot fold concat('customer/', id) =
+    'supplier/5' to false, so without compiler pruning every branch is
+    scanned and discarded post-union."""
+    from rdf_mapreduce_joins_spark.plans.sparql import sparql
+
+    df = sparql(
+        spark,
+        sf_dir,
+        "SELECT ?predicate ?object WHERE "
+        "{ <supplier/5> ?predicate ?object . }",
+    )
+    plan = _plan(df)
+    assert "supplier.parquet" in plan
+    for other in ("customer.parquet", "orders.parquet", "lineitem.parquet",
+                  "nation.parquet", "region.parquet", "part.parquet"):
+        assert other not in plan, other
+
+
+def test_constant_subject_unsatisfiable_table_is_empty(spark, sf_dir):
+    """A constant subject whose table has no branch for the pattern's
+    predicate compiles to an empty frame (the 'join simply comes back
+    empty' convention), not a KeyError: <nation> edges leave customer
+    and supplier, never region."""
+    from rdf_mapreduce_joins_spark.plans.sparql import sparql
+
+    df = sparql(
+        spark, sf_dir, "SELECT ?o WHERE { <region/1> <nation> ?o . }"
+    )
+    assert df.count() == 0
+
+
 def test_minhash_signature_exchange_reused(spark, sf_dir):
     """dedup_near_minhash references the signature aggregation four
     times (band self-join left/right + two signature re-joins). The
