@@ -2267,8 +2267,16 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup family); the per-doc ranking reuses the doc_id partitioning
     of the tf aggregate."""
     d = load_table(spark, sf_dir, "documents")
+    # ONE exchange of 500 document ROWS instead of three of the token
+    # stream (round 11): hash(doc_id) on the un-exploded documents
+    # satisfies the (doc, token) tf aggregation's ClusteredDistribution
+    # AND the per-doc ranking window's, so the explode, the tf
+    # aggregation and the window all run partition-local; only the df
+    # aggregation still exchanges (tf-combined rows, keyed on token).
+    # The old shape shuffled the tf stream for its own agg, again
+    # under the df branch, and a third time on doc_id for the window.
     tf = (
-        spread(d)
+        d.repartition("doc_id")
         .select("doc_id", F.explode(text.tokens("text")).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("doc_id", "token")

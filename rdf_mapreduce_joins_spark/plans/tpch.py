@@ -86,8 +86,20 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice"
     )
-    supply = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(_dec("l_extendedprice")).alias("cost")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 20)
+    ).select("p_partkey")
+    # The selective part predicate pre-filters the FACT stream (round
+    # 11, guide §3.2): the per-part window min is computed
+    # independently per partkey, so dropping non-qualifying parts
+    # BEFORE the supply aggregation — instead of joining p after the
+    # window, as before — cannot change any surviving part's min-cost
+    # row, and the aggregation/window/exchanges all run on the ~1/25
+    # qualifying slice instead of the full pair stream.
+    supply = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(_dec("l_extendedprice")).alias("cost"))
     )
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
@@ -98,9 +110,6 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(
         F.col("r_name") == "EUROPE"
     ).select("r_regionkey")
-    p = load_table(spark, sf_dir, "part").filter(
-        (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 20)
-    ).select("p_partkey")
     eu = (
         supply.join(F.broadcast(s), supply.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -110,7 +119,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         eu.withColumn("mincost", F.min("cost").over(w))
         .filter(F.col("cost") == F.col("mincost"))
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .withColumn("p_partkey", F.col("l_partkey"))
         .select(
             "s_acctbal",
             "s_name",
