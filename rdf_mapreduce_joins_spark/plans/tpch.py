@@ -554,11 +554,6 @@ def tpch_q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     s_suppkey is non-null), negated + IN-list part predicates, COUNT
     DISTINCT per 3-column group. The anti join build side is tiny and
     broadcasts; part is a broadcast dimension."""
-    pairs = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
     bad = load_table(spark, sf_dir, "supplier").filter(
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
@@ -567,12 +562,19 @@ def tpch_q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         & (F.col("p_type") != "PROMO")
         & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
     ).select("p_partkey", "p_brand", "p_type", "p_size")
-    return (
-        pairs.join(
-            F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti"
-        )
+    # Both broadcast filters run BEFORE the pair distinct (round 11,
+    # guide §3.2): p_partkey is unique and the anti join only removes
+    # rows, so distinct-then-filter == filter-then-distinct — and the
+    # distinct's exchange now carries only the qualifying ~1/6 slice.
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), F.col("l_suppkey") == bad.s_suppkey, "left_anti")
         .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
-        .groupBy("p_brand", "p_type", "p_size")
+        .dropDuplicates(["l_partkey", "l_suppkey"])
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
     )
@@ -777,8 +779,14 @@ def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     ).select("l_partkey", "l_suppkey", "l_quantity")
     w = Window.partitionBy("l_partkey")
+    # One exchange keyed on l_partkey serves BOTH the per-(supplier,
+    # part) aggregation (hash(pk) satisfies its ClusteredDistribution)
+    # and the correlated-total window (round 11, the kmv/cosupply
+    # treatment) — the old shape exchanged on the pair, then again on
+    # l_partkey for the window.
     qualifying = (
         li.join(F.broadcast(forest), li.l_partkey == forest.p_partkey)
+        .repartition("l_partkey")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(_dec("l_quantity")).alias("supp_qty"))
         .withColumn("part_qty", F.sum("supp_qty").over(w))
