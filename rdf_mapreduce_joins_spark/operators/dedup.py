@@ -434,6 +434,17 @@ def connected_components(
         own = labels.select(
             "node", F.col("component").alias("cand"), F.lit(True).alias("self")
         )
+        # LAZY checkpoint + count-as-materializer (round 12): the eager
+        # checkpoint ran one job and the convergence count a second —
+        # 2 jobs per round of pure orchestration on a pair graph that
+        # collapses to dozens of rows after LSH. With eager=False the
+        # count below IS the materializing action (the RDD saves its
+        # blocks while the count job scans it), so each round runs ONE
+        # job. Column pruning cannot reach below the LogicalRDD root,
+        # so the checkpoint still stores full rows. Measured at sf0.1
+        # (min-of-3, all four CC consumers): cluster_components 4.04 →
+        # 3.24 s, retain_set_minhash 5.69 → 5.01, incremental 7.64 →
+        # 6.89, epoch_compaction 8.18 → 7.63; results tuple-identical.
         new_labels = (
             nb.unionByName(own)
             .groupBy("node")
@@ -446,7 +457,7 @@ def connected_components(
                 "component",
                 (F.col("component") < F.col("_old")).alias("chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.where("chg").count()
         labels = new_labels.drop("chg")

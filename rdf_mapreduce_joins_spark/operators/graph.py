@@ -56,11 +56,17 @@ def transitive_closure(
     materialize. Returns columns ``(src, dst)``; input edge rows with
     NULL endpoints are dropped (NULL never joins anyway — dropping
     keeps the distinct small)."""
+    # LAZY checkpoints + count-as-materializer throughout the loop
+    # family (round 12): an eager checkpoint runs one job and the
+    # convergence count a second; with eager=False the count IS the
+    # materializing action (blocks save while the count job scans), so
+    # each round runs ONE job. The self-join's two closure references
+    # read already-saved blocks — the count materialized them.
     closure = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n = closure.count()
     for _ in range(max_iter):
@@ -69,7 +75,7 @@ def transitive_closure(
             .join(closure.alias("b"), F.col("a.dst") == F.col("b.src"))
             .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
         )
-        grown = closure.unionByName(hop).distinct().localCheckpoint()
+        grown = closure.unionByName(hop).distinct().localCheckpoint(eager=False)
         m = grown.count()
         closure = grown
         if m == n:
@@ -353,7 +359,7 @@ def triangle_count(
         )
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
-        # Eager checkpoint (round 11): canon feeds the wedge-volume
+        # Checkpoint (round 11): canon feeds the wedge-volume
         # probe action AND the counting job, and cross-JOB reuse never
         # happens without materialization — the probe re-ran the full
         # union scan + distinct, then the count job ran it again (the
@@ -362,8 +368,11 @@ def triangle_count(
         # deduped O(|E|) edge set once (disk-backed blocks, freed on
         # GC — not a session-lifetime cache entry) and both jobs read
         # it; at scale that is store-once/read-twice versus
-        # scan-and-dedup-twice.
-        .localCheckpoint()
+        # scan-and-dedup-twice. eager=False (round 12, ADVICE r11):
+        # the probe action right below materializes it anyway, so
+        # plan-capture/explain-only callers stop paying the full
+        # union-scan+distinct job at DataFrame-construction time.
+        .localCheckpoint(eager=False)
     )
     id_wedges = (
         canon.groupBy("lo")
@@ -473,41 +482,48 @@ def shortest_hops(
         .localCheckpoint()
     )
     visited = frontier
+    # ONE job per round (round 12): the frontier count doubles as the
+    # lazy checkpoint's materializing action AND the loop-control probe
+    # (replacing the separate limit(1).count() job), and the visited
+    # union is checkpointed lazily — its single consumer (next round's
+    # anti-join, or the caller's action after the break) materializes
+    # it inside its own job. The old shape ran 3 jobs per round
+    # (frontier probe, nxt checkpoint, visited checkpoint).
     for depth in range(1, max_iter + 1):
-        if frontier.limit(1).count() == 0:
-            break
         nxt = (
             frontier.join(adj, frontier["node"] == adj["a"])
             .select(F.col("b").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("dist", F.lit(depth))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        visited = visited.unionByName(nxt).localCheckpoint()
+        if nxt.count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     else:
-        # A live frontier after max_iter rounds only means truncation
+        # Reached only when every round produced a non-empty frontier:
+        # a live frontier after max_iter rounds only means truncation
         # when those frontier nodes still have UNVISITED neighbors — a
         # diameter of exactly max_iter leaves the last-discovered nodes
         # in the frontier with nothing left to explore, and raising
         # there was a false positive (round-5 advice). One extra
         # expansion probe decides; raise only on genuine truncation
         # (round-4 operator review set the fail-loud contract).
-        if frontier.limit(1).count() != 0:
-            unexplored = (
-                frontier.join(adj, frontier["node"] == adj["a"])
-                .select(F.col("b").alias("node"))
-                .distinct()
-                .join(visited.select("node"), "node", "left_anti")
+        unexplored = (
+            frontier.join(adj, frontier["node"] == adj["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        if unexplored.limit(1).count() != 0:
+            adj.unpersist()
+            raise RuntimeError(
+                f"shortest_hops frontier still live after {max_iter} "
+                "rounds (graph diameter exceeds it) — nodes beyond the "
+                "horizon would be missing. Re-run with a larger max_iter."
             )
-            if unexplored.limit(1).count() != 0:
-                adj.unpersist()
-                raise RuntimeError(
-                    f"shortest_hops frontier still live after {max_iter} "
-                    "rounds (graph diameter exceeds it) — nodes beyond the "
-                    "horizon would be missing. Re-run with a larger max_iter."
-                )
     adj.unpersist()
     return visited
 
@@ -573,9 +589,15 @@ def weighted_sssp(
         .localCheckpoint()
     )
     frontier = best
+    # ONE job per round (round 12, the shortest_hops treatment): the
+    # improved-frontier count doubles as the lazy checkpoint's
+    # materializing action and the loop-control probe, and the merged
+    # best frame is checkpointed lazily — its single in-job consumer
+    # next round (the relaxation left join; the anti-join's second
+    # reference reads the blocks that join already saved) or the
+    # caller's action materializes it. The old shape ran 3 jobs per
+    # round (frontier probe, improved checkpoint, best checkpoint).
     for _hop in range(1, max_hops + 1):
-        if frontier.limit(1).count() == 0:
-            break
         cand = (
             frontier.join(adj, frontier["node"] == adj["a"])
             .select(
@@ -591,12 +613,14 @@ def weighted_sssp(
             )
             .filter(F.col("old").isNull() | (F.col("nd") < F.col("old")))
             .select("node", F.col("nd").alias("dist"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+        if improved.count() == 0:
+            break
         best = (
             best.join(improved.select("node"), on="node", how="left_anti")
             .unionByName(improved)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         frontier = improved
     adj.unpersist()
@@ -631,17 +655,23 @@ def kcore(
     intermediate superset would be a silently wrong answer — raise
     with the resize instruction instead (round-4 self-review)."""
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # LAZY checkpoints + count-as-materializer (round 12): each round's
+    # surviving-node count doubles as the keep frame's materializing
+    # action (one job instead of two), and the peeled edge set is
+    # checkpointed lazily — next round's degree count materializes it.
+    # keep's two semi-join references read blocks its count already
+    # saved.
     live = (
         sym.unionByName(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_prev = live.select("a").distinct().count()
     converged = False
     for _ in range(max_iter):
         deg = live.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
-        keep = deg.filter(F.col("d") >= k).select("a").localCheckpoint()
+        keep = deg.filter(F.col("d") >= k).select("a").localCheckpoint(eager=False)
         n_now = keep.count()
         if n_now == n_prev:
             converged = True
@@ -649,7 +679,7 @@ def kcore(
         live = (
             live.join(keep, on="a", how="left_semi")
             .join(keep.select(F.col("a").alias("b")), on="b", how="left_semi")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         n_prev = n_now
     if not converged:

@@ -163,6 +163,16 @@ def lsh_topk(
     # per invocation — the wave-3 lambda lesson; a bound lambda var
     # does not). Bucket arithmetic, bit order, and the dot fold are
     # op-for-op identical, so candidate sets cannot move.
+    # Zero tables = zero buckets to match (ADVICE r11): short-circuit
+    # to an empty result instead of building an untyped empty array
+    # literal under F.exists (analysis error), matching the old
+    # per-table loop's F.lit(False) degradation.
+    if n_tables <= 0:
+        return (
+            df.filter(F.lit(False))
+            .select(F.col(id_col), F.lit(0.0).alias("sim"))
+            .limit(k)
+        )
     tables = []
     for t in range(n_tables):
         planes = hyperplanes(dim, n_planes, seed=seed + 1000 * t)

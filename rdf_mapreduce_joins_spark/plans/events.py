@@ -387,9 +387,12 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (sort=False keeps encounter order == sorted order, so the result
     # aligns row-by-row). Measured 0.6 s — 6x — with the full 100k-row
     # output tuple-identical to the per-group form, and the --all-sf
-    # oracle hash re-proven. Memory contract: one partition of events
-    # rows in pandas per task — AQE's target partition size bounds it
-    # at scale (the repartition carries no fixed count).
+    # oracle hash re-proven. Memory contract (ADVICE r11): one
+    # partition of events rows in pandas per task, bounded by the
+    # LARGEST user_id hash partition — AQE only coalesces (never
+    # splits) a plain repartition(col), and splitting would break the
+    # complete-groups invariant mapInPandas relies on, so a heavily
+    # skewed user distribution concentrates into one pd.concat buffer.
     def ewma_part(it):
         chunks = list(it)
         if not chunks:

@@ -354,8 +354,11 @@ def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for dom, p in ROBOTS_RULES
     ]
-    blocked_col = rule_conds[0]
-    for c in rule_conds[1:]:
+    # Seed with False (ADVICE r11): an emptied ROBOTS_RULES must mean
+    # "nothing blocked", as the old join-based form degraded, not an
+    # IndexError.
+    blocked_col = F.lit(False)
+    for c in rule_conds:
         blocked_col = blocked_col | c
     flagged = r.withColumn("blocked", blocked_col)
     return flagged.groupBy("registered_domain").agg(
