@@ -1302,6 +1302,67 @@ def rdf_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRI_CTE = triples_sql()
 
 
+# Route flip for the degree aggregation (round 12, the
+# TRIANGLE_DEGREE_ROUTE_MIN_WEDGES pattern): below this plan-time
+# estimated triples-view size the string-keyed single aggregation wins
+# (the int64 form pays a decode CASE + a string re-merge aggregation
+# over the FULL output, which a ~0.6M-node output does not amortize);
+# above it, shuffling int64 keys instead of IRI text through the
+# 2x|T|-row union aggregation dominates. Measured (min-of-N noop,
+# same-session alternating): sf0.1 (est 18.7 MB) string 4.23 s vs
+# encoded 4.82 s; sf1 (est 197.5 MB) string 15.97 s vs encoded
+# 12.10 s (-24%), results tuple-identical at both scales (654,825 and
+# 6,263,074 rows). Unknown stats read as Long.Max and route encoded —
+# the right default at 100 TB.
+DEGREE_ENC_ROUTE_MIN_BYTES = 64 << 20
+
+
+def _degrees_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution with the union aggregation keyed on int64
+    dictionary ids (subjects and FK objects; literal objects keep their
+    string) — the pagerank int64 lesson applied to the full triples
+    view. Decode happens on the AGGREGATED rows, and one final
+    string-keyed merge re-aggregates so a literal that collides with a
+    rendered IRI merges exactly as the single-pass string form (and the
+    DuckDB oracle) would merge it."""
+    branches = []
+    for s in PRED_SPECS:
+        base = load_table(spark, sf_dir, s.table)
+        if s.where:
+            base = base.filter(F.expr(s.where))
+        branches.append(base.select(
+            _subject_id(s).alias("k_id"),
+            F.lit(None).cast("string").alias("k_str"),
+            F.lit(1).alias("is_out")))
+        if s.obj_prefix:
+            branches.append(base.select(
+                _object_id(s).alias("k_id"),
+                F.lit(None).cast("string").alias("k_str"),
+                F.lit(0).alias("is_out")))
+        else:
+            branches.append(base.select(
+                F.lit(None).cast("long").alias("k_id"),
+                _object_col(s).alias("k_str"),
+                F.lit(0).alias("is_out")))
+    u = branches[0]
+    for b in branches[1:]:
+        u = u.unionByName(b)
+    part = (
+        u.groupBy("k_id", "k_str")
+        .agg(F.sum("is_out").alias("o"), F.sum(1 - F.col("is_out")).alias("i"))
+    )
+    node = F.coalesce(_decode_id(F.col("k_id")), F.col("k_str"))
+    return (
+        part.select(node.alias("node"), "o", "i")
+        .groupBy("node")
+        .agg(
+            F.sum("o").cast("bigint").alias("out_deg"),
+            F.sum("i").cast("bigint").alias("in_deg"),
+        )
+        .orderBy("node")
+    )
+
+
 @query(
     "rdf_degree_distribution",
     oracle=f"""
@@ -1319,11 +1380,23 @@ def rdf_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-analytics surface: per-node in/out degree over the FULL
     triples view (literals count as object nodes — same universe both
     engines). One union + one hash aggregation, no joins
-    (operators/graph.py::degrees); the oracle is an independent
-    full-outer-join of per-side counts over the shared triples CTE."""
+    (operators/graph.py::degrees) while the view is small; above
+    DEGREE_ENC_ROUTE_MIN_BYTES the aggregation keys on int64
+    dictionary ids and decodes after (see _degrees_encoded — the
+    routes are full-result-equality-proven at sf0.1 and sf1). The
+    oracle is an independent full-outer-join of per-side counts over
+    the shared triples CTE."""
     from rdf_mapreduce_joins_spark.operators.graph import degrees
 
     tri = triples(spark, sf_dir)
+    try:
+        est = int(str(
+            tri._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        ))
+    except Exception:  # noqa: BLE001 — stats unavailable: assume big
+        est = DEGREE_ENC_ROUTE_MIN_BYTES
+    if est >= DEGREE_ENC_ROUTE_MIN_BYTES:
+        return _degrees_encoded(spark, sf_dir)
     return (
         degrees(tri, src="subject", dst="object")
         .select("node", "out_deg", "in_deg")

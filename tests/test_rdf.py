@@ -170,3 +170,24 @@ def test_bgp_encoded_matches_string_path(spark, sf_dir):
         finally:
             R.bgp = orig
         assert enc == plain, f"{name}: encoded path diverges from string path"
+
+
+def test_degree_distribution_routes_and_encoded_equality(spark, sf_dir):
+    """rdf_degree_distribution routes by estimated triples-view size
+    (round 12): the string single-aggregation below
+    DEGREE_ENC_ROUTE_MIN_BYTES, the int64-encoded two-level form above.
+    The fixture must take the string route (estimate ~0.2 MB), and the
+    encoded form must be row-identical to it — including literal
+    objects, composite lineitem subjects, and FK objects merging with
+    their target subjects."""
+    from rdf_mapreduce_joins_spark.operators.graph import degrees
+    from rdf_mapreduce_joins_spark.plans import rdf as R
+
+    routed = R.rdf_degree_distribution(spark, sf_dir)
+    assert "k_id" not in routed._jdf.queryExecution().optimizedPlan().toString()
+    enc = R._degrees_encoded(spark, sf_dir)
+    plan = enc._jdf.queryExecution().optimizedPlan().toString()
+    assert "k_id" in plan and "bigint" in enc.schema["out_deg"].dataType.simpleString()
+    a = [tuple(r) for r in routed.collect()]
+    b = [tuple(r) for r in enc.collect()]
+    assert a == b and len(a) > 0
