@@ -251,9 +251,15 @@ def main() -> None:
         and minima.get(n) is not None
         and timings[n] > 1.8 * minima[n]
     )
+    # Extra-rep provenance (round 12, VERDICT r11 "what's wrong" #2):
+    # record WHICH queries received tight-loop extra reps and their
+    # suite-interleaved vs post-tight-loop minima, so a reader can
+    # separate the two measurement bases instead of inferring them.
+    extra_reps: dict[str, list[float]] = {}
     for _, name in danger:
         if extra_budget <= 0:
             break
+        suite_min = timings[name]
         for _ in range(2):
             t0 = time.perf_counter()
             try:
@@ -266,6 +272,78 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001
                 errors.setdefault(name, f"{type(exc).__name__}: {exc}"[:300])
                 break
+        extra_reps[name] = [suite_min, timings[name]]
+
+    # sf1 scaling probe (round 12, VERDICT r11 item 4): the sf0.1
+    # fixture cannot show parallelism for the heavy queries (suite
+    # wall is core-count-invariant there), so probe the top-10 wall
+    # queries at the replica-scaled sf1 under a wall budget — min-of-2
+    # noop each, cheapest-first so a tight budget still covers most.
+    # The driver benches at two core counts; comparing the two
+    # artifacts' sf1_probe blocks gives per-query c8/c32 ratios at a
+    # scale where the data path dominates. Additive only: the timed
+    # suite above, its methodology, and the `queries` map are
+    # untouched. SPARK_GRAFT_SF1_PROBE_S=0 disables.
+    here = os.path.dirname(os.path.abspath(__file__))
+    sf1_budget = float(os.environ.get("SPARK_GRAFT_SF1_PROBE_S", "420"))
+    sf1_probe: dict[str, object] = {}
+    if sf1_budget > 0 and abs(sf_from_dir(sf_dir) - 0.1) < 1e-9:
+        sf1_dir = os.path.join(here, ".scaledata", "sf1")
+        gen_s = 0.0
+        if not os.path.isdir(sf1_dir):
+            import subprocess
+
+            t0 = time.perf_counter()
+            try:
+                subprocess.run(
+                    [sys.executable,
+                     os.path.join(here, "tools", "make_scaled_sf.py"),
+                     "10", sf1_dir],
+                    check=True, capture_output=True, timeout=600,
+                )
+            except Exception as exc:  # noqa: BLE001
+                sf1_probe = {"err": f"scaled-data generation failed: {exc}"[:200]}
+            gen_s = round(time.perf_counter() - t0, 3)
+            sf1_budget -= gen_s
+        if os.path.isdir(sf1_dir) and "err" not in sf1_probe:
+            top10 = [
+                n for n, t in sorted(
+                    ((n, t) for n, t in timings.items() if t is not None),
+                    key=lambda kv: -kv[1],
+                )[:10]
+            ]
+            order = sorted(top10, key=lambda n: timings[n])  # cheapest first
+            sf1_times: dict[str, float] = {}
+            skipped: list[str] = []
+            for name in order:
+                if sf1_budget <= 0:
+                    skipped.append(name)
+                    continue
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    try:
+                        qs[name](spark, sf1_dir).write.format("noop").mode(
+                            "overwrite"
+                        ).save()
+                        t2 = round(time.perf_counter() - t0, 3)
+                        sf1_budget -= t2
+                        prev = sf1_times.get(name)
+                        sf1_times[name] = t2 if prev is None else min(prev, t2)
+                    except Exception as exc:  # noqa: BLE001
+                        sf1_times[name] = None
+                        skipped.append(name)
+                        print(f"bench: sf1 probe {name} FAILED: {exc}"[:300],
+                              file=sys.stderr)
+                        break
+                    if sf1_budget <= 0:
+                        break
+            sf1_probe = {
+                "dir": sf1_dir,
+                "gen_s": gen_s,
+                "reps": 2,
+                "times": sf1_times,
+                "skipped_for_budget": skipped,
+            }
 
     probe_end = _host_probe()
     probe_end.pop("_acc")
@@ -280,11 +358,12 @@ def main() -> None:
         "n_failed": len(errors),
         "reps": reps,
         "host_probe": {"start": probe_start, "end": probe_end},
+        "extra_reps": extra_reps,
+        "sf1_probe": sf1_probe,
     }
     # Full per-query map (≈5 KB at 163 queries) goes to a file; the
     # driver keeps only a ~2 KB stdout tail, so a single giant JSON
     # line gets FRONT-truncated and parses as null (VERDICT r2 #1).
-    here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, ".bench_latest.json"), "w") as fh:
         json.dump(payload, fh, indent=1)
     # stdout gets a compact (<1 KB) line LAST: summary fields plus the
@@ -300,6 +379,11 @@ def main() -> None:
     compact = dict(payload)
     compact["queries"] = worst
     compact["queries_full"] = ".bench_latest.json"
+    # Keep the stdout line under its 1 KB window: the sf1 probe and
+    # extra-rep provenance live in the artifact file; the line carries
+    # only their sizes.
+    compact["extra_reps"] = len(extra_reps)
+    compact["sf1_probe"] = len(sf1_probe.get("times", {})) if sf1_probe else 0
     # Shrink-to-fit rather than assert: an oversized line must still
     # print a parseable summary (failure-heavy runs are exactly when
     # the stdout line matters most — ADVICE r3). Drop worst/error
