@@ -141,11 +141,16 @@ from rdf_mapreduce_joins_spark.plans.rdf import (
     NUMERIC_PREDS,
     PRED_SPECS,
     Pattern,
+    _const_subject_table,
     _const_to_id,
     _decode_id,
+    _infer_s_tables,
+    _is_var,
     _var_kinds,
+    _varpred_specs,
     bgp,
 )
+from rdf_mapreduce_joins_spark.sources.tables import bounded_sort
 
 _KEYWORDS = {
     "SELECT",
@@ -1178,11 +1183,7 @@ def _execute_parsed_select(
         return _execute_aggregate(spark, sf_dir, sq)
     df = _compile_group(spark, sf_dir, sq, sq.where)
     if sq.order_by:
-        cols = [
-            F.col(v[1:]).asc_nulls_last() if asc else F.col(v[1:]).desc_nulls_last()
-            for v, asc in sq.order_by
-        ]
-        df = df.orderBy(*cols)
+        df = _order_sorted(df, sq, _query_order_bound(sq))
     if sq.offset is not None:
         df = df.offset(sq.offset)
     if sq.limit is not None:
@@ -1424,6 +1425,149 @@ def _execute_describe(
     return subj.unionByName(obj).distinct()
 
 
+# --------------------------------------------------------------------------
+# Plan-build-time max-cardinality bounds (round 12, VERDICT r11 item 10):
+# a provable upper bound on a compiled group's solution rows lets the
+# executor use the narrow-dependency bounded sort (coalesce(1) +
+# sortWithinPartitions — identical total order, no rangepartitioning
+# boundary-sampling job) on bounded outputs WITHOUT name-keying queries.
+# Bounds come from pattern structure only:
+#   * a constant FULL subject pins the branch table's primary key
+#     (subjects render from subj_cols = the PK), so each matching
+#     unpivot branch yields <= 1 row;
+#   * a pattern whose subject table is a FIXED-cardinality dimension
+#     (TPC-H semantics: region and nation never scale — 5 and 25 rows
+#     at EVERY scale factor, preserved by the replica scaler) yields
+#     <= that table's row count;
+#   * a predicate VARIABLE's value domain is the compiled branch set —
+#     a plan-time constant.
+# Joins multiply bounds, OPTIONALs multiply (left join worst case),
+# UNIONs add, MINUS/EXISTS only remove rows. Anything unprovable is
+# None and keeps the plain orderBy.
+# --------------------------------------------------------------------------
+
+_FIXED_TABLE_ROWS = {"region": 5, "nation": 25}
+BOUNDED_SORT_MAX_ROWS = 10_000
+
+
+def _pattern_max_rows(pat: Pattern) -> int | None:
+    """Upper bound on one compiled pattern's solution rows, or None."""
+    if pat.seq or pat.mod:
+        return None  # closures / sequences: unbounded in general
+    if pat.p_is_var:
+        specs = _varpred_specs(pat)
+    else:
+        s_tab = None if _is_var(pat.s) else _const_subject_table(pat.s)
+        specs = [
+            sp
+            for sp in PRED_SPECS
+            if sp.pred in pat.preds
+            and (pat.s_table is None or sp.table == pat.s_table)
+            and (s_tab is None or sp.table == s_tab)
+        ]
+    if not _is_var(pat.s):
+        # constant full subject = the branch table's PK: <= 1 row each
+        return max(1, len(specs))
+    total = 0
+    for sp in specs:
+        if sp.table not in _FIXED_TABLE_ROWS:
+            return None
+        total += _FIXED_TABLE_ROWS[sp.table]
+    return max(1, total)  # 0 specs compile to an empty frame
+
+
+def _resolved_patterns(g: _Group, types: dict) -> list[Pattern] | None:
+    try:
+        pats = _patterns(g, types)
+    except SparqlUnsupportedError:
+        return None
+    return _infer_s_tables([pats])[0] if pats else []
+
+
+def _group_max_rows(g: _Group, types: dict) -> int | None:
+    """Upper bound on a compiled group's solution rows, or None."""
+    if g.subqueries or g.binds or g.values or g.values_multi or g.unions:
+        return None
+    pats = _resolved_patterns(g, types)
+    if not pats:
+        return None
+    bound = 1
+    groups = [pats] + [_resolved_patterns(og, types) for og in g.optionals]
+    for grp in groups:
+        if grp is None:
+            return None
+        for p in grp:
+            b = _pattern_max_rows(p)
+            if b is None:
+                return None
+            bound *= b
+            if bound > BOUNDED_SORT_MAX_ROWS:
+                return None
+    # negations / exists only remove rows
+    return bound
+
+
+def _var_domain_bound(g: _Group, types: dict, var: str) -> int | None:
+    """Upper bound on a variable's VALUE domain within a group, or
+    None. Any one binding pattern's bound suffices (conjunctive)."""
+    pats = _resolved_patterns(g, types)
+    if not pats:
+        return None
+    best = None
+    for p in pats:
+        cand = None
+        if p.p_is_var and p.p == var:
+            cand = max(1, len(_varpred_specs(p)))
+        elif var in (p.s, p.o):
+            cand = _pattern_max_rows(p)
+        if cand is not None:
+            best = cand if best is None else min(best, cand)
+    return best
+
+
+def _query_order_bound(q: ParsedQuery) -> int | None:
+    """Upper bound on the ORDER BY input's row count for a non-
+    aggregate query, or None."""
+    groups = q.where.unions or [q.where]
+    if q.distinct:
+        # DISTINCT projection: rows <= product over select vars of the
+        # var's value domain, summed across UNION branches.
+        total = 1
+        for v in q.select:
+            per_var = 0
+            for g in groups:
+                b = _var_domain_bound(g, q.types, v)
+                if b is None:
+                    per_var = None
+                    break
+                per_var += b
+            if per_var is None:
+                total = None
+                break
+            total *= per_var
+            if total > BOUNDED_SORT_MAX_ROWS:
+                total = None
+                break
+        if total is not None:
+            return total
+    bounds = [_group_max_rows(g, q.types) for g in groups]
+    if any(b is None for b in bounds):
+        return None
+    return sum(bounds)
+
+
+def _order_sorted(out: DataFrame, q: ParsedQuery, bound: int | None) -> DataFrame:
+    """Apply ORDER BY: the narrow bounded sort when the input is
+    provably small, the rangepartitioned orderBy otherwise."""
+    cols = [
+        F.col(v[1:]).asc_nulls_last() if asc else F.col(v[1:]).desc_nulls_last()
+        for v, asc in q.order_by
+    ]
+    if bound is not None and bound <= BOUNDED_SORT_MAX_ROWS:
+        return bounded_sort(out, *cols)
+    return out.orderBy(*cols)
+
+
 def _execute_aggregate(
     spark: SparkSession, sf_dir: str, q: ParsedQuery
 ) -> DataFrame:
@@ -1504,11 +1648,18 @@ def _execute_aggregate(
         out = out.filter(F.expr(sql))
     out = out.select(*[v[1:] for v in q.select])
     if q.order_by:
-        cols = [
-            F.col(v[1:]).asc_nulls_last() if asc else F.col(v[1:]).desc_nulls_last()
-            for v, asc in q.order_by
-        ]
-        out = out.orderBy(*cols)
+        # Aggregate output rows = #groups <= the product of the group
+        # keys' provable value domains (group-domain boundedness —
+        # round 12): e.g. a key bound through a fixed-cardinality
+        # dimension table sorts without a rangepartitioning job.
+        bound: int | None = 1
+        for v in q.group_by:
+            b = _var_domain_bound(q.where, q.types, v)
+            if b is None:
+                bound = None
+                break
+            bound *= b
+        out = _order_sorted(out, q, bound)
     if q.offset is not None:
         out = out.offset(q.offset)
     if q.limit is not None:
@@ -1593,11 +1744,7 @@ def sparql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
             tri = tri.unionByName(p_df)
         return tri.distinct()
     if q.order_by:
-        cols = [
-            F.col(v[1:]).asc_nulls_last() if asc else F.col(v[1:]).desc_nulls_last()
-            for v, asc in q.order_by
-        ]
-        out = out.orderBy(*cols)
+        out = _order_sorted(out, q, _query_order_bound(q))
     if q.offset is not None:
         out = out.offset(q.offset)
     if q.limit is not None:

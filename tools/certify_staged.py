@@ -86,9 +86,12 @@ from rdf_mapreduce_joins_spark.plans.llm import (  # noqa: E402
     minhash_shingle_ctes,
 )
 from rdf_mapreduce_joins_spark.plans.rdf import (  # noqa: E402
+    HITS_ITER,
     LPA_ITER,
     PRED_SPECS,
     PR_ITER,
+    hits_norm_select_sql,
+    hits_raw_select_sql,
     lpa_round_select_sql,
     pagerank_round_select_sql,
     triples_sql,
@@ -509,6 +512,133 @@ def certify_lpa(sf_dir: str) -> bool:
     return ok
 
 
+# ----------------------------------------------------------------- hits
+
+
+def certify_hits(sf_dir: str) -> bool:
+    """Stage rdf_hits' oracle half-round by half-round (keeping only
+    the live score tables) and certify at scale under a ONE-GRID-STEP
+    tolerance — an exact digest is mathematically out of reach for
+    this recurrence past ~sf0.1 and that is a property of the declared
+    arithmetic, not of either engine: the fixed nation/region hub
+    spine grows linearly with replica count, so top hub scores reach
+    ~1e5 at sf1 while summation-order differences are ~1e-13 RELATIVE
+    — ~1e-8 ABSOLUTE on those rows, past the 1e-9 per-round fixed-point
+    grid that makes pagerank (whose per-node values stay O(1))
+    digest-exact to sf10. Changing the normalization to bound
+    magnitudes would change every declared hash (forbidden).
+
+    Readout: the engine result lands in a temp parquet, DuckDB
+    full-joins it against the staged oracle on node, and the cert
+    passes when (a) the node sets are identical, (b) EVERY row's hub
+    and auth agree within one final-snap grid step (1e-4 + 1e-12), and
+    (c) the deviant-row fraction is < 1e-4. Exact-match counts and the
+    max deviation are logged so the boundary-flip class stays visible."""
+    import shutil
+    import tempfile
+
+    spark = get_spark("certify-hits")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    h = entrymod.queries()["rdf_hits"](spark, sf_dir)
+    tmp_out = tempfile.mkdtemp(prefix="hits_cert_")
+    spark_pq = os.path.join(tmp_out, "spark_hits.parquet")
+    h.write.mode("overwrite").parquet(spark_pq)
+    s_n = spark.read.parquet(spark_pq).count()
+    print(f"[spark] {s_n} rows in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    con = _connect(sf_dir)
+    fk = sorted({s.pred for s in PRED_SPECS if s.obj_prefix is not None})
+    preds = ", ".join(f"'{p}'" for p in fk)
+    _run(con, "edges", f"""
+    CREATE TEMP TABLE h_e AS
+    WITH tri AS ({triples_sql(fk)})
+    SELECT DISTINCT subject AS src, object AS dst FROM tri
+    WHERE predicate IN ({preds})""")
+    _run(con, "nid", """
+    CREATE TEMP TABLE h_nid AS
+    SELECT node, ROW_NUMBER() OVER (ORDER BY node) AS id FROM (
+      SELECT DISTINCT node
+      FROM (SELECT src AS node FROM h_e UNION ALL SELECT dst FROM h_e)
+    )""")
+    _run(con, "ei", """
+    CREATE TEMP TABLE h_ei AS
+    SELECT ns.id AS sid, nd.id AS did
+    FROM h_e JOIN h_nid ns ON ns.node = h_e.src
+             JOIN h_nid nd ON nd.node = h_e.dst""")
+    _run(con, "drop edges", "DROP TABLE h_e")
+    n_nodes = con.execute("SELECT COUNT(*) FROM h_nid").fetchone()[0]
+    _run(con, "h0", """
+    CREATE TEMP TABLE s_h0 AS
+    SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM h_nid""")
+    con.execute("CREATE TEMP TABLE h_nodes AS SELECT id FROM h_nid")
+    for i in range(1, HITS_ITER + 1):
+        # Half-round bodies generated by the SAME builders as the
+        # registered oracle (plans/rdf.py::hits_raw_select_sql /
+        # hits_norm_select_sql) — only table names and the pre-counted
+        # node total differ.
+        _run(con, f"ar{i}", f"""
+        CREATE TEMP TABLE s_ar{i} AS
+        {hits_raw_select_sql(f's_h{i - 1}', 'hub', 'sid', 'did', ei='h_ei')}""")
+        _run(con, f"a{i}", f"""
+        CREATE TEMP TABLE s_a{i} AS
+        {hits_norm_select_sql(f's_ar{i}', 'auth', nodes='h_nodes', n_expr=str(n_nodes))}""")
+        _run(con, f"drop ar{i}/h{i - 1}",
+             f"DROP TABLE s_ar{i}; DROP TABLE s_h{i - 1}")
+        _run(con, f"hr{i}", f"""
+        CREATE TEMP TABLE s_hr{i} AS
+        {hits_raw_select_sql(f's_a{i}', 'auth', 'did', 'sid', ei='h_ei')}""")
+        _run(con, f"h{i}", f"""
+        CREATE TEMP TABLE s_h{i} AS
+        {hits_norm_select_sql(f's_hr{i}', 'hub', nodes='h_nodes', n_expr=str(n_nodes))}""")
+        _run(con, f"drop hr{i}", f"DROP TABLE s_hr{i}")
+        if i < HITS_ITER:
+            _run(con, f"drop a{i}", f"DROP TABLE s_a{i}")
+    t0 = time.time()
+    stats = con.execute(f"""
+    WITH fin AS (
+      SELECT h_nid.node,
+             floor(h.hub * 10000.0 + 0.5) / 10000.0 AS hub_r,
+             floor(a.auth * 10000.0 + 0.5) / 10000.0 AS auth_r
+      FROM s_h{HITS_ITER} h
+      JOIN s_a{HITS_ITER} a ON a.id = h.id
+      JOIN h_nid ON h_nid.id = h.id
+    ),
+    sp AS (SELECT * FROM '{spark_pq}/*.parquet'),
+    j AS (
+      SELECT sp.node AS s_node, fin.node AS o_node,
+             sp.hub_r AS sh, sp.auth_r AS sa,
+             fin.hub_r AS oh, fin.auth_r AS oa
+      FROM sp FULL JOIN fin ON sp.node = fin.node
+    )
+    SELECT COUNT(*) AS n_join,
+           SUM(CASE WHEN s_node IS NULL OR o_node IS NULL THEN 1 ELSE 0 END)
+             AS n_unmatched,
+           SUM(CASE WHEN sh = oh AND sa = oa THEN 1 ELSE 0 END) AS n_exact,
+           MAX(GREATEST(ABS(sh - oh), ABS(sa - oa))) AS max_dev
+    FROM j""").fetchone()
+    print(f"  [duck] compare: {time.time() - t0:.1f}s", file=sys.stderr)
+    n_join, n_unmatched, n_exact, max_dev = stats
+    n_deviant = n_join - (n_exact or 0) - (n_unmatched or 0)
+    tol = 1e-4 + 1e-12
+    ok = (
+        n_unmatched == 0
+        and n_join == s_n
+        and (max_dev or 0.0) <= tol
+        and n_deviant < max(1, n_join) * 1e-4
+    )
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    print(json.dumps({
+        "cert": "rdf_hits", "sf_dir": sf_dir,
+        "rows": n_join, "unmatched_nodes": n_unmatched,
+        "exact_rows": n_exact, "deviant_rows": n_deviant,
+        "max_abs_dev": max_dev,
+        "tolerance_one_grid_step": tol,
+        "digest_match_within_tolerance": ok,
+    }))
+    return ok
+
+
 def main() -> int:
     modes = {
         "epoch": certify_epoch,
@@ -516,6 +646,7 @@ def main() -> int:
         "semantic": certify_semantic,
         "semantic-selfcheck": selfcheck_semantic,
         "lpa": certify_lpa,
+        "hits": certify_hits,
     }
     if len(sys.argv) != 3 or sys.argv[1] not in modes:
         print(__doc__, file=sys.stderr)
