@@ -1842,8 +1842,19 @@ def rdf_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("iri", base_hash60("iri", family="md5").alias("h"))
         .localCheckpoint()
     )
+    # Hash-build the decode joins (round 12 — the rdf_hits wave-14
+    # attach treatment): statically both decode joins planned
+    # SortMergeJoin, sorting the O(|V|) labels frame and the O(|V|)
+    # dictionary twice for a once-off attach; shuffle_hash builds the
+    # label side instead. Flat locally (min-of-4 10.47 vs 10.32 s —
+    # the dictionary is ~36 MB of IRI text at sf0.1, above any
+    # auto-broadcast, so unlike the r11 votes-join negative the hint
+    # forces no exchange back in), the removed sorts are the at-scale
+    # point.
     return (
-        lp.join(nodes.select(F.col("h").alias("node"), F.col("iri").alias("node_iri")), "node")
+        lp.hint("shuffle_hash")
+        .join(nodes.select(F.col("h").alias("node"), F.col("iri").alias("node_iri")), "node")
+        .hint("shuffle_hash")
         .join(nodes.select(F.col("h").alias("lbl"), F.col("iri").alias("community")), "lbl")
         .select(F.col("node_iri").alias("node"), "community")
     )
