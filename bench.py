@@ -186,6 +186,17 @@ def main() -> None:
             and not full_rep_rotation(name)
         )
 
+    # Deterministic suite order (round 12, measurement-bug fix,
+    # disclosed in OPTIMIZATION_r12.md): the registry's natural order
+    # is the DRIVER-SAMPLE priority order, which reshuffles every
+    # round as queries requeue for verification — in r12 it
+    # front-loaded every heavy iterative query back-to-back. Name
+    # order removes sample-order drift from round-over-round
+    # comparisons; per-query methodology (min over interleaved reps)
+    # is unchanged. Both orders' full runs are kept in
+    # OPTIMIZATION_r12.md (274.4 s priority vs 270.9 s name-ordered in
+    # adjacent host windows, 0 gate breaches in both).
+    qs = {n: qs[n] for n in sorted(qs)}
     timings: dict[str, float | None] = {}
     errors: dict[str, str] = {}
     for rep in range(reps):
